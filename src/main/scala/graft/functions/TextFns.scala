@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for a training-data pipeline, expressed as
+  * Catalyst column expressions (higher-order functions, no UDFs) so they
+  * distribute and codegen. Everything here is deterministic — a hard
+  * requirement for dedup keys that must agree across 1000 executors.
+  *
+  * PERFORMANCE NOTE — `bind`: inside a higher-order-function lambda, a
+  * referenced sub-expression is RE-EVALUATED on every lambda iteration
+  * (Catalyst has no common-subexpression elimination across lambda
+  * boundaries). A minhash written naively as
+  * `transform(0..k, j -> min(transform(shingles(text), ...)))` recomputes
+  * the whole shingle pipeline k times per row — observed 100x slowdowns.
+  * `bind` introduces a let-binding (single-element transform) so the
+  * sub-expression is evaluated exactly once per row.
+  */
+object Fn {
+  /** let-binding for column expressions: evaluate `c` once, use many times. */
+  def bind(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
+  /** two-value let-binding. */
+  def bind2(a: Column, b: Column)(body: (Column, Column) => Column): Column =
+    bind(struct(a.as("_1"), b.as("_2")))(s => body(s.getField("_1"), s.getField("_2")))
+}
+
+object TextFns {
+  import Fn._
+
+  /** Whitespace tokenization; empty tokens dropped. */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** BPE-ish pre-tokenization: word pieces OR single punctuation marks. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  /** Count of BPE-ish tokens. */
+  def tokenCount(text: Column): Column = size(regexTokens(text))
+
+  /** Distinct word n-gram shingles, the MinHash/Jaccard input unit.
+    * n-gram i = words[i..i+n-1] joined by a single space. Docs shorter than
+    * n words yield an empty set (guarded: Spark's `sequence(0, negative)`
+    * would otherwise generate a DESCENDING range and error in element_at). */
+  def wordShingles(text: Column, n: Int): Column =
+    bind(words(text)) { w =>
+      when(size(w) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash signature of length k over a shingle array. Permutation j is
+    * simulated by folding j into the hash input (xxhash64 over (j, s)).
+    * Single pass over the shingles (k running minima), deterministic,
+    * shuffle-free. Empty shingle set => all-Long.MaxValue signature. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    bind(shingles) { sh =>
+      aggregate(
+        sh,
+        array_repeat(lit(Long.MaxValue), k),
+        (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+          (m, j) => least(m, xxhash64(j, s))))
+    }
+
+  /** Estimated Jaccard = fraction of agreeing MinHash components. */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v).cast("double") / size(sigA).cast("double")
+
+  /** LSH band digests: the k-long signature split into `bands` bands of
+    * k/bands rows, each band hashed to one long. Docs sharing any band
+    * digest become near-dup candidates; candidates are found with an equi
+    * join on (band, digest) — a hash join that scales, instead of an
+    * all-pairs cross join that doesn't. */
+  def lshBands(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    bind(sig) { s =>
+      transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+                    xxhash64(b, slice(s, b * rows + 1, lit(rows))).as("digest")))
+    }
+  }
+
+  /** 64-bit SimHash over the word multiset. Bit j of the result is set iff
+    * sum over words of (+1 if bit j of xxhash64(word) else -1) is > 0.
+    * Near-duplicates differ in few bits (compare via hamming()).
+    * Uses call_function for shiftright/shiftleft because the Scala
+    * functions API only accepts literal Int shift amounts. */
+  def simhash64(text: Column): Column = {
+    val counters = aggregate(
+      transform(words(text), word => xxhash64(word)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => bind(h) { hh =>
+        zip_with(
+          acc,
+          sequence(lit(0), lit(63)),
+          (c, j) => c + when(
+            call_function("shiftright", hh, j).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j))
+          .otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Polynomial rolling-hash fingerprint of normalized text (lowercased,
+    * whitespace collapsed): h = h*31 + codepoint, wrapping in Long. */
+  def rollingFingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    aggregate(
+      transform(split(norm, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => acc * 31L + c)
+  }
+
+  /** Fraction of tokens that are stopwords (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    bind(words(lower(text))) { w =>
+      size(filter(w, x => x.isin(stopwords: _*))).cast("double") /
+        greatest(size(w), lit(1)).cast("double")
+    }
+
+  /** Heuristic language id over a tiny built-in stopword table: the
+    * language whose stopwords hit the most tokens wins ("und" if none). */
+  def langId(text: Column): Column = {
+    val table: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+      "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"))
+    bind(words(lower(text))) { w =>
+      val scores = table.map { case (lang, sw) =>
+        struct(size(filter(w, x => x.isin(sw: _*))).as("score"), lit(lang).as("lang"))
+      }
+      val best = greatest(scores: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float|double>` embedding columns, built purely
+  * from Spark's codegen-friendly higher-order functions (no UDFs): the
+  * arithmetic stays inside Catalyst so it survives whole-stage codegen and
+  * column pruning at 100 TB scale.
+  *
+  * All arithmetic is done in double precision regardless of input element
+  * type — float32 accumulation would diverge from the (double) oracle.
+  * `aggregate` folds left-to-right, which keeps summation order
+  * deterministic and identical to DuckDB's list_dot_product.
+  */
+object VectorFns {
+  /** Elementwise dot product with double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def norm(a: Column): Column = sqrt(norm2(a))
+
+  /** Cosine similarity in [-1, 1]; null-safe on zero vectors (returns null
+    * via division by zero -> null? No: x/0.0 = null in Spark SQL). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH bucket id: sign bits of `nPlanes` pseudo-random
+    * hyperplane dot products. The "hyperplanes" are deterministic per
+    * (plane, dimension) via xxhash64 mapped to [-1, 1] — fully reproducible
+    * across the cluster with no broadcast state. Used to bucket vectors so
+    * ANN probes only compare within a bucket (the 100 TB scale path).
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      // pseudo-random weight for (plane p, dim i): xxhash64 -> [-1,1]
+      val weighted = zip_with(
+        vec,
+        sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") *
+          (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble)))
+      val proj = aggregate(weighted, lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication family for a training-data pipeline, over a corpus
+  * DataFrame with an id column and a text column.
+  *
+  * Scale notes: every variant is built to avoid the all-pairs cross join.
+  * Exact dedup is one hash aggregation. MinHash-LSH and SimHash reduce the
+  * candidate space with equi joins on derived keys (band digests / hash
+  * prefixes) so the shuffle carries only candidate buckets, never n^2 pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full text: one hash-shuffle groupBy. Returns
+    * (keep_id, n_copies) — the survivor (min id) per distinct text.
+    * At 100 TB group on a 128-bit hash of text instead of the full text so
+    * the shuffle carries 16 bytes/row, not the document body. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("__h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__h")
+
+  /** Exact-dedup the corpus itself (keep the min-id row per distinct text). */
+  def exactRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    RelationalOps.dedupFirst(df, Seq(md5(col(textCol).cast("binary"))), Seq(col(idCol)))
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified by exact
+    * shingle Jaccard.
+    *
+    * Pipeline: shingle -> k-long MinHash signature -> band digests ->
+    * explode bands -> self equi-join on (band, digest) -> distinct pairs ->
+    * exact-Jaccard verification join. The only non-equi work is the final
+    * verification on the (small) candidate set.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.7): DataFrame = {
+    // persist: the signature table is referenced by candidate generation
+    // AND both sides of the verification join; without a materialization
+    // barrier each branch would recompute the shingle+hash pipeline.
+    // (At real scale this would be a checkpointed signature table.)
+    val sigs = df.select(
+      col(idCol).as("id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("shingles"))
+      .withColumn("sig", TextFns.minhashSignature(col("shingles"), k))
+      .persist()
+    val banded = sigs.select(col("id"),
+      explode(TextFns.lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.digest").as("digest"))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val withSets = candidates
+      .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+    withSets
+      .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Top-N most similar pairs by MinHash estimate (no threshold) — useful
+    * as a bounded-output diagnostic over corpora with no true near-dups. */
+  def minhashTopPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 64, bands: Int = 32,
+                      topN: Int = 20): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      TextFns.minhashSignature(TextFns.wordShingles(col(textCol), shingleN), k).as("sig"))
+      .persist()
+    val banded = sigs.select(col("id"),
+      explode(TextFns.lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("b.band"), col("b.digest"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        round(TextFns.minhashEstimate(col("sig_a"), col("sig_b")), 4))
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+      .select("id_a", "id_b", "est_jaccard")
+      .limit(topN)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, candidates via equality on
+    * 16-bit signature chunks (any of 4 chunks equal -> candidate, which is
+    * exact for hamming distance <= 3 by pigeonhole), verified by hamming
+    * <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      TextFns.simhash64(col(textCol)).as("sig"))
+      .persist()
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          call_function("shiftright", col("sig"), lit(c * 16))
+            .bitwiseAND(lit(0xFFFFL)).as("piece"))): _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.piece"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.piece") === col("y.piece") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", TextFns.hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard over all pairs of a (small / pre-filtered) slice.
+    * This is the verification-grade variant: O(n^2) pairs, so callers must
+    * bound n (the LSH variants are the scale path). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("sh"))
+    sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(TextFns.jaccard(col("x.sh"), col("y.sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

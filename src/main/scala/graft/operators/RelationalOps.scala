@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators the engine exposes beyond Spark built-ins.
+  * Each is a composition of Catalyst primitives chosen for its shuffle
+  * profile at scale — see individual notes.
+  */
+object RelationalOps {
+
+  /** Top-k rows per group. One shuffle on the partition keys; the window
+    * sort is in-partition. At 100 TB prefer this over groupBy+collect_list
+    * (bounded memory per group via TakeOrdered-style pruning in AQE). */
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column],
+                   orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** First row per key under an explicit order — exact deduplication with a
+    * deterministic survivor (unlike dropDuplicates, whose survivor is
+    * arbitrary under parallelism). One shuffle on `keys`. */
+  def dedupFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    topKPerGroup(df, keys, order, 1)
+
+  /** As-of join: for each left row, the latest right row with the same key
+    * and rightTs <= leftTs.
+    *
+    * Implemented as union + running `last(ignoreNulls)` window rather than a
+    * join + per-key aggregation: the join form fans out to |left|x|right|
+    * intermediate rows per key before aggregating, while this form is
+    * strictly O(|left|+|right|) rows through a single shuffle on the key —
+    * the difference between feasible and not at 100 TB.
+    *
+    * @param valueCols right-side columns to carry to the matched left rows
+    *                  (aliased as given).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               valueCols: Seq[(String, String)]): DataFrame = {
+    val lCols = left.columns.toSeq
+    // left rows keep all their columns plus null placeholders for values
+    val l = valueCols.foldLeft(
+      left.withColumn("__side", lit(1)).withColumn("__ats", col(leftTs))) {
+      case (df, (from, as)) =>
+        df.withColumn(s"__v_$as", lit(null).cast(right.schema(from).dataType))
+    }
+    // right rows carry (key, ts, values) plus null placeholders for left cols
+    val rBase = right.select(
+      Seq(col(key), col(rightTs).as("__ats")) ++
+        valueCols.map { case (from, as) => col(from).as(s"__v_$as") }: _*)
+      .withColumn("__side", lit(0))
+    val r = lCols.filterNot(_ == key).foldLeft(rBase) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val ordered = lCols ++ Seq("__side", "__ats") ++ valueCols.map("__v_" + _._2)
+    val u = l.select(ordered.map(col): _*).unionByName(r.select(ordered.map(col): _*))
+    // right rows sort before left rows at equal ts so "at-or-before" includes ties
+    val w = Window.partitionBy(col(key)).orderBy(col("__ats"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(u) { case (df, (_, as)) =>
+      df.withColumn(as, last(col(s"__v_$as"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((lCols ++ valueCols.map(_._2)).map(col): _*)
+  }
+
+  /** Range (interval) self/pair join: rows of `right` whose `rightTs` falls
+    * in (leftTs, leftTs + window]. When an equi key exists it rides a hash
+    * join; `bucketSeconds` additionally buckets time so that even without a
+    * selective key the match space is bounded (each left row joins only its
+    * own and the next bucket) — the standard rewrite that turns an
+    * O(n^2) theta join into an equi join + cheap residual filter.
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame,
+                        key: String, leftTs: String, rightTs: String,
+                        windowSeconds: Long): DataFrame = {
+    val b = windowSeconds
+    val l = left.withColumn("__lb", (col(leftTs).cast("timestamp").cast("long") / b).cast("long"))
+    val r = right.withColumn("__rb", (col(rightTs).cast("timestamp").cast("long") / b).cast("long"))
+    val rBoth = r.withColumn("__lb", explode(array(col("__rb"), col("__rb") - 1))).drop("__rb")
+    l.join(rBoth, Seq(key, "__lb"))
+      .filter(col(rightTs) > col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop("__lb")
+  }
+
+  /** Gaps-and-islands sessionization: a new session starts when the gap to
+    * the previous event (per key) exceeds `gapSeconds`. Adds `session_id`
+    * (1-based per key). Single shuffle on the key. */
+  def sessionize(df: DataFrame, key: String, tsCol: String,
+                 gapSeconds: Long, order: Seq[Column] = Nil): DataFrame = {
+    val ord = if (order.nonEmpty) order else Seq(col(tsCol))
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+    val gap = col(tsCol).cast("timestamp").cast("long") -
+      lag(col(tsCol), 1).over(w).cast("timestamp").cast("long")
+    df.withColumn("__new", when(gap.isNull || gap > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+}

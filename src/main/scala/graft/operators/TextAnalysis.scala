@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Document-corpus analysis operators (quality scoring, language id,
+  * fingerprinting, token statistics) — per-row column expressions, so they
+  * scan-parallelize with no shuffle at all except where noted.
+  */
+object TextAnalysis {
+
+  /** Per-document statistics: token counts, distinctness, lengths. */
+  def textStats(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(Seq(col(idCol)) ++ Seq(graft.functions.Fn.bind(TextFns.words(col(textCol))) {
+      w =>
+        struct(
+          size(w).cast("int").as("n_tokens"),
+          size(array_distinct(w)).cast("int").as("n_distinct"),
+          round(size(array_distinct(w)).cast("double") /
+            greatest(size(w), lit(1)).cast("double"), 4).as("ttr"),
+          length(col(textCol)).cast("int").as("n_chars"),
+          round((length(col(textCol)) - (size(w) - 1)).cast("double") /
+            greatest(size(w), lit(1)).cast("double"), 4).as("avg_word_len"))
+    }.as("__s")): _*)
+      .select(col(idCol), col("__s.n_tokens"), col("__s.n_distinct"),
+        col("__s.ttr"), col("__s.n_chars"), col("__s.avg_word_len"))
+
+  /** Quality score in [0,1]: blend of length band, type-token ratio and
+    * alphabetic character ratio — the usual cheap pre-filter signals for
+    * training-data curation. Deterministic arithmetic only. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      round(graft.functions.Fn.bind(TextFns.words(col(textCol))) { w =>
+        val nTok = size(w).cast("double")
+        val lengthScore = least(nTok / lit(50.0), lit(1.0))
+        val ttr = size(array_distinct(w)).cast("double") / greatest(nTok, lit(1.0))
+        val alphaRatio = (length(regexp_replace(col(textCol), "[^a-zA-Z ]", "")) /
+          greatest(length(col(textCol)), lit(1))).cast("double")
+        lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * alphaRatio
+      }, 4).as("quality"))
+
+  /** Language identification via stopword-hit heuristic. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), TextFns.langId(col(textCol)).as("pred_lang"))
+
+  /** Content fingerprints: md5 of normalized text (oracle-checkable) plus
+    * the polynomial rolling hash (engine-native). */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      md5(lower(col(textCol)).cast("binary")).as("fp_md5"),
+      TextFns.rollingFingerprint(col(textCol)).as("fp_roll"))
+
+  /** Corpus-level word frequency: explode + hash aggregate (one shuffle on
+    * word; the classic map-side-combine friendly shape). */
+  def wordFrequency(docs: DataFrame, textCol: String = "text",
+                    topN: Int = 20): DataFrame =
+    docs.select(explode(TextFns.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(topN)
+}

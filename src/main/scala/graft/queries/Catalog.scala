@@ -1,0 +1,550 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, RelationalOps, Similarity, TextAnalysis}
+import graft.functions.VectorFns
+
+/** The executable query inventory (SURVEY.md §2.11 + [EXT] operators), each
+  * paired with its DuckDB oracle SQL where SQL-expressible.
+  *
+  * Determinism contract with the oracle:
+  *  - every query ends with ORDER BY on a unique key prefix;
+  *  - float outputs ROUND(x, 2) (similarity ROUND(x, 4));
+  *  - money aggregations go through DECIMAL(18,2) on BOTH engines — the
+  *    inputs are exact 2-decimal values, so decimal sums are exact and
+  *    order-independent, immune to parallel-summation float drift;
+  *  - column names identical on both sides (the driver hashes by name).
+  */
+object Catalog {
+
+  final case class QueryDef(
+      name: String,
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = false)
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- core
+
+  private val q01 = QueryDef("q01_count",
+    (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("n")),
+    Some("SELECT COUNT(*) AS n FROM lineitem"),
+    bench = true)
+
+  private val q02 = QueryDef("q02_filter",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_quantity > 45 AND l_returnflag = 'R'
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  private val q03 = QueryDef("q03_project",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        round(dec(col("o_totalprice")) * lit(0.9).cast("decimal(2,1)"), 2)
+          .cast("double").as("disc_price"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)), 2)
+                   AS DOUBLE) AS disc_price
+            FROM orders ORDER BY o_orderkey"""))
+
+  private val q04 = QueryDef("q04_join_agg",
+    (s, d) => Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    bench = true)
+
+  private val q05 = QueryDef("q05_multijoin",
+    (s, d) => Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+      .orderBy("n_name"),
+    Some("""SELECT n_name,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY n_name ORDER BY n_name"""),
+    bench = true)
+
+  private val q06 = QueryDef("q06_semijoin",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")),
+    Some("""SELECT COUNT(*) AS n FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)"""))
+
+  private val q07 = QueryDef("q07_antijoin",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey"),
+    Some("""SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey"""))
+
+  private val q08 = QueryDef("q08_leftjoin",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, COUNT(o_orderkey) AS n FROM customer
+            LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  private val q09 = QueryDef("q09_rangejoin",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.select(col("user_id"), col("ts").as("ts2"))
+      RelationalOps.rangeJoinBucketed(left, right, "user_id", "ts", "ts2", 600L)
+        .groupBy("event_id").agg(count(lit(1)).as("n"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e1.event_id, COUNT(*) AS n FROM events e1
+            JOIN events e2 ON e1.user_id = e2.user_id
+              AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+            GROUP BY e1.event_id ORDER BY e1.event_id"""),
+    bench = true)
+
+  private val q10 = QueryDef("q10_asof",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts")
+      RelationalOps.asOfJoin(purchases, signups, "user_id", "ts", "ts",
+          Seq("ts" -> "last_signup"))
+        .filter(col("last_signup").isNotNull)
+        .select("event_id", "last_signup")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, CAST(MAX(s.ts) AS TIMESTAMP) AS last_signup
+            FROM events p JOIN events s ON p.user_id = s.user_id
+              AND s.event_type = 'signup' AND s.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY p.event_id"""),
+    bench = true)
+
+  private val q11 = QueryDef("q11_tpch1",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(dec(col("l_quantity"))).cast("double"), 2).as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 2).as("sum_price"),
+        round((sum(dec(col("l_discount"))).cast("double") / count(lit(1))), 2).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+              ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_disc,
+              COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  private val q12 = QueryDef("q12_countdistinct",
+    (s, d) => Tables.lineitem(s, d).agg(countDistinct(col("l_partkey")).as("n")),
+    Some("SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem"),
+    bench = true)
+
+  private val q13 = QueryDef("q13_rollup",
+    (s, d) => Tables.orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        col("n"))
+      .orderBy("pri", "st"),
+    Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+              COALESCE(o_orderstatus, 'ALL') AS st, COUNT(*) AS n
+            FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY pri, st"""))
+
+  private val q14 = QueryDef("q14_topk_group",
+    (s, d) => {
+      val j = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      RelationalOps.topKPerGroup(j, Seq(col("c_mktsegment")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select("c_mktsegment", "o_orderkey")
+        .orderBy("c_mktsegment", "o_orderkey")
+    },
+    Some("""SELECT c_mktsegment, o_orderkey FROM (
+              SELECT c_mktsegment, o_orderkey,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey) t
+            WHERE rn <= 3 ORDER BY c_mktsegment, o_orderkey"""),
+    bench = true)
+
+  private val q15 = QueryDef("q15_runsum",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(sum(dec(col("value"))).over(w).cast("double"), 2).as("run"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run
+            FROM events ORDER BY event_id"""))
+
+  private val q16 = QueryDef("q16_diff",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("dv"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, ROUND(value - LAG(value) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id), 2) AS dv
+            FROM events ORDER BY event_id"""))
+
+  private val q17 = QueryDef("q17_topk_global",
+    (s, d) => Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+      .select("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10"""),
+    bench = true)
+
+  private val q18i = QueryDef("q18_intersect",
+    (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy("k"),
+    Some("""SELECT c_nationkey AS k FROM customer
+            INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k"""))
+
+  private val q18e = QueryDef("q18_except",
+    (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy("k"),
+    Some("""SELECT c_nationkey AS k FROM customer
+            EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k"""))
+
+  private val q18u = QueryDef("q18_union",
+    (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy("k"),
+    Some("""SELECT c_nationkey AS k FROM customer
+            UNION SELECT s_nationkey AS k FROM supplier ORDER BY k"""))
+
+  private val q19 = QueryDef("q19_regex",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_no"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(REGEXP_EXTRACT(source, 'src(\d+)', 1) AS INT) AS src_no
+            FROM documents ORDER BY doc_id"""))
+
+  private val q20 = QueryDef("q20_split",
+    (s, d) => Tables.customer(s, d)
+      .select(col("c_custkey"), split_part(col("c_name"), lit("#"), lit(1)).as("prefix"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, SPLIT_PART(c_name, '#', 1) AS prefix
+            FROM customer ORDER BY c_custkey"""))
+
+  private val q21 = QueryDef("q21_datetrunc",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("m"),
+    Some("""SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m,
+              COUNT(*) AS n
+            FROM orders GROUP BY m ORDER BY m"""))
+
+  private val q22 = QueryDef("q22_array",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("int").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+      .orderBy("vec_id"),
+    Some("""SELECT vec_id, CAST(LEN(embedding) AS INT) AS dim,
+              ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0
+            FROM embeddings ORDER BY vec_id"""))
+
+  private val q23 = QueryDef("q23_json",
+    (s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sk"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  private val q24 = QueryDef("q24_hourly",
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("sv"))
+      .orderBy("w", "event_type"),
+    Some("""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, event_type,
+              COUNT(*) AS n,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+            FROM events GROUP BY w, event_type ORDER BY w, event_type"""),
+    bench = true)
+
+  private val q25 = QueryDef("q25_dedup_events",
+    (s, d) => RelationalOps.dedupFirst(Tables.events(s, d),
+        Seq(col("user_id"), col("event_type")), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type, event_id FROM (
+              SELECT user_id, event_type, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) AS rn
+              FROM events) t WHERE rn = 1
+            ORDER BY user_id, event_type"""))
+
+  private val q26 = QueryDef("q26_sessionize",
+    (s, d) => RelationalOps.sessionize(Tables.events(s, d), "user_id", "ts", 1800L,
+        Seq(col("ts"), col("event_id")))
+      .groupBy("user_id")
+      .agg(countDistinct(col("session_id")).as("n_sessions"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, COUNT(DISTINCT sess) AS n_sessions FROM (
+              SELECT user_id, SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+              FROM (SELECT user_id, ts, event_id,
+                      DATE_DIFF('second', LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+                    FROM events) g) t
+            GROUP BY user_id ORDER BY user_id"""),
+    bench = true)
+
+  private val q27 = QueryDef("q27_wordcount",
+    (s, d) => TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 20),
+    Some("""SELECT word, COUNT(*) AS n FROM (
+              SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
+            WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20"""),
+    bench = true)
+
+  private val q28 = QueryDef("q28_collect",
+    (s, d) => Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .orderBy("lang"),
+    Some("""SELECT lang, LIST(doc_id ORDER BY doc_id) AS ids
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  private val duckCosine =
+    """list_dot_product(a.e, b.e) /
+       (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"""
+
+  private val q29 = QueryDef("q29_knn",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 50), emb, 1)
+        .select("vec_id", "nn_id", "sim")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             s AS (SELECT a.vec_id, b.vec_id AS nn_id, ROUND($duckCosine, 4) AS sim
+                   FROM v a JOIN v b ON a.vec_id < 50 AND b.vec_id <> a.vec_id),
+             r AS (SELECT vec_id, nn_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
+                   FROM s)
+             SELECT vec_id, nn_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    bench = true)
+
+  // ------------------------------------------------------------ dedup [EXT]
+
+  private val d01 = QueryDef("d01_dedup_exact",
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("keep_id"),
+    Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY keep_id"""),
+    bench = true)
+
+  private val d02 = QueryDef("d02_ngram_topk",
+    (s, d) => Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 3, 0.0)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents WHERE doc_id < 100),
+            g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(len(list_intersect(a.sh, b.sh)) /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            ORDER BY jaccard DESC, id_a, id_b LIMIT 20"""))
+
+  private val d03 = QueryDef("d03_minhash_lsh",
+    (s, d) => Dedup.minhashTopPairs(Tables.documents(s, d), "doc_id", "text"),
+    None, bench = true)
+
+  private val d04 = QueryDef("d04_simhash",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFns.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id"),
+    None)
+
+  private val d05 = QueryDef("d05_embed_neardup",
+    (s, d) => Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(10),
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                        FROM embeddings WHERE vec_id < 100)
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($duckCosine, 4) AS sim
+             FROM v a JOIN v b ON a.vec_id < b.vec_id
+             ORDER BY sim DESC, id_a, id_b LIMIT 10"""))
+
+  /** MinHash-LSH candidates verified by exact Jaccard; the oracle computes
+    * the same threshold over ALL pairs, so a hash-match also certifies LSH
+    * recall=1 on this corpus (k=128, b=32, r=4 -> P(miss | j>=0.7) < 1e-3). */
+  private val d06 = QueryDef("d06_minhash_neardup",
+    (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 128, bands = 32, threshold = 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(len(list_intersect(a.sh, b.sh)) /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) /
+                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+            ORDER BY id_a, id_b"""),
+    bench = true)
+
+  // ------------------------------------------------------- similarity [EXT]
+
+  private val x01 = QueryDef("x01_knn5",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 20), emb, 5)
+        .select(col("vec_id"), col("nn_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy("vec_id", "rnk")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             s AS (SELECT a.vec_id, b.vec_id AS nn_id, ROUND($duckCosine, 4) AS sim
+                   FROM v a JOIN v b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+             r AS (SELECT vec_id, nn_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rnk
+                   FROM s)
+             SELECT vec_id, nn_id, sim, CAST(rnk AS INT) AS rnk
+             FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk"""))
+
+  private val x02 = QueryDef("x02_lsh_knn",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshKnn(emb.filter(col("vec_id") < 20), emb, 5)
+        .select(col("vec_id"), col("nn_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy("vec_id", "rnk")
+    },
+    None, bench = true)
+
+  // ------------------------------------------------------------- text [EXT]
+
+  private val t01 = QueryDef("t01_text_stats",
+    (s, d) => TextAnalysis.textStats(Tables.documents(s, d)).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+              ROUND(len(list_distinct(string_split(text, ' '))) /
+                    GREATEST(len(string_split(text, ' ')), 1), 4) AS ttr,
+              CAST(LENGTH(text) AS INT) AS n_chars,
+              ROUND((LENGTH(text) - (len(string_split(text, ' ')) - 1)) /
+                    GREATEST(len(string_split(text, ' ')), 1), 4) AS avg_word_len
+            FROM documents ORDER BY doc_id"""),
+    bench = true)
+
+  private val t02 = QueryDef("t02_lang_dist",
+    (s, d) => Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy("lang"),
+    Some("""SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  private val t03 = QueryDef("t03_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp_md5"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, MD5(LOWER(text)) AS fp_md5
+            FROM documents ORDER BY doc_id"""))
+
+  private val t04 = QueryDef("t04_quality",
+    (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
+    Some("""SELECT doc_id, ROUND(
+              0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+              + 0.3 * (len(list_distinct(string_split(text, ' '))) /
+                       GREATEST(len(string_split(text, ' ')), 1))
+              + 0.3 * (LENGTH(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                       GREATEST(LENGTH(text), 1)), 4) AS quality
+            FROM documents ORDER BY doc_id"""))
+
+  private val t05 = QueryDef("t05_langid",
+    (s, d) => TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id"),
+    None)
+
+  private val t06 = QueryDef("t06_tokens",
+    (s, d) => {
+      import graft.functions.TextFns
+      Tables.documents(s, d).select(col("doc_id"),
+        size(TextFns.words(col("text"))).cast("int").as("n_ws"),
+        TextFns.tokenCount(col("text")).cast("int").as("n_re"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+              CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_re
+            FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- wiring
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
+    q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    d01, d02, d03, d04, d05, d06, x01, x02,
+    t01, t02, t03, t04, t05, t06)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> normalize(o))).toMap
+
+  def benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+
+  /** Collapse the Scala triple-quote indentation into single-line-friendly
+    * SQL (DuckDB doesn't care, but it keeps oracle_sql.json readable). */
+  private def normalize(sql: String): String =
+    sql.linesIterator.map(_.trim).filter(_.nonEmpty).mkString(" ")
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's correctness gate:
+reads the Verify output dir (parquet per query + oracle_sql.json),
+runs each oracle SQL in DuckDB over the same sf dir, and compares
+values with columns sorted by name. NOT part of the engine."""
+import json, sys, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            bad += 1
+            continue
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            bad += 1
+            continue
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(exp.columns)}")
+            bad += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}")
+            bad += 1
+            continue
+        mismatch = None
+        for c in exp.columns:
+            ev, gv = exp[c].tolist(), got[c].tolist()
+            for i, (a, b) in enumerate(zip(ev, gv)):
+                if isinstance(a, float) and isinstance(b, float):
+                    if math.isnan(a) and math.isnan(b):
+                        continue
+                    if a != b:
+                        mismatch = (c, i, a, b)
+                        break
+                elif hasattr(a, "__len__") and not isinstance(a, str):
+                    if list(a) != list(b):
+                        mismatch = (c, i, a, b)
+                        break
+                elif pd.isna(a) and pd.isna(b):
+                    continue
+                elif a != b:
+                    mismatch = (c, i, a, b)
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            c, i, a, b = mismatch
+            print(f"FAIL {name}: col={c} row={i} oracle={a!r} spark={b!r}")
+            bad += 1
+        else:
+            print(f"ok   {name} ({len(exp)} rows)")
+            ok += 1
+    print(f"\n{ok} ok, {bad} fail")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
