@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.GpsSeconds
+
+/** SparkSessionExtensions entry point: registers graft's native Catalyst
+  * functions with the SQL function registry, so `SELECT gps_seconds(ts)`
+  * works in spark.sql as well as the Column API.
+  *
+  * Activate with .config("spark.sql.extensions", "graft.GraftExtensions").
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("gps_seconds"),
+      new ExpressionInfo(classOf[GpsSeconds].getName, "gps_seconds"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GpsSeconds(exprs.head)))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.mwa
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic MWA-shaped synthetic visibility generator (FIXTURES.md B.1).
+  *
+  * Everything is derived from xxhash64 of the row coordinates + a seed, so
+  * the data is identical across executors, runs and cluster sizes — no RNG
+  * state, no driver-side materialization; generation itself distributes
+  * (spark.range cross-joined dimension tables).
+  *
+  * Planted structure:
+  *  - constant "sky" per (baseline, freq, pol) — must vanish under diff W1;
+  *  - Gaussian noise (Box-Muller over two hash-uniforms), sigma = 1;
+  *  - narrowband RFI tone: `rfiAmp` added at one freq for a run of times;
+  *  - broadband streak: `streakAmp` added at every freq of one time.
+  */
+object VisGenerator {
+
+  final case class Spec(
+      obsid: Long = 1234567890L,
+      nTimes: Int = 16,
+      nAnts: Int = 6,
+      nCoarse: Int = 2,
+      nFine: Int = 8,
+      pols: Seq[String] = Seq("XX", "YY"),
+      seed: Long = 42L,
+      noiseSigma: Double = 1.0,
+      skyAmp: Double = 50.0,
+      rfiAmp: Double = 40.0,
+      streakAmp: Double = 60.0,
+      // narrow tone: fine-channel index (global), inclusive time span
+      rfiFreqIdx: Int = 5,
+      rfiTimes: (Int, Int) = (6, 9),
+      streakTime: Int = 12,
+      jd0: Double = 2460000.5,
+      dtDays: Double = 2.0 / 86400.0,
+      freq0Hz: Double = 1.3e8,
+      dfHz: Double = 40000.0)
+
+  /** hash-derived uniform in (0,1): 20 bits of xxhash64. */
+  private def uniform(seed: Long, salt: Int, keys: Column*): Column =
+    (pmod(xxhash64(lit(seed) +: lit(salt) +: keys: _*), lit(1048576L)).cast("double") + 0.5) /
+      lit(1048576.0)
+
+  /** hash-derived standard Gaussian (Box-Muller). */
+  private def gaussian(seed: Long, salt: Int, keys: Column*): Column =
+    sqrt(lit(-2.0) * log(uniform(seed, salt * 2 + 1, keys: _*))) *
+      cos(lit(2.0 * math.Pi) * uniform(seed, salt * 2 + 2, keys: _*))
+
+  /** The visibility fact table, one row per (time, baseline, freq, pol).
+    * Partition-friendly: derived from range cross-joins, so Spark
+    * parallelizes generation over the time axis. */
+  def vis(spark: SparkSession, spec: Spec = Spec()): DataFrame = {
+    val times = spark.range(spec.nTimes).select(
+      col("id").cast("int").as("time_idx"),
+      (lit(spec.jd0) + col("id") * spec.dtDays).as("time_jd"))
+    val ants = spark.range(spec.nAnts).select(col("id").cast("int").as("ant1"))
+    val ants2 = spark.range(spec.nAnts).select(col("id").cast("int").as("ant2"))
+    val baselines = ants.crossJoin(ants2).filter(col("ant1") <= col("ant2"))
+      .withColumn("baseline", col("ant1").cast("long") * 2048 + col("ant2"))
+    val freqs = spark.range(spec.nCoarse.toLong * spec.nFine).select(
+      col("id").cast("int").as("freq_idx"),
+      (col("id") / spec.nFine).cast("int").as("coarse_chan"),
+      (lit(spec.freq0Hz) + col("id") * spec.dfHz).as("freq_hz"))
+    val pols = spark.createDataFrame(spec.pols.map(Tuple1(_))).toDF("pol")
+
+    val grid = times.crossJoin(baselines).crossJoin(freqs).crossJoin(pols)
+    val k = Seq(col("baseline"), col("freq_idx"), col("pol"))
+    val kt = col("time_idx") +: k
+    val sky = uniform(spec.seed, 1, k: _*) * spec.skyAmp
+    val narrow = when(col("freq_idx") === spec.rfiFreqIdx &&
+      col("time_idx").between(spec.rfiTimes._1, spec.rfiTimes._2), spec.rfiAmp)
+      .otherwise(0.0)
+    val streak = when(col("time_idx") === spec.streakTime, spec.streakAmp).otherwise(0.0)
+    grid.select(
+      lit(spec.obsid).as("obsid"),
+      col("time_idx"), col("time_jd"), col("ant1"), col("ant2"), col("baseline"),
+      col("coarse_chan"), col("freq_hz"), col("pol"),
+      (sky + narrow + streak + gaussian(spec.seed, 3, kt: _*) * spec.noiseSigma).as("vis_re"),
+      (sky + narrow + streak + gaussian(spec.seed, 5, kt: _*) * spec.noiseSigma).as("vis_im"),
+      lit(false).as("flag"),
+      lit(1.0).as("nsample"))
+  }
+
+  /** Coarse-channel dimension matching the generated freq axis
+    * (schema: `utils.py:136-142`). */
+  def channels(spark: SparkSession, spec: Spec = Spec()): DataFrame =
+    spark.range(spec.nCoarse).select(
+      lit(spec.obsid).as("obsid"),
+      (col("id") + 1).cast("int").as("gpubox_number"),
+      col("id").cast("int").as("rec_chan_number"),
+      (lit(spec.freq0Hz) + col("id") * (spec.nFine * spec.dfHz)).as("chan_start_hz"),
+      (lit(spec.freq0Hz) + col("id") * (spec.nFine * spec.dfHz) +
+        spec.nFine * spec.dfHz / 2).as("chan_centre_hz"),
+      (lit(spec.freq0Hz) + (col("id") + 1) * (spec.nFine * spec.dfHz)).as("chan_end_hz"))
+
+  /** Antenna dimension (schema: `utils.py:150-168`); antenna nAnts-1 is
+    * flagged so remove_flagged_ants (F6) has something to remove. */
+  def antennas(spark: SparkSession, spec: Spec = Spec()): DataFrame =
+    spark.range(spec.nAnts).select(
+      lit(spec.obsid).as("obsid"),
+      col("id").cast("int").as("ant"),
+      (col("id") + 11).cast("int").as("tile_id"),
+      concat(lit("Tile"), format_string("%03d", col("id"))).as("tile_name"),
+      (col("id") * 10.0 + 100.0).as("electrical_length_m"),
+      (col("id") * 3.0).as("east_m"),
+      (col("id") * -2.0).as("north_m"),
+      lit(377.0).as("height_m"),
+      (col("id") === spec.nAnts - 1).as("flagged"),
+      (col("id") % 8 + 1).cast("int").as("rec_number"),
+      lit("RG6_90").as("flavour"),
+      (col("id") % 2 === 0).as("has_whitening_filter"),
+      lit("RRI").as("rec_type"))
+}

@@ -526,6 +526,113 @@ object Catalog {
               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_re
             FROM documents ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------- mwa domain
+
+  private val mwaPaths = Seq(
+    "/data/1234567890_20230101000000_gpubox01_00.fits",
+    "/data/1234567890_20230101000000_gpubox02_00.fits",
+    "/data/1234567890.metafits",
+    "/data/1234567891_20230101000100_ch133_00.fits",
+    "/data/1234567891.metafits")
+
+  private val mwa01 = QueryDef("mwa01_manifest",
+    (s, d) => graft.mwa.Manifest.groupByExtension(
+      graft.mwa.Manifest.fromPaths(s, mwaPaths)).orderBy("ext"),
+    None)
+
+  private val mwa02 = QueryDef("mwa02_validation",
+    (s, d) => graft.mwa.Validation.validateFileSet(s,
+      graft.mwa.Manifest.fromPaths(s, Seq(
+        "/d/111_gpubox01.fits", "/d/222_gpubox01.fits", "/d/222.metafits",
+        "/d/x.unknownext", "/d/a.uvfits", "/d/b.uvh5")),
+      graft.mwa.GraftConfig(selAnts = Seq(1), skipAnts = Seq(2)))
+      .orderBy("code"),
+    None)
+
+  private val mwa03 = QueryDef("mwa03_ins_spectrum",
+    (s, d) => {
+      import graft.mwa._
+      val cfg = GraftConfig(removeFlaggedAnts = false)
+      VisOps.spectrum(VisGenerator.vis(s), cfg)
+        .select(col("time_idx"), col("freq_hz"), col("pol"),
+          round(col("metric"), 4).as("metric"), col("nsamples"),
+          round(col("z"), 4).as("z"))
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    None, bench = true)
+
+  private val mwa04 = QueryDef("mwa04_mf_flags",
+    (s, d) => {
+      import graft.mwa._
+      val cfg = GraftConfig(removeFlaggedAnts = false)
+      val insDf = VisOps.ins(VisOps.diff(VisOps.selectSurface(VisGenerator.vis(s), cfg)))
+      MatchFilter(insDf, cfg).filter(col("flagged"))
+        .select("time_idx", "freq_hz", "pol", "event")
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    None)
+
+  private val mwa05 = QueryDef("mwa05_observations",
+    (s, d) => graft.mwa.Manifest.observations(
+      graft.mwa.Manifest.fromPaths(s, mwaPaths)).orderBy("obsid"),
+    None)
+
+  // ------------------------------------------------- time display (C10/GPS)
+
+  private val e01 = QueryDef("e01_time_display",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS").as("iso"),
+      // no ROUND on these: both engines evaluate the identical IEEE-double
+      // expression in the same operation order, so raw bits match exactly —
+      // while ROUND(x, 6) on 16-significant-digit values actually
+      // INTRODUCES engine-dependent ulp-boundary differences
+      col("ts").cast("timestamp").cast("double").as("unix"),
+      (col("ts").cast("timestamp").cast("double") / lit(86400.0) +
+        lit(2440587.5)).as("jd"),
+      graft.functions.GpsTime.gps_seconds(col("ts")).as("gps"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso,
+              epoch_us(ts)/1000000.0 AS unix,
+              epoch_us(ts)/1000000.0/86400.0 + 2440587.5 AS jd,
+              epoch_us(ts)/1000000.0 - 315964800 + 18 AS gps
+            FROM events ORDER BY event_id"""))
+
+  // ---------------------------------------------------------- streaming [EXT]
+
+  /** REAL Structured Streaming executions (memory sink, run to completion
+    * over the finite file source) whose results the batch oracle certifies
+    * — batch/stream parity as the correctness contract. */
+  private val s01 = QueryDef("s01_stream_hourly",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s, hourlyCounts(eventsStream(s, d)))
+        .select(col("w").cast("timestamp_ntz").as("w"), col("event_type"),
+          col("n"), col("sv"))
+        .orderBy("w", "event_type")
+    },
+    Some("""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, event_type,
+              COUNT(*) AS n,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+            FROM events GROUP BY w, event_type ORDER BY w, event_type"""))
+
+  private val s02 = QueryDef("s02_stream_sessions",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s, userSessions(eventsStream(s, d)))
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, COUNT(DISTINCT sess) AS n_sessions FROM (
+              SELECT user_id, SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+              FROM (SELECT user_id, ts, event_id,
+                      DATE_DIFF('second', LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+                    FROM events) g) t
+            GROUP BY user_id ORDER BY user_id"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -533,7 +640,9 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, x01, x02,
-    t01, t02, t03, t04, t05, t06)
+    t01, t02, t03, t04, t05, t06,
+    mwa01, mwa02, mwa03, mwa04, mwa05,
+    e01, s01, s02)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface over the `events` schema (SURVEY §2.10):
+  * tumbling/sliding/session windows, watermarked dedup. Each streaming
+  * query also exists in batch form (q24/q26 in the catalog) so the DuckDB
+  * oracle can certify the streaming results — batch/stream parity is the
+  * correctness contract.
+  */
+object EventStreams {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** File-source stream over the sf-dir events parquet. The raw ts column
+    * is nanosecond (read as long via nanosAsLong, exactly like
+    * Tables.events) and rebuilt into a microsecond TIMESTAMP — streaming
+    * time semantics (watermarks, windows) need a real timestamp type. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source needs a directory: stream the sf dir filtered
+    // down to the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling hourly aggregation — the streaming twin of q24_hourly. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sv"))
+      .select(col("win.start").as("w"), col("event_type"), col("n"), col("sv"))
+
+  /** Session windows per user (30-minute gap) — streaming twin of
+    * q26_sessionize (session counts per user). */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Watermarked streaming dedup on (user_id, event_type). */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Run a streaming transform to completion against the (finite) file
+    * source via a memory sink, returning the final result table. This is
+    * how the batch-parity queries execute a REAL streaming query inside
+    * the Verify harness. */
+  def runToBatch(spark: SparkSession, streamed: DataFrame,
+                 outputMode: String = "complete"): DataFrame = {
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = streamed.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.mwa
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the MWA chain: diff (W1), INS (G6), z-score (W2) and
+  * the match filter (§2.8), against generator-planted RFI. */
+class MwaPipelineSpec extends SparkSpec {
+
+  private val spec = VisGenerator.Spec(nTimes = 16, nAnts = 6, nCoarse = 2,
+    nFine = 8, pols = Seq("XX", "YY"))
+
+  test("diff cancels the constant sky exactly (noiseless, no RFI)") {
+    val clean = spec.copy(noiseSigma = 0.0, rfiAmp = 0.0, streakAmp = 0.0)
+    val d = VisOps.diff(VisGenerator.vis(spark, clean))
+    val mx = d.agg(max(abs(col("vis_re"))), max(abs(col("vis_im")))).head
+    assert(mx.getDouble(0) == 0.0 && mx.getDouble(1) == 0.0)
+  }
+
+  test("diff drops the last time of each series") {
+    val d = VisOps.diff(VisGenerator.vis(spark, spec))
+    assert(d.agg(countDistinct(col("time_idx"))).head.getLong(0) == spec.nTimes - 1)
+    // per-series row count = nTimes - 1
+    val counts = d.groupBy("ant1", "ant2", "freq_hz", "pol").count()
+      .select("count").distinct().collect().map(_.getLong(0))
+    assert(counts.toSeq == Seq(spec.nTimes - 1L))
+  }
+
+  test("INS reduces to (time, freq, pol) cells with baseline counts") {
+    val cfg = GraftConfig(spectrumType = SpectrumType.Cross, removeFlaggedAnts = false)
+    val insDf = VisOps.ins(VisOps.diff(VisOps.selectSurface(
+      VisGenerator.vis(spark, spec), cfg)))
+    val nCells = insDf.count()
+    assert(nCells == (spec.nTimes - 1).toLong * spec.nCoarse * spec.nFine * spec.pols.size)
+    // cross baselines of 6 ants = 15, nsample 1.0 each after diff-average
+    val ns = insDf.select("nsamples").distinct().collect().map(_.getDouble(0))
+    assert(ns.toSeq == Seq(15.0))
+  }
+
+  test("match filter flags exactly the planted RFI (tone edges + streak)") {
+    val cfg = GraftConfig(spectrumType = SpectrumType.Cross, removeFlaggedAnts = false)
+    val insDf = VisOps.ins(VisOps.diff(VisOps.selectSurface(
+      VisGenerator.vis(spark, spec), cfg)))
+    val flags = MatchFilter(insDf, cfg)
+    val flagged = flags.filter(col("flagged"))
+      .select("time_idx", "freq_hz", "pol", "event").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2), r.getString(3)))
+
+    val freqs = (0 until spec.nCoarse * spec.nFine)
+      .map(i => spec.freq0Hz + i * spec.dfHz)
+    val toneF = freqs(spec.rfiFreqIdx)
+    // diff timeline: tone at source times [6,9] -> spikes at diff rows 5 and 9;
+    // streak at source time 12 -> whole-band spikes at diff rows 11 and 12
+    val expected = (for {
+      pol <- spec.pols
+      cell <- Seq((5, toneF, pol), (9, toneF, pol)) ++
+        (for (t <- Seq(11, 12); f <- freqs) yield (t, f, pol))
+    } yield cell).toSet
+    assert(flagged.map(c => (c._1, c._2, c._3)).toSet == expected)
+    // tone interior (diff rows 6-8) cancels and must stay unflagged
+    assert(!flagged.exists(c => c._1 >= 6 && c._1 <= 8 && c._2 == toneF))
+    // streak rows flagged by the streak shape, not narrow
+    assert(flagged.filter(_._1 == 11).forall(_._4 == "streak"))
+  }
+
+  test("select surface: cross/auto/pol/freq/ant filters") {
+    val vis = VisGenerator.vis(spark, spec)
+    val ants = VisGenerator.antennas(spark, spec)
+    assert(VisOps.selectSurface(vis, GraftConfig(spectrumType = SpectrumType.Auto,
+      removeFlaggedAnts = false))
+      .filter(col("ant1") =!= col("ant2")).count() == 0)
+    assert(VisOps.selectSurface(vis, GraftConfig(selPols = Seq("XX"),
+      spectrumType = SpectrumType.All, removeFlaggedAnts = false))
+      .select("pol").distinct().count() == 1)
+    // remove_flagged_ants drops baselines touching the flagged antenna (5)
+    val noFlagged = VisOps.selectSurface(vis, GraftConfig(
+      spectrumType = SpectrumType.All), Some(ants))
+    assert(noFlagged.filter(col("ant1") === 5 || col("ant2") === 5).count() == 0)
+    // sel_ants keeps only baselines fully inside the list
+    val sel = VisOps.selectSurface(vis, GraftConfig(selAnts = Seq(0, 1, 2),
+      spectrumType = SpectrumType.All, removeFlaggedAnts = false))
+    assert(sel.filter(col("ant1") > 2 || col("ant2") > 2).count() == 0)
+    // freq_range F4
+    val fr = VisOps.selectSurface(vis, GraftConfig(
+      freqRange = Some((spec.freq0Hz, spec.freq0Hz + 3 * spec.dfHz)),
+      spectrumType = SpectrumType.All, removeFlaggedAnts = false))
+    assert(fr.select("freq_hz").distinct().count() == 4)
+    // time_limit F5
+    val tl = VisOps.selectSurface(vis, GraftConfig(timeLimit = Some(4),
+      spectrumType = SpectrumType.All, removeFlaggedAnts = false))
+    assert(tl.agg(max(col("time_idx"))).head.getInt(0) == 3)
+  }
+
+  test("batch-count formula parity (utils.py:20-47)") {
+    assert(Model.computeOptimalBatches(1, availMemGb = 16) == 1)
+    assert(Model.computeOptimalBatches(2, availMemGb = 16) == 1)
+    assert(Model.computeOptimalBatches(3, availMemGb = 16) == 2) // 21//16=1 *2
+    assert(Model.computeOptimalBatches(10, availMemGb = 16) == 8) // 70//16=4 *2
+    intercept[IllegalArgumentException](Model.computeOptimalBatches(0, availMemGb = 16))
+  }
+
+  test("derived suffix parity (configurators.py:125-134)") {
+    assert(GraftConfig().derivedSuffix == ".diff.cross")
+    assert(GraftConfig(spectrumType = SpectrumType.All).derivedSuffix == ".diff")
+    assert(GraftConfig(diff = false).derivedSuffix == ".cross")
+    assert(GraftConfig(selAnts = Seq(7)).derivedSuffix == ".diff.cross.7")
+    assert(GraftConfig(skipAnts = Seq(3)).derivedSuffix == ".diff.cross.no3")
+    assert(GraftConfig(selPols = Seq("XX")).derivedSuffix == ".diff.cross.XX")
+    assert(GraftConfig(suffix = ".x").derivedSuffix == ".diff.x")
+  }
+}

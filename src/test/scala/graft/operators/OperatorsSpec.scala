@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFns, VectorFns}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Unit tests for the generic relational / dedup / similarity operators. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (2L, "A", ts("2024-01-01 10:05:00")),
+      (3L, "B", ts("2024-01-01 10:01:00")),
+      (4L, "B", ts("2024-01-01 09:00:00"))
+    ).toDF("id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 09:59:00"), 10.0),
+      ("A", ts("2024-01-01 10:00:00"), 11.0), // tie with trade 1 -> included
+      ("A", ts("2024-01-01 10:04:00"), 12.0),
+      ("B", ts("2024-01-01 10:00:00"), 20.0)
+    ).toDF("sym", "t", "px")
+    val r = RelationalOps.asOfJoin(trades, quotes, "sym", "t", "t",
+      Seq("px" -> "last_px"))
+      .select("id", "last_px").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(r(1L) == 11.0) // tie included
+    assert(r(2L) == 12.0)
+    assert(r(3L) == 20.0)
+    assert(r(4L).isNaN)   // no quote before 09:00
+  }
+
+  test("rangeJoinBucketed equals the naive theta join") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:04:00")),
+      (3L, 7L, ts("2024-01-01 10:09:59")),
+      (4L, 7L, ts("2024-01-01 10:10:01")),
+      (5L, 8L, ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val left = ev.select($"event_id", $"user_id", $"ts")
+    val right = ev.select($"user_id", $"ts".as("ts2"))
+    val bucketed = RelationalOps.rangeJoinBucketed(left, right, "user_id", "ts", "ts2", 600L)
+      .select("event_id", "ts2").collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val naive = left.join(right, left("user_id") === right("user_id") &&
+        $"ts2" > $"ts" && $"ts2" <= $"ts" + expr("INTERVAL 600 SECONDS"))
+      .select("event_id", "ts2").collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(bucketed == naive)
+    // event 1 sees 10:04 and 10:09:59 (<=10min) but NOT 10:10:01
+    assert(bucketed.count(_._1 == 1L) == 2)
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 10:00:00")),
+      (7L, ts("2024-01-01 10:10:00")),
+      (7L, ts("2024-01-01 11:10:00")), // 1h gap -> new session
+      (8L, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val s = RelationalOps.sessionize(ev, "user_id", "ts", 1800L)
+    val bySess = s.groupBy("user_id").agg(max("session_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySess(7L) == 2L && bySess(8L) == 1L)
+  }
+
+  test("dedupFirst keeps the deterministic survivor") {
+    val df = Seq((1L, "x", 3.0), (2L, "x", 1.0), (3L, "y", 2.0))
+      .toDF("id", "k", "v")
+    val kept = RelationalOps.dedupFirst(df, Seq(col("k")), Seq(col("v"), col("id")))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // min v per key
+  }
+
+  test("minhash estimate approximates exact jaccard") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"), // near-dup of 1
+      (3L, "z y x w v u t s r q p o n m l k")
+    ).toDF("doc_id", "text")
+    val withSig = docs.select(col("doc_id"),
+      TextFns.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("sig", TextFns.minhashSignature(col("sh"), 256))
+    val pairs = withSig.as("a").join(withSig.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        TextFns.jaccard(col("a.sh"), col("b.sh")).as("exact"),
+        TextFns.minhashEstimate(col("a.sig"), col("b.sig")).as("est"))
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.15,
+        s"pair ${r.getLong(0)}-${r.getLong(1)}: exact=${r.getDouble(2)} est=${r.getDouble(3)}")
+    }
+  }
+
+  test("minhashLsh finds a planted near-duplicate") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"), // ~0.93 trigram jaccard
+      (3L, (100 to 140).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "completely different words here"))
+      .toDF("id", "text")
+      .select(col("id"), TextFns.simhash64(col("text")).as("s"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("cosine kNN: orthogonal vs identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceKnn(vecs, vecs, 1)
+      .select("vec_id", "nn_id", "sim").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(r(1L) == (3L, 1.0)) // parallel vector wins with sim 1.0
+    assert(r(3L) == (1L, 1.0))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq((1L, "the cat is on the mat and it is happy"),
+      (2L, "el gato es un animal y no es feo"))
+      .toDF("id", "text")
+    val r = TextAnalysis.languageId(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "es")
+  }
+
+  test("VectorFns.l2sq and norm") {
+    val df = Seq((Array(3.0f, 4.0f), Array(0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(VectorFns.norm(col("a")), VectorFns.l2sq(col("a"), col("b"))).head
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 25.0)
+  }
+}
