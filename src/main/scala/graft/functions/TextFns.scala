@@ -59,18 +59,12 @@ object TextFns {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** MinHash signature of length k over a shingle array. Permutation j is
-    * simulated by folding j into the hash input (xxhash64 over (j, s)).
-    * Single pass over the shingles (k running minima), deterministic,
-    * shuffle-free. Empty shingle set => all-Long.MaxValue signature. */
+  /** MinHash signature of length k over a shingle array — native Catalyst
+    * expression (ArrayExprs.MinHashSig): one XxHash64 per shingle plus k
+    * linear permutations, in a compiled loop. Deterministic, shuffle-free.
+    * Empty shingle set => all-Long.MaxValue signature. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    bind(shingles) { sh =>
-      aggregate(
-        sh,
-        array_repeat(lit(Long.MaxValue), k),
-        (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-          (m, j) => least(m, xxhash64(j, s))))
-    }
+    ArrayExprs.minhash_signature(shingles, k)
 
   /** Estimated Jaccard = fraction of agreeing MinHash components. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =

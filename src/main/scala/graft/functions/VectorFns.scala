@@ -14,12 +14,11 @@ import org.apache.spark.sql.functions._
   * deterministic and identical to DuckDB's list_dot_product.
   */
 object VectorFns {
-  /** Elementwise dot product with double accumulation. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Elementwise dot product with double accumulation — a native Catalyst
+    * expression (ArrayExprs.VectorDot): same left-to-right arithmetic as
+    * the zip_with+aggregate formulation and DuckDB's list_dot_product, but
+    * a compiled loop instead of interpreted per-element lambdas. */
+  def dot(a: Column, b: Column): Column = ArrayExprs.vector_dot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 

@@ -577,6 +577,24 @@ object Catalog {
       graft.mwa.Manifest.fromPaths(s, mwaPaths)).orderBy("obsid"),
     None)
 
+  // --------------------------------------------------------- multimodal [EXT]
+
+  private val m01 = QueryDef("m01_multimodal_stats",
+    (s, d) => graft.multimodal.Multimodal.modalityStats(
+      graft.multimodal.Multimodal.generate(s, 200)).orderBy("modality"),
+    None)
+
+  private val m02 = QueryDef("m02_media_features",
+    (s, d) => {
+      import graft.multimodal.Multimodal._
+      extractFeatures(generate(s, 100), dim = 8).toDF()
+        .select(col("media_id"), col("modality"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("feature"), 8).cast("double"), 4).as("f7"))
+        .orderBy("media_id")
+    },
+    None)
+
   // ------------------------------------------------- time display (C10/GPS)
 
   private val e01 = QueryDef("e01_time_display",
@@ -642,7 +660,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, x01, x02,
     t01, t02, t03, t04, t05, t06,
     mwa01, mwa02, mwa03, mwa04, mwa05,
-    e01, s01, s02)
+    m01, m02, e01, s01, s02)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
