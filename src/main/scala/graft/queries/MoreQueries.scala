@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Catalog.QueryDef
+
+/** Extended relational coverage: grouping sets, pivot, subqueries through
+  * the SQL front-end, array/string/date scalar suites, range-frame and
+  * ranking windows, multi-way set ops, approximate distinct. */
+object MoreQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private val q30 = QueryDef("q30_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"), col("n"))
+      .orderBy("pri", "st"),
+    Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+              COALESCE(o_orderstatus, 'ALL') AS st, COUNT(*) AS n
+            FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+            ORDER BY pri, st"""))
+
+  private val q31 = QueryDef("q31_pivot",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(dec(col("l_quantity"))), 2).cast("double"))
+      .orderBy("l_linestatus"),
+    Some("""SELECT l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'A'), 2) AS DOUBLE) AS A,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'N'), 2) AS DOUBLE) AS N,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'R'), 2) AS DOUBLE) AS R
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** Correlated EXISTS through the SQL front-end (subquery decorrelation is
+    * Catalyst's job — the engine exposes spark.sql as a first-class API). */
+  private val q32 = QueryDef("q32_exists",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 400000)
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+            ORDER BY c_custkey"""))
+
+  private val q33 = QueryDef("q33_scalar_subquery",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT COUNT(*) AS n FROM orders
+               WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""")
+    },
+    Some("""SELECT COUNT(*) AS n FROM orders
+            WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)"""))
+
+  private val q34 = QueryDef("q34_array_ops",
+    (s, d) => {
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(aggregate(slice(ed, 1, 8), lit(0.0), (a, v) => a + v), 4).as("s8"),
+        round(array_max(ed), 4).as("mx"),
+        round(array_min(ed), 4).as("mn"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+            SELECT vec_id, ROUND(list_sum(ed[1:8]), 4) AS s8,
+              ROUND(list_max(ed), 4) AS mx, ROUND(list_min(ed), 4) AS mn
+            FROM e ORDER BY vec_id"""))
+
+  private val q35 = QueryDef("q35_string_suite",
+    (s, d) => Tables.customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("up"),
+      length(col("c_name")).cast("int").as("len"),
+      substring(col("c_name"), 1, 8).as("sub"),
+      reverse(col("c_name")).as("rev"),
+      regexp_replace(col("c_name"), "Customer", "Cust").as("rep"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, UPPER(c_name) AS up,
+              CAST(LENGTH(c_name) AS INT) AS len,
+              SUBSTRING(c_name, 1, 8) AS sub, REVERSE(c_name) AS rev,
+              REPLACE(c_name, 'Customer', 'Cust') AS rep
+            FROM customer ORDER BY c_custkey"""))
+
+  private val q36 = QueryDef("q36_date_suite",
+    (s, d) => Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dd"),
+      datediff(col("o_orderdate"), lit("2024-01-01")).as("days_from"),
+      expr("o_orderdate + INTERVAL 30 DAY").as("ts30"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              CAST(YEAR(o_orderdate) AS INT) AS y,
+              CAST(MONTH(o_orderdate) AS INT) AS m,
+              CAST(DAY(o_orderdate) AS INT) AS dd,
+              CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_from,
+              CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS ts30
+            FROM orders ORDER BY o_orderkey"""))
+
+  private val q37 = QueryDef("q37_approx_distinct",
+    (s, d) => Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts")),
+    None) // HLL estimates are engine-specific; exactness tested by q12
+
+  private val q38 = QueryDef("q38_window_range",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rangeBetween(-5, 0)
+      Tables.orders(s, d).select(col("o_orderkey"),
+        round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double").as("rsum"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderkey
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rsum
+            FROM orders ORDER BY o_orderkey"""))
+
+  private val q39 = QueryDef("q39_rank_family",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(col("event_id"),
+        ntile(4).over(w).as("nt"),
+        first(col("event_id")).over(w).as("fv"),
+        lead(col("event_id"), 1).over(w).as("nxt"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+              CAST(NTILE(4) OVER w AS INT) AS nt,
+              FIRST_VALUE(event_id) OVER w AS fv,
+              LEAD(event_id, 1) OVER w AS nxt
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id"""))
+
+  private val q40 = QueryDef("q40_union_all",
+    (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey")))
+      .union(Tables.nation(s, d).select(col("n_nationkey")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k"),
+    Some("""SELECT k, COUNT(*) AS n FROM (
+              SELECT c_nationkey AS k FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier
+              UNION ALL SELECT n_nationkey FROM nation) t
+            GROUP BY k ORDER BY k"""))
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+}
