@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.mwa.{FitsProcessor, GraftConfig, VisGenerator, VisOps, VisStore}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+object StreamingSpec {
+  final case class E(user_id: Long, event_id: Long)
+  final case class Out(user_id: Long, total: Long)
+}
+
+/** Structured Streaming behaviors: tumbling/session parity (also oracle-
+  * checked via s01/s02), watermarked dedup, and arbitrary stateful
+  * processing with flatMapGroupsWithState. */
+class StreamingSpec extends SparkSpec {
+  import StreamingSpec._
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly tumbling equals the batch aggregation") {
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.hourlyCounts(EventStreams.eventsStream(spark, dir)))
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    val s = streamed.select(col("w").cast("timestamp_ntz"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+    val b = batch.collect().map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+    assert(s == b)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups (user_id, event_type)") {
+    val out = EventStreams.runToBatch(spark,
+      EventStreams.dedupedStream(EventStreams.eventsStream(spark, dir)),
+      outputMode = "append")
+    val distinctPairs = graft.Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct().count()
+    assert(out.count() == distinctPairs)
+  }
+
+  test("flatMapGroupsWithState: per-user running event counter") {
+    // stateful streaming: count events per user, emitting cumulative counts
+    val events = EventStreams.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id")).as[E]
+    val counted = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[E], state: GroupState[Long]) => {
+          val prev = state.getOption.getOrElse(0L)
+          val total = prev + it.size
+          state.update(total)
+          Iterator(Out(uid, total))
+        })
+    val out = EventStreams.runToBatch(spark, counted.toDF(), outputMode = "update")
+    val expected = graft.Tables.events(spark, dir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // last update per user equals the batch count
+    val got = out.groupBy("user_id").agg(max("total").as("total")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("processor registry + metadata-only pass + batch plan") {
+    val tmp = Files.createTempDirectory("graft_proc").toString
+    val spec = VisGenerator.Spec(nTimes = 12, nAnts = 4, nCoarse = 2, nFine = 4)
+    VisStore.write(VisGenerator.vis(spark, spec), tmp)
+    val proc = graft.mwa.Processors.forExtensions(Set("fits", "metafits"))
+    assert(proc.contains(FitsProcessor))
+    val vis = proc.get.read(spark, graft.mwa.Manifest.fromPaths(spark, Nil), tmp)
+    val times = FitsProcessor.possibleTimes(vis).collect()
+    assert(times.length == spec.nTimes)
+    assert(times.map(_.getInt(0)).toSeq == (0 until spec.nTimes))
+    // 10 GB / 16 GB avail -> 7*10//16*2 = 8 planned batches; step = 12//8
+    // = 1, so the slice loop yields 12 slices — the reference's own
+    // range(0, len, step) overshoot semantics (processors.py:169-172)
+    val plan = FitsProcessor.batchPlan(vis, sizeGb = 10, availMemGb = 16)
+    assert(plan.select("batch").distinct().count() == 12)
+    // 1 GB -> single batch
+    val one = FitsProcessor.batchPlan(vis, sizeGb = 1, availMemGb = 16)
+    assert(one.select("batch").distinct().count() == 1)
+  }
+}
