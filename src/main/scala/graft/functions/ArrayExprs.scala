@@ -59,8 +59,35 @@ object ArrayExprs {
     new GenericArrayData(sig)
   }
 
+  /** Random-hyperplane LSH signature: bit p of the result is the sign of
+    * the projection of `arr` onto pseudo-random hyperplane p, whose weight
+    * for dimension i is a hash of (p, i) mapped into [-1, 1]. Deterministic
+    * with no broadcast state. Compiled loop, O(nPlanes * dim). */
+  def lshBucketCompute(arr: ArrayData, nPlanes: Int, isFloat: Boolean): Long = {
+    val n = arr.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        // hash (p, i) -> weight in [-1, 1]
+        val h = XXH64.hashLong(p.toLong << 32 | i.toLong, 42L)
+        proj += x * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   def vector_dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  def lsh_bucket(vec: Column, nPlanes: Int): Column =
+    Bridge.column(LshBucket(Bridge.expression(vec), nPlanes))
 
   def minhash_signature(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))
@@ -88,6 +115,24 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       s"graft.functions.ArrayExprs.dotCompute($a, $b, $fa, $fb)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
     copy(left = l, right = r)
+}
+
+case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires array<float|double>, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.lshBucketCompute(v.asInstanceOf[ArrayData], nPlanes, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayExprs.lshBucketCompute($c, $nPlanes, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
 }
 
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {

@@ -41,21 +41,10 @@ object VectorFns {
 
   /** Random-hyperplane LSH bucket id: sign bits of `nPlanes` pseudo-random
     * hyperplane dot products. The "hyperplanes" are deterministic per
-    * (plane, dimension) via xxhash64 mapped to [-1, 1] — fully reproducible
+    * (plane, dimension) via a hash mapped to [-1, 1] — fully reproducible
     * across the cluster with no broadcast state. Used to bucket vectors so
     * ANN probes only compare within a bucket (the 100 TB scale path).
-    */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      // pseudo-random weight for (plane p, dim i): xxhash64 -> [-1,1]
-      val weighted = zip_with(
-        vec,
-        sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") *
-          (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble)))
-      val proj = aggregate(weighted, lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * Native Catalyst expression (ArrayExprs.LshBucket, compiled loop). */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    ArrayExprs.lsh_bucket(vec, nPlanes)
 }

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-quality gates: these assertions pin the physical-plan properties
+  * that make the catalog queries scale — predicate pushdown to the parquet
+  * scan, column pruning, broadcast joins for dimensions. A regression that
+  * silently turns a broadcast join into a cross join, or lifts a filter
+  * off the scan, fails here long before it would show up as a 100 TB
+  * incident. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Catalog.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed to the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters"))
+    // (the toString truncates the filter list, so match the prefix)
+    assert(p.contains("GreaterThan(l_quantity"))
+    assert(p.contains("PushedFilters: [IsNotNull"))
+  }
+
+  test("q02: scan reads only the referenced columns") {
+    val p = plan("q02_filter")
+    // ReadSchema must not include untouched wide columns
+    assert(!p.contains("l_comment") && !p.contains("l_shipinstruct"))
+    assert(p.contains("l_orderkey") && p.contains("l_linenumber"))
+  }
+
+  test("q04/q05: dimension joins broadcast") {
+    assert(plan("q04_join_agg").contains("BroadcastHashJoin"))
+    val p5 = plan("q05_multijoin")
+    assert(p5.contains("BroadcastHashJoin"))
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q09: bucketed range join is an equi hash join, not a nested loop") {
+    val p = plan("q09_rangejoin")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q22: array query prunes to the two referenced columns") {
+    val p = plan("q22_array")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>"))
+    assert(!p.contains("label"))
+  }
+
+  test("q17: global top-k is TakeOrderedAndProject, not a full sort") {
+    assert(plan("q17_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q11: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q11_tpch1")
+    assert(p.contains("partial_"))
+  }
+
+  test("d06: LSH candidate generation joins on equi keys") {
+    val p = plan("d06_minhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
