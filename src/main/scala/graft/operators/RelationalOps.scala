@@ -89,6 +89,25 @@ object RelationalOps {
       .drop("__lb")
   }
 
+  /** Skew-mitigating equi join: the left (large, skewed) side gets a
+    * random-free deterministic salt derived from a high-cardinality column,
+    * the right side is exploded across all salt values, and the join runs
+    * on (key, salt) — splitting a hot key's rows across `salts` reducers.
+    *
+    * AQE's skew-join splitting handles moderate skew automatically; salting
+    * is the explicit tool for pathological keys (a single key holding >1
+    * partition's worth of rows) or for non-AQE contexts. Deterministic
+    * salting (hash of `saltFrom`, not rand()) keeps retries/speculative
+    * tasks consistent.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int, saltFrom: Column,
+                 joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts)))
+    val r = right.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Gaps-and-islands sessionization: a new session starts when the gap to
     * the previous event (per key) exceeds `gapSeconds`. Adds `session_id`
     * (1-based per key). Single shuffle on the key. */

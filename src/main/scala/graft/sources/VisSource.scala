@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.mwa.VisGenerator.Spec
+
+/** DataSource V2 for the synthetic visibility table: `format("graft-vis")`.
+  *
+  * This is the SURVEY §2.1 S2 Phase-2 shape: a custom TableProvider whose
+  * Batch plans ONE InputPartition PER (coarse_chan, time-slice) — exactly
+  * the two axes the reference's batched reader splits work by
+  * (`processors.py:166-172`, gpubox files × time batches) — so a real
+  * correlator-format reader drops in by replacing the row kernel with a
+  * file decoder, keeping the planning identical. Implements
+  * SupportsPushDownRequiredColumns, so narrow projections (e.g. the
+  * metadata-only time scan, S3) never materialize payload columns.
+  *
+  * Values are bit-identical to VisGenerator.vis: VisKernel reproduces the
+  * Catalyst xxhash64 seed chain of the column-expression generator.
+  */
+class VisSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-vis"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VisSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new VisTable(VisSource.specFrom(new CaseInsensitiveStringMap(properties)))
+}
+
+object VisSource {
+  val schema: StructType = StructType(Seq(
+    StructField("obsid", LongType, nullable = false),
+    StructField("time_idx", IntegerType, nullable = false),
+    StructField("time_jd", DoubleType, nullable = false),
+    StructField("ant1", IntegerType, nullable = false),
+    StructField("ant2", IntegerType, nullable = false),
+    StructField("baseline", LongType, nullable = false),
+    StructField("coarse_chan", IntegerType, nullable = false),
+    StructField("freq_hz", DoubleType, nullable = false),
+    StructField("pol", StringType, nullable = false),
+    StructField("vis_re", DoubleType, nullable = false),
+    StructField("vis_im", DoubleType, nullable = false),
+    StructField("flag", BooleanType, nullable = false),
+    StructField("nsample", DoubleType, nullable = false)))
+
+  def specFrom(o: CaseInsensitiveStringMap): Spec = Spec(
+    obsid = o.getLong("obsid", Spec().obsid),
+    nTimes = o.getInt("ntimes", Spec().nTimes),
+    nAnts = o.getInt("nants", Spec().nAnts),
+    nCoarse = o.getInt("ncoarse", Spec().nCoarse),
+    nFine = o.getInt("nfine", Spec().nFine),
+    seed = o.getLong("seed", Spec().seed),
+    noiseSigma = o.getDouble("noisesigma", Spec().noiseSigma))
+
+  def timeSlice(o: CaseInsensitiveStringMap): Int = o.getInt("timeslice", 4)
+}
+
+class VisTable(spec: Spec) extends Table with SupportsRead {
+  override def name(): String = s"graft_vis_${spec.obsid}"
+  override def schema(): StructType = VisSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VisScanBuilder(VisSource.specFrom(options), VisSource.timeSlice(options))
+}
+
+class VisScanBuilder(spec: Spec, slice: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = VisSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new VisScan(spec, slice, required)
+}
+
+class VisScan(spec: Spec, slice: Int, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    (for {
+      chan <- 0 until spec.nCoarse
+      t0 <- 0 until spec.nTimes by slice
+    } yield VisPartition(chan, t0, math.min(t0 + slice, spec.nTimes))
+      : InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VisReaderFactory(spec, required)
+}
+
+case class VisPartition(coarseChan: Int, timeStart: Int, timeEnd: Int)
+    extends InputPartition
+
+class VisReaderFactory(spec: Spec, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VisPartitionReader(partition.asInstanceOf[VisPartition], spec, required)
+}
+
+class VisPartitionReader(part: VisPartition, spec: Spec, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val baselines =
+    (for (a1 <- 0 until spec.nAnts; a2 <- a1 until spec.nAnts) yield (a1, a2)).toArray
+  private val fieldIdx = required.fieldNames.map(n =>
+    n -> VisSource.schema.fieldIndex(n)).toMap
+  private val it: Iterator[InternalRow] = for {
+    t <- (part.timeStart until part.timeEnd).iterator
+    (a1, a2) <- baselines.iterator
+    f <- (0 until spec.nFine).iterator
+    pol <- spec.pols.iterator
+  } yield makeRow(t, a1, a2, part.coarseChan * spec.nFine + f, pol)
+  private var current: InternalRow = _
+
+  private def makeRow(t: Int, a1: Int, a2: Int, freqIdx: Int, pol: String): InternalRow = {
+    val baseline = a1.toLong * 2048 + a2
+    val k = VisKernel
+    val sky = k.uniform(spec.seed, 1, None, baseline, freqIdx, pol) * spec.skyAmp
+    val narrow = if (freqIdx == spec.rfiFreqIdx &&
+      t >= spec.rfiTimes._1 && t <= spec.rfiTimes._2) spec.rfiAmp else 0.0
+    val streak = if (t == spec.streakTime) spec.streakAmp else 0.0
+    val re = sky + narrow + streak +
+      k.gaussian(spec.seed, 3, Some(t), baseline, freqIdx, pol) * spec.noiseSigma
+    val im = sky + narrow + streak +
+      k.gaussian(spec.seed, 5, Some(t), baseline, freqIdx, pol) * spec.noiseSigma
+    val full: Array[Any] = Array(
+      spec.obsid, t, spec.jd0 + t * spec.dtDays, a1, a2, baseline,
+      freqIdx / spec.nFine, spec.freq0Hz + freqIdx * spec.dfHz,
+      UTF8String.fromString(pol), re, im, false, 1.0)
+    new GenericInternalRow(required.fieldNames.map(n => full(fieldIdx(n))))
+  }
+
+  override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Scala twin of the generator's Catalyst hash chain: xxhash64(lit(seed),
+  * lit(salt), [time_idx,] baseline, freq_idx, pol) with Spark's seed-42
+  * accumulation, then the same uniform/Box-Muller mapping — so DSv2 rows
+  * are bit-identical to the DataFrame generator's. */
+object VisKernel {
+  private def hashChain(seed: Long, salt: Int, time: Option[Int],
+                        baseline: Long, freqIdx: Int, pol: String): Long = {
+    var h = 42L
+    h = XXH64.hashLong(seed, h)
+    h = XXH64.hashInt(salt, h)
+    time.foreach(t => h = XXH64.hashInt(t, h))
+    h = XXH64.hashLong(baseline, h)
+    h = XXH64.hashInt(freqIdx, h)
+    h = XXH64.hashUTF8String(UTF8String.fromString(pol), h)
+    h
+  }
+
+  def uniform(seed: Long, salt: Int, time: Option[Int], baseline: Long,
+              freqIdx: Int, pol: String): Double = {
+    val h = hashChain(seed, salt, time, baseline, freqIdx, pol)
+    val m = 1048576L
+    val mod = ((h % m) + m) % m
+    (mod.toDouble + 0.5) / 1048576.0
+  }
+
+  def gaussian(seed: Long, salt: Int, time: Option[Int], baseline: Long,
+               freqIdx: Int, pol: String): Double =
+    math.sqrt(-2.0 * math.log(uniform(seed, salt * 2 + 1, time, baseline, freqIdx, pol))) *
+      math.cos(2.0 * math.Pi * uniform(seed, salt * 2 + 2, time, baseline, freqIdx, pol))
+}

@@ -67,6 +67,23 @@ class OperatorsSpec extends SparkSpec {
     assert(bySess(7L) == 2L && bySess(8L) == 1L)
   }
 
+  test("saltedJoin equals the plain join on skewed data") {
+    // 1000 rows of one hot key + a few cold keys
+    val left = spark.range(1000).select(lit("hot").as("k"), col("id"))
+      .union(spark.range(5).select(lit("cold").as("k"), col("id")))
+    val right = Seq(("hot", 1.0), ("cold", 2.0), ("absent", 3.0)).toDF("k", "v")
+    val salted = RelationalOps.saltedJoin(left, right, "k", salts = 8,
+      saltFrom = col("id"))
+    val plain = left.join(right, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("v")).head.getDouble(0) ==
+      plain.agg(sum("v")).head.getDouble(0))
+    // salt spreads the hot key across multiple salt values
+    val spread = left.filter($"k" === "hot")
+      .select(pmod(xxhash64($"id"), lit(8)).as("s")).distinct().count()
+    assert(spread == 8)
+  }
+
   test("dedupFirst keeps the deterministic survivor") {
     val df = Seq((1L, "x", 3.0), (2L, "x", 1.0), (3L, "y", 2.0))
       .toDF("id", "k", "v")
