@@ -108,7 +108,8 @@ object Catalog {
       .orderBy("c_custkey"),
     Some("""SELECT c_custkey, COUNT(o_orderkey) AS n FROM customer
             LEFT JOIN orders ON o_custkey = c_custkey
-            GROUP BY c_custkey ORDER BY c_custkey"""))
+            GROUP BY c_custkey ORDER BY c_custkey"""),
+    bench = true)
 
   private val q09 = QueryDef("q09_rangejoin",
     (s, d) => {
@@ -225,7 +226,8 @@ object Catalog {
     },
     Some("""SELECT event_id, ROUND(value - LAG(value) OVER (
               PARTITION BY user_id ORDER BY ts, event_id), 2) AS dv
-            FROM events ORDER BY event_id"""))
+            FROM events ORDER BY event_id"""),
+    bench = true)
 
   private val q17 = QueryDef("q17_topk_global",
     (s, d) => Tables.lineitem(s, d)
@@ -497,7 +499,8 @@ object Catalog {
       .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp_md5"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id, MD5(LOWER(text)) AS fp_md5
-            FROM documents ORDER BY doc_id"""))
+            FROM documents ORDER BY doc_id"""),
+    bench = true)
 
   private val t04 = QueryDef("t04_quality",
     (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),

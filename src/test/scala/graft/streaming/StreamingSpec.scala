@@ -66,6 +66,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming INS equals the batch INS (diffed vis stream)") {
+    val tmp = Files.createTempDirectory("graft_vis_stream").toString
+    val cfg = GraftConfig(removeFlaggedAnts = false)
+    val spec = VisGenerator.Spec(nTimes = 8, nAnts = 4, nCoarse = 1, nFine = 8)
+    val diffed = VisOps.diff(VisOps.selectSurface(VisGenerator.vis(spark, spec), cfg))
+    diffed.write.mode("overwrite").parquet(tmp)
+
+    val streamed = EventStreams.runToBatch(spark,
+      VisStreams.streamingIns(VisStreams.visStream(spark, tmp)))
+    val batch = VisOps.ins(spark.read.parquet(tmp))
+    assert(streamed.count() == batch.count())
+    val key = Seq("time_idx", "freq_hz", "pol")
+    val j = streamed.as("s").join(batch.as("b"), key)
+    assert(j.count() == batch.count())
+    // means match to fp tolerance (streaming partials may sum in a
+    // different order than the batch hash aggregate)
+    assert(j.filter(abs(col("s.metric") - col("b.metric")) > 1e-9 ||
+      col("s.nsamples") =!= col("b.nsamples")).count() == 0)
+  }
+
   test("processor registry + metadata-only pass + batch plan") {
     val tmp = Files.createTempDirectory("graft_proc").toString
     val spec = VisGenerator.Spec(nTimes = 12, nAnts = 4, nCoarse = 2, nFine = 4)
