@@ -663,7 +663,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, x01, x02,
     t01, t02, t03, t04, t05, t06,
     mwa01, mwa02, mwa03, mwa04, mwa05,
-    m01, m02, e01, s01, s02) ++ MoreQueries.all
+    m01, m02, e01, s01, s02) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
