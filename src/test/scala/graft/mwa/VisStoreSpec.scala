@@ -30,6 +30,19 @@ class VisStoreSpec extends SparkSpec {
     assert(tPlan.contains("PushedFilters") && tPlan.contains("time_idx"))
   }
 
+  test("JSON and CSV sources round-trip the manifest (S9)") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val m = Manifest.fromPaths(spark, Seq(
+      "/d/111_gpubox01.fits", "/d/111.metafits", "/d/222_ch133.fits"))
+    m.write.mode("overwrite").json(s"$dir/j")
+    val fromJson = spark.read.json(s"$dir/j")
+    assert(fromJson.count() == 3)
+    assert(fromJson.columns.toSet == m.columns.toSet)
+    m.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    val fromCsv = spark.read.option("header", "true").csv(s"$dir/c")
+    assert(fromCsv.count() == 3)
+  }
+
   test("TSV sink round-trips the INS spectrum (S8 export_tsv)") {
     val dir = Files.createTempDirectory("graft_tsv").toString
     val cfg = GraftConfig(removeFlaggedAnts = false)
