@@ -123,15 +123,42 @@ object MatchFilter {
             bestSig = sig; bestKind = "streak"; bestT = t; bestF = -1
           }
         }
+        // named sub-band shapes (SSINS shape_dict): Stouffer-combined z
+        // over the shape's channel span vs the generic `threshold`
+        config.shapes.foreach { case (shapeName, (lo, hi)) =>
+          var n2 = 0.0; var d2 = 0.0
+          var fi = 0
+          while (fi < nF) {
+            if (freqs(fi) >= lo && freqs(fi) <= hi && !z(t)(fi).isNaN) {
+              n2 += z(t)(fi) * math.sqrt(nsamp(t)(fi)); d2 += nsamp(t)(fi)
+            }
+            fi += 1
+          }
+          if (d2 > 0) {
+            val sig = n2 / math.sqrt(d2)
+            if (sig > config.threshold && sig > bestSig) {
+              bestSig = sig; bestKind = s"shape:$shapeName"; bestT = t; bestF = -1
+            }
+          }
+        }
         t += 1
       }
       if (bestKind == "") iterating = false
       else if (bestKind == "narrow") {
         flag(bestT)(bestF) = true; event(bestT)(bestF) = "narrow"
-      } else {
+      } else if (bestKind == "streak") {
         var f = 0
         while (f < nF) {
           if (!flag(bestT)(f)) { flag(bestT)(f) = true; event(bestT)(f) = "streak" }
+          f += 1
+        }
+      } else { // shape:<name> — flag only the shape's channel span
+        val (lo, hi) = config.shapes(bestKind.stripPrefix("shape:"))
+        var f = 0
+        while (f < nF) {
+          if (freqs(f) >= lo && freqs(f) <= hi && !flag(bestT)(f)) {
+            flag(bestT)(f) = true; event(bestT)(f) = bestKind
+          }
           f += 1
         }
       }

@@ -98,7 +98,10 @@ final case class GraftConfig(
     threshold: Double = 5.0,
     narrow: Double = 7.0,
     streak: Double = 8.0,
-    tbAggro: Double = 0.6) {
+    tbAggro: Double = 0.6,
+    // named sub-band shapes (freq_hz lo..hi inclusive), tested at
+    // `threshold` — the SSINS shape_dict surface (generic shapes tier)
+    shapes: Map[String, (Double, Double)] = Map.empty) {
 
   /** Derived suffix, mirroring `configurators.py:125-134` exactly. */
   def derivedSuffix: String = {

@@ -575,6 +575,24 @@ object Catalog {
     },
     None)
 
+  /** Scale demonstration: the full SSINS chain on a ~5M-row generated
+    * observation (24 times x 16 ants (136 baselines) x 12 chans x 32 fine
+    * x 4 pols). Exercises generation parallelism, the channel-partitioned
+    * diff window and the early INS reduction at bench scale. */
+  private val mwa06 = QueryDef("mwa06_spectrum_big",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 24, nAnts = 16, nCoarse = 12,
+        nFine = 32, pols = Seq("XX", "YY", "XY", "YX"))
+      val cfg = GraftConfig(removeFlaggedAnts = false)
+      VisOps.spectrum(VisGenerator.vis(s, spec), cfg)
+        .select(col("time_idx"), col("freq_hz"), col("pol"),
+          round(col("metric"), 4).as("metric"), col("nsamples"),
+          round(col("z"), 4).as("z"))
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    None, bench = true)
+
   private val mwa05 = QueryDef("mwa05_observations",
     (s, d) => graft.mwa.Manifest.observations(
       graft.mwa.Manifest.fromPaths(s, mwaPaths)).orderBy("obsid"),
@@ -662,7 +680,7 @@ object Catalog {
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, x01, x02,
     t01, t02, t03, t04, t05, t06,
-    mwa01, mwa02, mwa03, mwa04, mwa05,
+    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06,
     m01, m02, e01, s01, s02) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -91,6 +91,44 @@ class MwaPipelineSpec extends SparkSpec {
     assert(tl.agg(max(col("time_idx"))).head.getInt(0) == 3)
   }
 
+  test("time broadcast flags the remainder of a mostly-flagged time") {
+    import MatchFilter.InsCell
+    // 10 channels; channels 0..7 carry huge RFI at t=3 (each exceeds the
+    // narrow threshold), channels 8,9 are clean -> after narrow flagging,
+    // 8/10 > tb_aggro=0.6 flags the rest as time_broadcast
+    val freqs = (0 until 10).map(f => 1e8 + f * 1e4)
+    val cells = for (t <- 0 until 8; f <- 0 until 10) yield
+      InsCell(1L, t, freqs(f), "XX",
+        metric = if (t == 3 && f < 8) 100.0 else 1.0, nsamples = 16.0)
+    // streak disabled (it would legitimately out-rank the narrows here)
+    val out = MatchFilter.run(cells, GraftConfig(streak = 1e9)).toSeq
+    val at3 = out.filter(_.time_idx == 3)
+    assert(at3.forall(_.flagged))
+    assert(at3.count(_.event == "time_broadcast") == 2)
+    assert(out.filter(_.time_idx != 3).forall(!_.flagged))
+  }
+
+  test("named sub-band shape flags its span at the generic threshold") {
+    import MatchFilter.InsCell
+    val freqs = (0 until 16).map(f => 1e8 + f * 1e4)
+    // moderate RFI spread over channels 4..7 at t=2: each z alone is below
+    // narrow (7.0), but the 4-channel Stouffer combination exceeds the
+    // generic threshold (5.0) for a shape covering that span
+    val cells = for (t <- 0 until 8; f <- 0 until 16) yield
+      InsCell(1L, t, freqs(f), "XX",
+        metric = if (t == 2 && f >= 4 && f <= 7) 2.2 else 1.0, nsamples = 9.0)
+    val cfgNoShape = GraftConfig()
+    val none = MatchFilter.run(cells, cfgNoShape).toSeq
+    assert(!none.exists(_.flagged)) // invisible without the shape
+    val cfg = GraftConfig(shapes = Map("dtv" -> (freqs(4), freqs(7))))
+    val out = MatchFilter.run(cells, cfg).toSeq
+    val flagged = out.filter(_.flagged)
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(c => c.time_idx == 2 &&
+      c.freq_hz >= freqs(4) && c.freq_hz <= freqs(7)))
+    assert(flagged.forall(_.event == "shape:dtv"))
+  }
+
   test("batch-count formula parity (utils.py:20-47)") {
     assert(Model.computeOptimalBatches(1, availMemGb = 16) == 1)
     assert(Model.computeOptimalBatches(2, availMemGb = 16) == 1)
