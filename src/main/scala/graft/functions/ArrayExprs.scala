@@ -83,8 +83,34 @@ object ArrayExprs {
     bucket
   }
 
+  /** Distinct word n-gram shingles in one compiled pass: whitespace split,
+    * n-gram join, first-occurrence dedup. Semantically identical to the
+    * HOF formulation (split + transform + concat_ws + array_distinct) but
+    * without per-shingle interpreted lambda evaluation. */
+  def shinglesCompute(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def vector_dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  def word_shingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
 
   def lsh_bucket(vec: Column, nPlanes: Int): Column =
     Bridge.column(LshBucket(Bridge.expression(vec), nPlanes))
@@ -132,6 +158,21 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.ArrayExprs.lshBucketCompute($c, $nPlanes, $isFloat)")
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires string, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.shinglesCompute(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.shinglesCompute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
 

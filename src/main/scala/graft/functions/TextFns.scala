@@ -42,17 +42,11 @@ object TextFns {
   def tokenCount(text: Column): Column = size(regexTokens(text))
 
   /** Distinct word n-gram shingles, the MinHash/Jaccard input unit.
-    * n-gram i = words[i..i+n-1] joined by a single space. Docs shorter than
-    * n words yield an empty set (guarded: Spark's `sequence(0, negative)`
-    * would otherwise generate a DESCENDING range and error in element_at). */
+    * n-gram i = words[i..i+n-1] joined by a single space; docs shorter
+    * than n words yield an empty set. Native expression
+    * (ArrayExprs.WordShingles, one compiled pass). */
   def wordShingles(text: Column, n: Int): Column =
-    bind(words(text)) { w =>
-      when(size(w) >= n,
-        array_distinct(transform(
-          sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
-        .otherwise(array().cast("array<string>"))
-    }
+    ArrayExprs.word_shingles(text, n)
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =

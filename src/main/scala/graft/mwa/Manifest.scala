@@ -75,8 +75,11 @@ object Manifest {
   /** G4: per-observation (obsid, first metafits stem, fits files) rows
     * (`configurators.py:270-276` observations() generator). */
   def observations(manifest: DataFrame): DataFrame = {
+    // stem of the path-sorted-FIRST metafits (reference takes
+    // file_group["metafits"][0] of the sorted list, configurators.py:274)
     val metafits = manifest.filter(col("ext") === "metafits")
-      .groupBy("obsid").agg(min(col("stem")).as("metafits_stem"))
+      .groupBy("obsid")
+      .agg(min_by(col("stem"), col("file_path")).as("metafits_stem"))
     val fits = manifest.filter(col("ext") === "fits")
       .groupBy("obsid").agg(sort_array(collect_list(col("file_path"))).as("fits_files"))
     fits.join(metafits, Seq("obsid"), "left")

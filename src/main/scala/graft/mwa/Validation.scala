@@ -36,11 +36,12 @@ object Validation {
       rules += violation(spark, "fits_requires_metafits",
         "FITS files require metafits files to be present.")
     else if (exts.contains("fits")) {
-      // every obsid group must contain a metafits (configurators.py:157-162,
-      // 250-256) — left anti join J2: fits obsids with no metafits obsid
-      val fitsObsids = manifest.filter(col("ext") === "fits").select("obsid").distinct()
+      // every obsid group (ANY extension — reference groups all files by
+      // obsid, configurators.py:238-248) must contain a metafits
+      // (configurators.py:157-162, 250-256) — left anti join J2
+      val allObsids = manifest.select("obsid").distinct()
       val metaObsids = manifest.filter(col("ext") === "metafits").select("obsid").distinct()
-      val missing = fitsObsids.join(metaObsids, Seq("obsid"), "left_anti")
+      val missing = allObsids.join(metaObsids, Seq("obsid"), "left_anti")
       if (!missing.isEmpty)
         rules += violation(spark, "metafits_missing_for_obsid",
           "Metafits files are missing for some obsids.")

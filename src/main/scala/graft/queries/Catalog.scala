@@ -444,6 +444,15 @@ object Catalog {
             ORDER BY id_a, id_b"""),
     bench = true)
 
+  private val d07 = QueryDef("d07_dedup_rows",
+    (s, d) => Dedup.exactRows(Tables.documents(s, d), "doc_id", "text")
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents) t WHERE rn = 1 ORDER BY doc_id"""))
+
   // ------------------------------------------------------- similarity [EXT]
 
   private val x01 = QueryDef("x01_knn5",
@@ -678,7 +687,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, x01, x02,
+    d01, d02, d03, d04, d05, d06, d07, x01, x02,
     t01, t02, t03, t04, t05, t06,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06,
     m01, m02, e01, s01, s02) ++ MoreQueries.all ++ FunctionSuites.all
