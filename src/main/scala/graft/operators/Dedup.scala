@@ -127,7 +127,9 @@ object Dedup {
       TextFns.wordShingles(col(textCol), shingleN).as("sh"))
     sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(TextFns.jaccard(col("x.sh"), col("y.sh")), 4).as("jaccard"))
+        // midpoint-safe 4-decimal rounding (integer-ratio values)
+        (floor(TextFns.jaccard(col("x.sh"), col("y.sh")) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

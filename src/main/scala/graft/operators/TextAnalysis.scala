@@ -18,11 +18,15 @@ object TextAnalysis {
         struct(
           size(w).cast("int").as("n_tokens"),
           size(array_distinct(w)).cast("int").as("n_distinct"),
-          round(size(array_distinct(w)).cast("double") /
-            greatest(size(w), lit(1)).cast("double"), 4).as("ttr"),
+          // floor(x*1e4+0.5)/1e4 instead of round(): ratios of small ints
+          // land exactly on rounding midpoints, where Spark and DuckDB
+          // ROUND disagree; this idiom is bit-deterministic on both
+          (floor(size(array_distinct(w)).cast("double") /
+            greatest(size(w), lit(1)).cast("double") * 10000 + 0.5) / 10000).as("ttr"),
           length(col(textCol)).cast("int").as("n_chars"),
-          round((length(col(textCol)) - (size(w) - 1)).cast("double") /
-            greatest(size(w), lit(1)).cast("double"), 4).as("avg_word_len"))
+          (floor((length(col(textCol)) - (size(w) - 1)).cast("double") /
+            greatest(size(w), lit(1)).cast("double") * 10000 + 0.5) / 10000)
+            .as("avg_word_len"))
     }.as("__s")): _*)
       .select(col(idCol), col("__s.n_tokens"), col("__s.n_distinct"),
         col("__s.ttr"), col("__s.n_chars"), col("__s.avg_word_len"))
@@ -33,14 +37,14 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
-      round(graft.functions.Fn.bind(TextFns.words(col(textCol))) { w =>
+      (floor(graft.functions.Fn.bind(TextFns.words(col(textCol))) { w =>
         val nTok = size(w).cast("double")
         val lengthScore = least(nTok / lit(50.0), lit(1.0))
         val ttr = size(array_distinct(w)).cast("double") / greatest(nTok, lit(1.0))
         val alphaRatio = (length(regexp_replace(col(textCol), "[^a-zA-Z ]", "")) /
           greatest(length(col(textCol)), lit(1))).cast("double")
         lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * alphaRatio
-      }, 4).as("quality"))
+      } * 10000 + 0.5) / 10000).as("quality"))
 
   /** Language identification via stopword-hit heuristic. */
   def languageId(docs: DataFrame, idCol: String = "doc_id",
@@ -63,4 +67,40 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(topN)
+
+  /** TF-IDF top-k terms per document. Two hash aggregations (term
+    * frequency per doc, document frequency per term) + a broadcast-size
+    * df join; ranking on the ROUNDED score so cross-engine float noise
+    * cannot flip ranks. */
+  def tfIdf(docs: DataFrame, topK: Int, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val words = docs.select(col(idCol), explode(TextFns.words(col(textCol))).as("word"))
+    val tf = words.groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
+    val df = words.select(idCol, "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("word"))
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col(idCol), col("word"), col("tfidf"), col("rn").as("rnk"))
+  }
+
+  /** Per-source union MinHash signatures + pairwise estimated Jaccard of
+    * the full shingle-set unions — corpus-level similarity without
+    * materializing any union (MinHashUnionAgg). */
+  def sourceSimilarity(docs: DataFrame, groupCol: String = "source",
+                       textCol: String = "text", k: Int = 128): DataFrame = {
+    import graft.functions.MinHashUnionAgg.minhash_union
+    val sigs = docs
+      .select(col(groupCol), TextFns.minhashSignature(
+        TextFns.wordShingles(col(textCol), 3), k).as("sig"))
+      .groupBy(groupCol)
+      .agg(minhash_union(col("sig"), k).as("gsig"))
+    sigs.as("a").join(sigs.as("b"), col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(col(s"a.$groupCol").as("src_a"), col(s"b.$groupCol").as("src_b"),
+        round(TextFns.minhashEstimate(col("a.gsig"), col("b.gsig")), 4).as("est_jaccard"))
+  }
 }

@@ -397,8 +397,8 @@ object Catalog {
             g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              ROUND(len(list_intersect(a.sh, b.sh)) /
-                    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+              FLOOR(len(list_intersect(a.sh, b.sh)) /
+                    len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             ORDER BY jaccard DESC, id_a, id_b LIMIT 20"""))
 
@@ -430,14 +430,15 @@ object Catalog {
   private val d06 = QueryDef("d06_minhash_neardup",
     (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
         shingleN = 3, k = 128, bands = 32, threshold = 0.7)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
       .orderBy("id_a", "id_b"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              ROUND(len(list_intersect(a.sh, b.sh)) /
-                    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+              FLOOR(len(list_intersect(a.sh, b.sh)) /
+                    len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) /
                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
@@ -487,11 +488,11 @@ object Catalog {
     Some("""SELECT doc_id,
               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
-              ROUND(len(list_distinct(string_split(text, ' '))) /
-                    GREATEST(len(string_split(text, ' ')), 1), 4) AS ttr,
+              FLOOR(len(list_distinct(string_split(text, ' '))) /
+                    GREATEST(len(string_split(text, ' ')), 1) * 10000 + 0.5) / 10000 AS ttr,
               CAST(LENGTH(text) AS INT) AS n_chars,
-              ROUND((LENGTH(text) - (len(string_split(text, ' ')) - 1)) /
-                    GREATEST(len(string_split(text, ' ')), 1), 4) AS avg_word_len
+              FLOOR((LENGTH(text) - (len(string_split(text, ' ')) - 1)) /
+                    GREATEST(len(string_split(text, ' ')), 1) * 10000 + 0.5) / 10000 AS avg_word_len
             FROM documents ORDER BY doc_id"""),
     bench = true)
 
@@ -513,12 +514,12 @@ object Catalog {
 
   private val t04 = QueryDef("t04_quality",
     (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
-    Some("""SELECT doc_id, ROUND(
+    Some("""SELECT doc_id, FLOOR((
               0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
               + 0.3 * (len(list_distinct(string_split(text, ' '))) /
                        GREATEST(len(string_split(text, ' ')), 1))
               + 0.3 * (LENGTH(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
-                       GREATEST(LENGTH(text), 1)), 4) AS quality
+                       GREATEST(LENGTH(text), 1))) * 10000 + 0.5) / 10000 AS quality
             FROM documents ORDER BY doc_id"""))
 
   private val t05 = QueryDef("t05_langid",
@@ -537,6 +538,42 @@ object Catalog {
               CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_re
             FROM documents ORDER BY doc_id"""))
+
+  private val t07 = QueryDef("t07_tfidf",
+    (s, d) => TextAnalysis.tfIdf(Tables.documents(s, d), 3)
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id", "rnk"),
+    Some("""WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w WHERE word <> '' GROUP BY doc_id, word),
+            df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w WHERE word <> '' GROUP BY word),
+            s AS (SELECT doc_id, word,
+                    ROUND(tf * LN((SELECT COUNT(*) FROM documents) / df), 4) AS tfidf
+                  FROM tf JOIN df USING (word)),
+            r AS (SELECT doc_id, word, tfidf,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+                  FROM s)
+            SELECT doc_id, word, tfidf, CAST(rnk AS INT) AS rnk
+            FROM r WHERE rnk <= 3 AND doc_id < 50 ORDER BY doc_id, rnk"""),
+    bench = true)
+
+  private val t08 = QueryDef("t08_source_similarity",
+    (s, d) => TextAnalysis.sourceSimilarity(Tables.documents(s, d))
+      .orderBy("src_a", "src_b"),
+    None)
+
+  private val q50 = QueryDef("q50_centroids",
+    (s, d) => Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("c0"),
+        round(avg(element_at(col("embedding"), 32).cast("double")), 4).as("c31"),
+        round(avg(element_at(col("embedding"), 64).cast("double")), 4).as("c63"))
+      .orderBy("label"),
+    Some("""SELECT label, COUNT(*) AS n,
+              ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
+              ROUND(AVG(CAST(embedding[32] AS DOUBLE)), 4) AS c31,
+              ROUND(AVG(CAST(embedding[64] AS DOUBLE)), 4) AS c63
+            FROM embeddings GROUP BY label ORDER BY label"""))
 
   // ------------------------------------------------------------- mwa domain
 
@@ -688,7 +725,7 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, x01, x02,
-    t01, t02, t03, t04, t05, t06,
+    t01, t02, t03, t04, t05, t06, t07, t08, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06,
     m01, m02, e01, s01, s02) ++ MoreQueries.all ++ FunctionSuites.all
 

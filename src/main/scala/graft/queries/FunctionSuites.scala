@@ -101,12 +101,14 @@ object FunctionSuites {
   private val q46 = QueryDef("q46_median",
     (s, d) => Tables.orders(s, d)
       .groupBy("o_orderpriority")
-      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      // floor-idiom rounding: interpolated percentiles of 2-decimal data
+      // land exactly on rounding midpoints (see t04 note)
+      .agg((floor(expr("percentile(o_totalprice, 0.5)") * 100 + 0.5) / 100).as("med"),
+        (floor(expr("percentile(o_totalprice, 0.9)") * 100 + 0.5) / 100).as("p90"))
       .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority,
-              ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS med,
-              ROUND(QUANTILE_CONT(o_totalprice, 0.9), 2) AS p90
+              FLOOR(QUANTILE_CONT(o_totalprice, 0.5) * 100 + 0.5) / 100 AS med,
+              FLOOR(QUANTILE_CONT(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   private val q47 = QueryDef("q47_string_agg",

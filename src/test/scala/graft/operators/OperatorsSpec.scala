@@ -135,6 +135,42 @@ class OperatorsSpec extends SparkSpec {
     assert(m(1L) != m(3L))
   }
 
+  test("minhash_union aggregate equals the signature of the union") {
+    import graft.functions.MinHashUnionAgg.minhash_union
+    val docs = Seq(
+      (1L, "g1", "a b c d e f g h"),
+      (2L, "g1", "x y z w v u t s"),
+      (3L, "g2", "p q r")).toDF("id", "g", "text")
+    val k = 64
+    val sigs = docs.select(col("g"),
+      TextFns.minhashSignature(TextFns.wordShingles(col("text"), 2), k).as("sig"))
+    val grouped = sigs.groupBy("g").agg(minhash_union(col("sig"), k).as("gsig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // union signature = elementwise min of member signatures (MinHash property)
+    val members = sigs.collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+    val expected = members.groupBy(_._1).map { case (g, ss) =>
+      g -> ss.map(_._2).reduce((a, b) => a.zip(b).map(t => math.min(t._1, t._2)))
+    }
+    assert(grouped("g1") == expected("g1") && grouped("g2") == expected("g2"))
+    // and equals the signature computed directly over the union text
+    val unionSig = Seq(("u", "a b c d e f g h x y z w v u t s"))
+      .toDF("g", "text")
+      .select(TextFns.minhashSignature(TextFns.wordShingles(col("text"), 2), k))
+      .head.getSeq[Long](0)
+    // g1 docs share no 2-grams across the boundary word pair (h->x is not a
+    // shingle of either doc), so union-of-sets equals the concatenated text's
+    // shingles minus the bridging shingle "h x"
+    val bridging = Seq(("b", "h x")).toDF("g", "text")
+      .select(TextFns.minhashSignature(TextFns.wordShingles(col("text"), 2), k))
+      .head.getSeq[Long](0)
+    val expectedUnion = unionSig.zip(grouped("g1")).zip(bridging).collect {
+      case ((u, g), b) => (u, g, b)
+    }
+    // every union-signature component is explained by either the group
+    // signature or the bridging shingle
+    assert(expectedUnion.forall { case (u, g, b) => u == math.min(g, b) })
+  }
+
   test("cosine kNN: orthogonal vs identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
