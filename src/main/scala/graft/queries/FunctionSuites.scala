@@ -60,7 +60,7 @@ object FunctionSuites {
       round(log(col("l_quantity") + 1), 6).as("lnq"),
       pmod(col("l_orderkey"), lit(97)).as("m97"),
       signum(col("l_discount") - 0.05).as("sgn"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      .orderBy("l_orderkey", "l_linenumber", "cq", "expd"),
     Some("""SELECT l_orderkey, l_linenumber,
               ABS(l_discount - 0.05) AS absd,
               CAST(CEIL(l_quantity) AS BIGINT) AS cq,
@@ -69,18 +69,18 @@ object FunctionSuites {
               ROUND(LN(l_quantity + 1), 6) AS lnq,
               l_orderkey % 97 AS m97,
               CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, cq, expd"""))
 
   private val q44 = QueryDef("q44_greatest_least",
     (s, d) => Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
       greatest(col("l_discount"), col("l_tax"), lit(0.02)).as("g"),
       least(col("l_discount"), col("l_tax"), lit(0.02)).as("l"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      .orderBy("l_orderkey", "l_linenumber", "g", "l"),
     Some("""SELECT l_orderkey, l_linenumber,
               GREATEST(l_discount, l_tax, 0.02) AS g,
               LEAST(l_discount, l_tax, 0.02) AS l
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, g, l"""))
 
   private val q45 = QueryDef("q45_stats",
     (s, d) => Tables.lineitem(s, d)
@@ -140,5 +140,48 @@ object FunctionSuites {
       .orderBy("o_orderkey", "week_no"),
     None) // exercised rows-only: interval-sequence explode + rejoin
 
-  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q49)
+  private val q51 = QueryDef("q51_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+                      COALESCE(o_orderstatus, 'ALL') AS st,
+                      COUNT(*) AS n
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                       (o_orderpriority), ())
+               ORDER BY pri, st""")
+    },
+    Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+              COALESCE(o_orderstatus, 'ALL') AS st, COUNT(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), ())
+            ORDER BY pri, st"""))
+
+  private val q52 = QueryDef("q52_rank_distribution",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      // percent_rank/cume_dist are exact integer-ratio doubles computed by
+      // the same formula in both engines — compared raw, no rounding
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dense_rank().over(w).as("dr"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — tiebreak on the computed rank for a total order
+        .orderBy("l_orderkey", "l_linenumber", "pr")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+              CAST(DENSE_RANK() OVER w AS INT) AS dr,
+              PERCENT_RANK() OVER w AS pr,
+              CUME_DIST() OVER w AS cd
+            FROM lineitem WHERE l_orderkey <= 1000
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+            ORDER BY l_orderkey, l_linenumber, pr"""))
+
+  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q49,
+    q51, q52)
 }
