@@ -182,6 +182,19 @@ object FunctionSuites {
             WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
             ORDER BY l_orderkey, l_linenumber, pr"""))
 
+  private val q53 = QueryDef("q53_posexplode",
+    (s, d) => Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("int").as("idx"),
+        round(col("col").cast("double"), 4).as("v"))
+      .orderBy("vec_id", "idx"),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+                       FROM embeddings WHERE vec_id < 10),
+            i AS (SELECT UNNEST(range(64)) AS idx)
+            SELECT vec_id, CAST(idx AS INT) AS idx, ROUND(ed[idx+1], 4) AS v
+            FROM e, i ORDER BY vec_id, idx"""))
+
   val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q51, q52)
+    q51, q52, q53)
 }
