@@ -123,6 +123,27 @@ class ManifestValidationSpec extends SparkSpec {
     assert(codes(v).contains("channel_tables_differ"))
   }
 
+  test("FileSet: construction, accessors, eager validation (UVDataFileSet parity)") {
+    val fs = FileSet.validated(spark, goodPaths)
+    assert(fs.hasType("fits") && fs.hasType("metafits") && !fs.hasType("uvh5"))
+    assert(fs.filesOf("fits").size == 3)
+    assert(fs.filesOf("fits") == fs.filesOf("fits").sorted)
+    assert(fs.suffix == ".diff.cross")
+    assert(fs.obsidGroups.get.keySet == Set("1234567890", "1234567891"))
+    assert(fs.obsidGroups.get("1234567890")("fits").size == 2)
+    val obs = fs.observations()
+    assert(obs.map(_._1).toSet == Set("1234567890", "1234567891"))
+    // empty input rejected at construction (configurators.py:101-102)
+    intercept[IllegalArgumentException](new FileSet(spark, Nil))
+    // invalid set raises with ALL errors joined
+    val e = intercept[IllegalArgumentException](
+      FileSet.validated(spark, Seq("/d/x.fits", "/d/y.unknownext"),
+        GraftConfig(selAnts = Seq(1), skipAnts = Seq(2))))
+    assert(e.getMessage.contains("metafits"))
+    assert(e.getMessage.contains("Unsupported"))
+    assert(e.getMessage.contains("sel_ants"))
+  }
+
   test("enforce on_error policy (processors.py:142-148)") {
     val m = Manifest.fromPaths(spark, Seq("/d/123_gpubox01.fits"))
     val v = Validation.validateFileSet(spark, m)
