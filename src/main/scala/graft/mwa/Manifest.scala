@@ -31,6 +31,8 @@ object Manifest {
   def fromDirectory(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
     withDerived(spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      // recursive walk, matching disk_usage_in_blocks' rglob (utils.py:188)
+      .option("recursiveFileLookup", "true")
       .load(dir)
       .select(col("path").as("file_path"),
         (col("length") / lit(1024 * 1024)).cast("long").as("size_mb")))

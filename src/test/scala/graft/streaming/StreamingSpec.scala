@@ -66,6 +66,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stateful streaming sessionization equals the batch gaps-and-islands") {
+    // arbitrary-state variant of q26: per-user session counting inside
+    // flatMapGroupsWithState (sorting the group's events by time in-state)
+    val events = EventStreams.eventsStream(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val counted = events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, Long)], state: GroupState[Long]) => {
+          val sorted = it.toSeq.sortBy(e => (e._2, e._3))
+          var sessions = state.getOption.getOrElse(0L)
+          var last = Long.MinValue
+          sorted.foreach { e =>
+            if (last == Long.MinValue || e._2 - last > 1800L) sessions += 1
+            last = e._2
+          }
+          state.update(sessions)
+          Iterator((uid, sessions))
+        })
+    val out = EventStreams.runToBatch(spark, counted.toDF("user_id", "n_sessions"),
+      outputMode = "update")
+    val got = out.groupBy("user_id").agg(max("n_sessions").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = graft.operators.RelationalOps
+      .sessionize(graft.Tables.events(spark, dir), "user_id", "ts", 1800L,
+        Seq(col("ts"), col("event_id")))
+      .groupBy("user_id").agg(max("session_id").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("streaming INS equals the batch INS (diffed vis stream)") {
     val tmp = Files.createTempDirectory("graft_vis_stream").toString
     val cfg = GraftConfig(removeFlaggedAnts = false)
