@@ -69,9 +69,11 @@ object TextAnalysis {
       .limit(topN)
 
   /** TF-IDF top-k terms per document. Two hash aggregations (term
-    * frequency per doc, document frequency per term) + a broadcast-size
-    * df join; ranking on the ROUNDED score so cross-engine float noise
-    * cannot flip ranks. */
+    * frequency per doc, document frequency per term) joined on word;
+    * ranking on the ROUNDED score so cross-engine float noise cannot flip
+    * ranks. The tf-df join is deliberately NOT broadcast-hinted: a 100 TB
+    * corpus vocabulary doesn't fit an executor — AQE picks broadcast at
+    * small scale and sort-merge at large on its own. */
   def tfIdf(docs: DataFrame, topK: Int, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val n = docs.count()
@@ -79,7 +81,7 @@ object TextAnalysis {
     val tf = words.groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
     val df = words.select(idCol, "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), Seq("word"))
+    val scored = tf.join(df, Seq("word"))
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("word"))

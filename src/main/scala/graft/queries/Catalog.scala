@@ -56,8 +56,10 @@ object Catalog {
             FROM orders ORDER BY o_orderkey"""))
 
   private val q04 = QueryDef("q04_join_agg",
+    // no broadcast hint on customer: it scales with SF (not broadcastable
+    // at 100 TB); AQE converts to broadcast at small scale on its own
     (s, d) => Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
       .orderBy("c_mktsegment"),
     Some("""SELECT c_mktsegment, COUNT(*) AS n FROM orders
@@ -68,7 +70,7 @@ object Catalog {
   private val q05 = QueryDef("q05_multijoin",
     (s, d) => Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
@@ -186,7 +188,7 @@ object Catalog {
   private val q14 = QueryDef("q14_topk_group",
     (s, d) => {
       val j = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
       RelationalOps.topKPerGroup(j, Seq(col("c_mktsegment")),
           Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
