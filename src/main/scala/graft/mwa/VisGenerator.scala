@@ -27,6 +27,8 @@ object VisGenerator {
       pols: Seq[String] = Seq("XX", "YY"),
       seed: Long = 42L,
       noiseSigma: Double = 1.0,
+      // multiplicative coarse-band ripple: gain(pos) = 1 + r*sin(pi*pos/(nFine-1))
+      bandRipple: Double = 0.0,
       skyAmp: Double = 50.0,
       rfiAmp: Double = 40.0,
       streakAmp: Double = 60.0,
@@ -74,12 +76,14 @@ object VisGenerator {
       col("time_idx").between(spec.rfiTimes._1, spec.rfiTimes._2), spec.rfiAmp)
       .otherwise(0.0)
     val streak = when(col("time_idx") === spec.streakTime, spec.streakAmp).otherwise(0.0)
+    val gain = lit(1.0) + lit(spec.bandRipple) *
+      sin(lit(math.Pi) * (col("freq_idx") % spec.nFine) / (spec.nFine - 1))
     grid.select(
       lit(spec.obsid).as("obsid"),
       col("time_idx"), col("time_jd"), col("ant1"), col("ant2"), col("baseline"),
       col("coarse_chan"), col("freq_hz"), col("pol"),
-      (sky + narrow + streak + gaussian(spec.seed, 3, kt: _*) * spec.noiseSigma).as("vis_re"),
-      (sky + narrow + streak + gaussian(spec.seed, 5, kt: _*) * spec.noiseSigma).as("vis_im"),
+      (gain * (sky + narrow + streak + gaussian(spec.seed, 3, kt: _*) * spec.noiseSigma)).as("vis_re"),
+      (gain * (sky + narrow + streak + gaussian(spec.seed, 5, kt: _*) * spec.noiseSigma)).as("vis_im"),
       lit(false).as("flag"),
       lit(1.0).as("nsample"))
   }

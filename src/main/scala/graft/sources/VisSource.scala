@@ -125,10 +125,12 @@ class VisPartitionReader(part: VisPartition, spec: Spec, required: StructType)
     val narrow = if (freqIdx == spec.rfiFreqIdx &&
       t >= spec.rfiTimes._1 && t <= spec.rfiTimes._2) spec.rfiAmp else 0.0
     val streak = if (t == spec.streakTime) spec.streakAmp else 0.0
-    val re = sky + narrow + streak +
-      k.gaussian(spec.seed, 3, Some(t), baseline, freqIdx, pol) * spec.noiseSigma
-    val im = sky + narrow + streak +
-      k.gaussian(spec.seed, 5, Some(t), baseline, freqIdx, pol) * spec.noiseSigma
+    val gain = 1.0 + spec.bandRipple *
+      math.sin(math.Pi * (freqIdx % spec.nFine) / (spec.nFine - 1))
+    val re = gain * (sky + narrow + streak +
+      k.gaussian(spec.seed, 3, Some(t), baseline, freqIdx, pol) * spec.noiseSigma)
+    val im = gain * (sky + narrow + streak +
+      k.gaussian(spec.seed, 5, Some(t), baseline, freqIdx, pol) * spec.noiseSigma)
     val full: Array[Any] = Array(
       spec.obsid, t, spec.jd0 + t * spec.dtDays, a1, a2, baseline,
       freqIdx / spec.nFine, spec.freq0Hz + freqIdx * spec.dfHz,
