@@ -37,6 +37,19 @@ class MwaPipelineSpec extends SparkSpec {
     assert(ns.toSeq == Seq(15.0))
   }
 
+  test("INS masked mean excludes flagged samples") {
+    import spark.implicits._
+    // two baselines at one (time,freq,pol): one flagged with huge amplitude
+    val vis = Seq(
+      (1L, 0, 2460000.5, 0, 1, 1L, 0, 1.3e8, "XX", 3.0, 4.0, false, 1.0),
+      (1L, 0, 2460000.5, 0, 2, 2L, 0, 1.3e8, "XX", 3000.0, 4000.0, true, 1.0))
+      .toDF("obsid", "time_idx", "time_jd", "ant1", "ant2", "baseline",
+        "coarse_chan", "freq_hz", "pol", "vis_re", "vis_im", "flag", "nsample")
+    val r = VisOps.ins(vis).head
+    assert(r.getAs[Double]("metric") == 5.0)   // only the unflagged |3+4i|
+    assert(r.getAs[Double]("nsamples") == 1.0) // flagged sample contributes 0
+  }
+
   test("match filter flags exactly the planted RFI (tone edges + streak)") {
     val cfg = GraftConfig(spectrumType = SpectrumType.Cross, removeFlaggedAnts = false)
     val insDf = VisOps.ins(VisOps.diff(VisOps.selectSurface(
