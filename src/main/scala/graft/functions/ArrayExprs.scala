@@ -63,7 +63,7 @@ object ArrayExprs {
     * the projection of `arr` onto pseudo-random hyperplane p, whose weight
     * for dimension i is a hash of (p, i) mapped into [-1, 1]. Deterministic
     * with no broadcast state. Compiled loop, O(nPlanes * dim). */
-  def lshBucketCompute(arr: ArrayData, nPlanes: Int, isFloat: Boolean): Long = {
+  def lshBucketCompute(arr: ArrayData, nPlanes: Int, isFloat: Boolean, seed: Long): Long = {
     val n = arr.numElements()
     var bucket = 0L
     var p = 0
@@ -72,8 +72,9 @@ object ArrayExprs {
       var i = 0
       while (i < n) {
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        // hash (p, i) -> weight in [-1, 1]
-        val h = XXH64.hashLong(p.toLong << 32 | i.toLong, 42L)
+        // hash (p, i, seed) -> weight in [-1, 1]; the seed selects an
+        // independent hyperplane family (one per LSH table)
+        val h = XXH64.hashLong(p.toLong << 32 | i.toLong, seed)
         proj += x * (h.toDouble / Long.MaxValue.toDouble)
         i += 1
       }
@@ -112,8 +113,8 @@ object ArrayExprs {
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
 
-  def lsh_bucket(vec: Column, nPlanes: Int): Column =
-    Bridge.column(LshBucket(Bridge.expression(vec), nPlanes))
+  def lsh_bucket(vec: Column, nPlanes: Int, seed: Long = 42L): Column =
+    Bridge.column(LshBucket(Bridge.expression(vec), nPlanes, seed))
 
   def minhash_signature(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))
@@ -143,7 +144,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
-case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
+case class LshBucket(child: Expression, nPlanes: Int, seed: Long) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -153,10 +154,10 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def nullSafeEval(v: Any): Any =
-    ArrayExprs.lshBucketCompute(v.asInstanceOf[ArrayData], nPlanes, isFloat)
+    ArrayExprs.lshBucketCompute(v.asInstanceOf[ArrayData], nPlanes, isFloat, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ArrayExprs.lshBucketCompute($c, $nPlanes, $isFloat)")
+      s"graft.functions.ArrayExprs.lshBucketCompute($c, $nPlanes, $isFloat, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)
 }

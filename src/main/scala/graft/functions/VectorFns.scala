@@ -45,6 +45,6 @@ object VectorFns {
     * across the cluster with no broadcast state. Used to bucket vectors so
     * ANN probes only compare within a bucket (the 100 TB scale path).
     * Native Catalyst expression (ArrayExprs.LshBucket, compiled loop). */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
-    ArrayExprs.lsh_bucket(vec, nPlanes)
+  def lshBucket(vec: Column, nPlanes: Int, seed: Long = 42L): Column =
+    ArrayExprs.lsh_bucket(vec, nPlanes, seed)
 }

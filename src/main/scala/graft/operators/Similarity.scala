@@ -43,29 +43,32 @@ object Similarity {
   }
 
   /** Approximate top-k: candidates restricted to vectors sharing the
-    * query's LSH bucket under any of `probes` progressively coarser prefix
-    * maskings of an nPlanes-bit random-hyperplane signature. */
+    * query's bucket in ANY of `tables` independent random-hyperplane hash
+    * tables (nPlanes sign bits each) — the classic (k, L) LSH scheme.
+    * Recall/cost tuning: collision probability per table for angle theta
+    * is (1 - theta/pi)^nPlanes; L tables union to 1-(1-p)^L. Fewer planes
+    * or more tables => higher recall, more candidates. The candidate join
+    * stays an equi join on (table, bucket), so the shuffle carries bucket
+    * groups — never the n^2 pair space. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             nPlanes: Int = 12, probes: Int = 3,
+             nPlanes: Int = 5, tables: Int = 8,
              idCol: String = "vec_id", vecCol: String = "embedding",
              roundTo: Int = 4): DataFrame = {
     def buckets(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sig = VectorFns.lshBucket(col(vec), nPlanes)
-      // probe p masks off the top p planes -> coarser bucket, higher recall
-      val probeCols = (0 until probes).map { p =>
-        struct(lit(p).as("probe"),
-          sig.bitwiseAND(lit((1L << (nPlanes - p)) - 1L)).as("bucket"))
+      val tableCols = (0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          VectorFns.lshBucket(col(vec), nPlanes, seed = 1000L + t).as("bucket"))
       }
-      df.select(col(id), col(vec), explode(array(probeCols: _*)).as("pb"))
-        .select(col(id), col(vec), col("pb.probe"), col("pb.bucket"))
+      df.select(col(id), col(vec), explode(array(tableCols: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl"), col("tb.bucket"))
     }
     val q = buckets(queries, idCol, vecCol)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("__qv"), col("probe"), col("bucket"),
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__qv"), col("tbl"), col("bucket"),
         VectorFns.norm(col(vecCol)).as("__qn"))
     val c = buckets(corpus, idCol, vecCol)
-      .select(col(idCol).as("nn_id"), col(vecCol).as("__cv"), col("probe"), col("bucket"),
+      .select(col(idCol).as("nn_id"), col(vecCol).as("__cv"), col("tbl"), col("bucket"),
         VectorFns.norm(col(vecCol)).as("__cn"))
-    val cand = q.join(c, Seq("probe", "bucket"))
+    val cand = q.join(c, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
       .select("vec_id", "nn_id", "__qv", "__cv", "__qn", "__cn")
       .dropDuplicates("vec_id", "nn_id")
