@@ -483,6 +483,16 @@ object Catalog {
     },
     None, bench = true)
 
+  private val x03 = QueryDef("x03_ivf_knn",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Ivf.ivfKnn(emb.filter(col("vec_id") < 20), emb, 5,
+          nCells = 16, nprobe = 4)
+        .select(col("vec_id"), col("nn_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy("vec_id", "rnk")
+    },
+    None, bench = true)
+
   // ------------------------------------------------------------- text [EXT]
 
   private val t01 = QueryDef("t01_text_stats",
@@ -726,7 +736,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, x01, x02,
+    d01, d02, d03, d04, d05, d06, d07, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06,
     m01, m02, e01, s01, s02) ++ MoreQueries.all ++ FunctionSuites.all
