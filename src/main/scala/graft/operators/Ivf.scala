@@ -36,13 +36,18 @@ object Ivf {
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, centroids)
       // new centroid = elementwise mean over members: posexplode ->
-      // (cell, pos) average -> re-assemble ordered arrays
+      // (cell, pos) average -> re-assemble ordered arrays.
+      // localCheckpoint (eager) cuts the lineage each iteration — without
+      // it the final plan stacks `iters` crossJoin+window layers and
+      // planning/execution time grows superlinearly (the same
+      // iterative-algorithm rule as the SURVEY §2.8 match-filter note).
       centroids = assigned
         .select(col("cell"), posexplode(col("__v")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+        .localCheckpoint(true)
     }
     centroids
   }
