@@ -125,6 +125,16 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhashPairs finds exact duplicates via chunk candidates") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, "entirely different content here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("simhash: identical texts collide, disjoint texts differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "completely different words here"))
