@@ -651,6 +651,24 @@ object Catalog {
     },
     None, bench = true)
 
+  /** Full read chain (kwargs_for_read order): flag_choice -> flag_init ->
+    * coarse-band removal -> select -> diff -> INS -> z, over a generated
+    * observation with a planted bandpass ripple. */
+  private val mwa07 = QueryDef("mwa07_readchain",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(bandRipple = 0.5)
+      val layout = ReadOps.FreqLayout(spec.freq0Hz, spec.dfHz, spec.nFine)
+      val cfg = GraftConfig(removeFlaggedAnts = false, removeCoarseBand = true)
+      val read = ReadOps.readChain(VisGenerator.vis(s, spec), cfg, layout)
+      VisOps.spectrum(read, cfg)
+        .select(col("time_idx"), col("freq_hz"), col("pol"),
+          round(col("metric"), 4).as("metric"), col("nsamples"),
+          round(col("z"), 4).as("z"))
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    None)
+
   private val mwa05 = QueryDef("mwa05_observations",
     (s, d) => graft.mwa.Manifest.observations(
       graft.mwa.Manifest.fromPaths(s, mwaPaths)).orderBy("obsid"),
@@ -738,7 +756,7 @@ object Catalog {
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, q50,
-    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06,
+    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07,
     m01, m02, e01, s01, s02) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
