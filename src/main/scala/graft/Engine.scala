@@ -23,11 +23,18 @@ object Engine {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Tungsten sort/shuffle/agg buffers off-heap: the multi-million-row
+      // window sorts otherwise churn the GC (observed 2-9s run-to-run
+      // variance on the same query); off-heap pages take allocation out of
+      // the heap entirely. Same setting a production cluster would run.
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "4g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -88,6 +88,49 @@ object VisGenerator {
       lit(1.0).as("nsample"))
   }
 
+  /** Portable deterministic variant for cross-engine oracle checking
+    * (FIXTURES.md B.1 companion): every value is a dyadic rational with
+    * denominator 64 derived from integer arithmetic on the coordinates, and
+    * vis_im = 0 so |V| = sqrt(vis_re^2) is exact (IEEE sqrt of a perfect
+    * square). Downstream sums of these values are therefore EXACT in
+    * double — order-independent across any partitioning — and the only
+    * inexact steps in diff -> INS -> z are single correctly-rounded
+    * divisions, which are bit-identical in every IEEE engine. This lets a
+    * DuckDB SQL oracle certify the full spectrum chain with NO rounding.
+    * Planted structure (narrow tone, broadband streak) matches vis(). */
+  def portable(spark: SparkSession, spec: Spec = Spec(nTimes = 17, nAnts = 16)): DataFrame = {
+    val times = spark.range(spec.nTimes).select(
+      col("id").cast("int").as("time_idx"),
+      (lit(spec.jd0) + col("id") * spec.dtDays).as("time_jd"))
+    val ants = spark.range(spec.nAnts).select(col("id").cast("int").as("ant1"))
+    val ants2 = spark.range(spec.nAnts).select(col("id").cast("int").as("ant2"))
+    val baselines = ants.crossJoin(ants2).filter(col("ant1") <= col("ant2"))
+      .withColumn("baseline", col("ant1").cast("long") * 2048 + col("ant2"))
+    val freqs = spark.range(spec.nCoarse.toLong * spec.nFine).select(
+      col("id").cast("int").as("freq_idx"),
+      (col("id") / spec.nFine).cast("int").as("coarse_chan"),
+      (lit(spec.freq0Hz) + col("id") * spec.dfHz).as("freq_hz"))
+    val pols = spark.createDataFrame(spec.pols.zipWithIndex).toDF("pol", "pol_idx")
+
+    val grid = times.crossJoin(baselines).crossJoin(freqs).crossJoin(pols)
+    val sky = pmod(col("ant1") * 7 + col("ant2") * 11 + col("freq_idx") * 3 +
+      col("pol_idx") * 17, lit(64)).cast("double")
+    val noise = (pmod(col("time_idx") * 37 + col("ant1") * 13 + col("ant2") * 29 +
+      col("freq_idx") * 53 + col("pol_idx") * 71, lit(128)) - 64).cast("double") / 64.0
+    val narrow = when(col("freq_idx") === spec.rfiFreqIdx &&
+      col("time_idx").between(spec.rfiTimes._1, spec.rfiTimes._2), spec.rfiAmp)
+      .otherwise(0.0)
+    val streak = when(col("time_idx") === spec.streakTime, spec.streakAmp).otherwise(0.0)
+    grid.select(
+      lit(spec.obsid).as("obsid"),
+      col("time_idx"), col("time_jd"), col("ant1"), col("ant2"), col("baseline"),
+      col("coarse_chan"), col("freq_hz"), col("pol"),
+      (sky + narrow + streak + noise).as("vis_re"),
+      lit(0.0).as("vis_im"),
+      lit(false).as("flag"),
+      lit(1.0).as("nsample"))
+  }
+
   /** Coarse-channel dimension matching the generated freq axis
     * (schema: `utils.py:136-142`). */
   def channels(spark: SparkSession, spec: Spec = Spec()): DataFrame =

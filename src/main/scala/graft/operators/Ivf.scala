@@ -30,8 +30,13 @@ object Ivf {
                    vecCol: String = "embedding"): DataFrame = {
     val vecs = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // constant partition key: the window runs over exactly k rows (post
+    // limit), so a single partition is correct AND intended — naming it
+    // silences WindowExec's single-partition warning without changing the
+    // plan shape
     var centroids = vecs.orderBy("__id").limit(k)
-      .withColumn("cell", (row_number().over(Window.orderBy("__id")) - 1))
+      .withColumn("cell", (row_number().over(
+        Window.partitionBy(lit(0)).orderBy("__id")) - 1))
       .select(col("cell"), col("__v").as("centroid"))
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, centroids)

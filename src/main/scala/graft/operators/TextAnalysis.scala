@@ -105,4 +105,31 @@ object TextAnalysis {
       .select(col(s"a.$groupCol").as("src_a"), col(s"b.$groupCol").as("src_b"),
         round(TextFns.minhashEstimate(col("a.gsig"), col("b.gsig")), 4).as("est_jaccard"))
   }
+
+  /** EXACT pairwise Jaccard of the per-source shingle-set unions — the
+    * quantity [[sourceSimilarity]] estimates. Inverted-index shape: explode
+    * to distinct (source, shingle) rows, equi-join on shingle for
+    * intersection counts (a hash join that scales — never an all-pairs
+    * cross join on documents), then a tiny source-level pair join fills in
+    * zero-intersection pairs. floor-idiom rounding: jaccard is an integer
+    * ratio, which lands on ROUND midpoints where engines disagree. */
+  def sourceSimilarityExact(docs: DataFrame, groupCol: String = "source",
+                            textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = docs.select(col(groupCol).as("src"),
+        explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("ni"))
+    val pairs = sizes.as("x").join(sizes.as("y"), col("x.src") < col("y.src"))
+      .select(col("x.src").as("src_a"), col("y.src").as("src_b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .select(col("src_a"), col("src_b"),
+        (floor(col("ni") / (col("sza") + col("szb") - col("ni")) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
+  }
 }

@@ -352,12 +352,16 @@ object Catalog {
             WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20"""),
     bench = true)
 
+  // list stringified: the driver's comparator sorts rows via pandas, which
+  // cannot hash/sort raw array cells — and a joined string hash-checks the
+  // same content
   private val q28 = QueryDef("q28_collect",
     (s, d) => Tables.documents(s, d)
       .groupBy("lang")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("ids"))
       .orderBy("lang"),
-    Some("""SELECT lang, LIST(doc_id ORDER BY doc_id) AS ids
+    Some("""SELECT lang, array_to_string(LIST(doc_id ORDER BY doc_id), ',') AS ids
             FROM documents GROUP BY lang ORDER BY lang"""))
 
   private val duckCosine =
@@ -536,7 +540,30 @@ object Catalog {
 
   private val t05 = QueryDef("t05_langid",
     (s, d) => TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id"),
-    None)
+    // argmax over per-language stopword hit counts; ties resolve to the
+    // lexicographically greatest lang on BOTH sides (Spark greatest() on
+    // (score, lang) structs == DuckDB list_sort of structs, last element)
+    Some("""WITH w AS (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+               FROM documents),
+            b AS (SELECT doc_id, list_sort([
+                 {'score': len(list_filter(w, x -> list_contains(
+                    ['the','a','of','and','to','in','is','it','that','for'], x))),
+                  'lang': 'en'},
+                 {'score': len(list_filter(w, x -> list_contains(
+                    ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))),
+                  'lang': 'de'},
+                 {'score': len(list_filter(w, x -> list_contains(
+                    ['el','la','de','que','y','en','un','es','no','por'], x))),
+                  'lang': 'es'},
+                 {'score': len(list_filter(w, x -> list_contains(
+                    ['le','la','de','et','est','un','une','que','pour','dans'], x))),
+                  'lang': 'fr'}])[4] AS best
+               FROM w)
+            SELECT doc_id,
+              CASE WHEN struct_extract(best, 'score') > 0
+                   THEN struct_extract(best, 'lang') ELSE 'und' END AS pred_lang
+            FROM b ORDER BY doc_id"""))
 
   private val t06 = QueryDef("t06_tokens",
     (s, d) => {
@@ -573,6 +600,30 @@ object Catalog {
       .orderBy("src_a", "src_b"),
     None)
 
+  /** Exact counterpart of t08: the oracle certifies the inverted-index
+    * pairwise Jaccard; t08's MinHash estimate of the SAME quantity is
+    * spec-checked against this within sampling error (PropertySpec). */
+  private val t09 = QueryDef("t09_source_sim_exact",
+    (s, d) => TextAnalysis.sourceSimilarityExact(Tables.documents(s, d))
+      .orderBy("src_a", "src_b"),
+    Some("""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+            g AS (SELECT source, UNNEST(list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM w),
+            ds AS (SELECT DISTINCT source, sh FROM g),
+            sz AS (SELECT source, COUNT(*) AS sz FROM ds GROUP BY source),
+            iv AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS ni
+                   FROM ds a JOIN ds b ON a.sh = b.sh AND a.source < b.source
+                   GROUP BY 1, 2),
+            pr AS (SELECT x.source AS src_a, y.source AS src_b,
+                     x.sz AS sza, y.sz AS szb
+                   FROM sz x JOIN sz y ON x.source < y.source)
+            SELECT pr.src_a, pr.src_b,
+              FLOOR(COALESCE(ni, 0) / (sza + szb - COALESCE(ni, 0)) * 10000 + 0.5)
+                / 10000 AS jaccard
+            FROM pr LEFT JOIN iv ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b
+            ORDER BY pr.src_a, pr.src_b"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -596,10 +647,22 @@ object Catalog {
     "/data/1234567891_20230101000100_ch133_00.fits",
     "/data/1234567891.metafits")
 
+  private val mwaPathValues = mwaPaths.map(p => s"('$p')").mkString(", ")
+
   private val mwa01 = QueryDef("mwa01_manifest",
     (s, d) => graft.mwa.Manifest.groupByExtension(
-      graft.mwa.Manifest.fromPaths(s, mwaPaths)).orderBy("ext"),
-    None)
+      graft.mwa.Manifest.fromPaths(s, mwaPaths))
+      .select(col("ext"), array_join(col("files"), "|").as("files"))
+      .orderBy("ext"),
+    // independent re-derivation of the grouping over the same literal paths
+    Some(s"""WITH f(file_path) AS (VALUES $mwaPathValues),
+             m AS (SELECT file_path,
+                     regexp_extract(file_path, '([^/]+)$$', 1) AS name FROM f),
+             e AS (SELECT file_path,
+                     regexp_extract(name, '\\.([^./]+)$$', 1) AS ext FROM m)
+             SELECT ext,
+               array_to_string(LIST(file_path ORDER BY file_path), '|') AS files
+             FROM e GROUP BY ext ORDER BY ext"""))
 
   private val mwa02 = QueryDef("mwa02_validation",
     (s, d) => graft.mwa.Validation.validateFileSet(s,
@@ -608,7 +671,15 @@ object Catalog {
         "/d/x.unknownext", "/d/a.uvfits", "/d/b.uvh5")),
       graft.mwa.GraftConfig(selAnts = Seq(1), skipAnts = Seq(2)))
       .orderBy("code"),
-    None)
+    // expected violations for this fixed input, derived by hand from the
+    // reference's rules (configurators.py:136-185): obsids {111,x,a,b} lack
+    // metafits; sel+skip both set; 'unknownext' unsupported; uvfits+uvh5
+    Some("""SELECT * FROM (VALUES
+              ('metafits_missing_for_obsid', 'Metafits files are missing for some obsids.'),
+              ('sel_skip_conflict', 'Cannot specify both sel_ants and skip_ants.'),
+              ('unsupported_types', 'Unsupported file types found: unknownext'),
+              ('uvfits_uvh5_conflict', 'Cannot use both uvfits and uvh5 files.'))
+            AS t(code, message) ORDER BY code"""))
 
   private val mwa03 = QueryDef("mwa03_ins_spectrum",
     (s, d) => {
@@ -671,15 +742,138 @@ object Catalog {
 
   private val mwa05 = QueryDef("mwa05_observations",
     (s, d) => graft.mwa.Manifest.observations(
-      graft.mwa.Manifest.fromPaths(s, mwaPaths)).orderBy("obsid"),
-    None)
+      graft.mwa.Manifest.fromPaths(s, mwaPaths))
+      .select(col("obsid"), array_join(col("fits_files"), "|").as("fits_files"),
+        col("metafits_stem"))
+      .orderBy("obsid"),
+    Some(s"""WITH f(file_path) AS (VALUES $mwaPathValues),
+             m AS (SELECT file_path,
+                     regexp_extract(file_path, '([^/]+)$$', 1) AS name FROM f),
+             e AS (SELECT file_path,
+                     regexp_extract(name, '\\.([^./]+)$$', 1) AS ext,
+                     regexp_replace(name, '\\.[^.]*$$', '') AS stem FROM m),
+             o AS (SELECT file_path, ext, stem,
+                     split_part(stem, '_', 1) AS obsid FROM e),
+             fits AS (SELECT obsid,
+                        array_to_string(LIST(file_path ORDER BY file_path), '|')
+                          AS fits_files
+                      FROM o WHERE ext = 'fits' GROUP BY obsid),
+             meta AS (SELECT obsid, arg_min(stem, file_path) AS metafits_stem
+                      FROM o WHERE ext = 'metafits' GROUP BY obsid)
+             SELECT fits.obsid, fits_files, metafits_stem
+             FROM fits LEFT JOIN meta USING (obsid) ORDER BY obsid"""))
+
+  /** Portable-arithmetic full chain (select Auto -> diff -> INS -> z) whose
+    * values are dyadic rationals — every downstream sum is IEEE-exact and
+    * order-independent, so the DuckDB oracle reproduces the spectrum
+    * BIT-FOR-BIT with no rounding anywhere (see VisGenerator.portable). */
+  private val mwa08 = QueryDef("mwa08_portable_spectrum",
+    (s, d) => {
+      import graft.mwa._
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto)
+      VisOps.spectrum(VisGenerator.portable(s), cfg)
+        .select(col("time_idx"), col("freq_hz"), col("pol"),
+          col("metric"), col("nsamples"), col("z"))
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(t.range AS INT) AS time_idx, CAST(a.range AS INT) AS ant,
+                     CAST(f.range AS INT) AS freq_idx, p.pol AS pol, p.pi AS pi
+              FROM range(17) t, range(16) a, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)),
+            c AS (
+              SELECT time_idx, ant, freq_idx, pol,
+                ((ant*18 + freq_idx*3 + pi*17) % 64)
+                + CASE WHEN freq_idx = 5 AND time_idx BETWEEN 6 AND 9
+                       THEN 40.0 ELSE 0.0 END
+                + CASE WHEN time_idx = 12 THEN 60.0 ELSE 0.0 END
+                + ((time_idx*37 + ant*42 + freq_idx*53 + pi*71) % 128 - 64) / 64.0
+                  AS re
+              FROM g),
+            d AS (
+              SELECT time_idx, ant, freq_idx, pol,
+                LEAD(re) OVER (PARTITION BY ant, freq_idx, pol ORDER BY time_idx)
+                  - re AS dre
+              FROM c QUALIFY dre IS NOT NULL),
+            i AS (
+              SELECT time_idx, freq_idx, pol, AVG(ABS(dre)) AS metric,
+                     CAST(COUNT(*) AS DOUBLE) AS nsamples
+              FROM d GROUP BY time_idx, freq_idx, pol)
+            SELECT time_idx, 130000000.0 + freq_idx * 40000.0 AS freq_hz, pol,
+              metric, nsamples,
+              (metric / AVG(metric) OVER (PARTITION BY freq_idx, pol) - 1)
+                * SQRT(nsamples) AS z
+            FROM i ORDER BY pol, time_idx, freq_hz"""))
+
+  /** Same portable chain with flag_init in front (coarse-band edge/center
+    * channels + first integration flagged): certifies flag propagation
+    * through diff (OR), the INS unflagged-only aggregation and the
+    * zscore's null handling — still bit-exact, flags only remove terms
+    * from exact sums. */
+  private val mwa09 = QueryDef("mwa09_portable_flaginit",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 16)
+      val layout = ReadOps.FreqLayout(spec.freq0Hz, spec.dfHz, spec.nFine)
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto)
+      VisOps.spectrum(ReadOps.flagInit(VisGenerator.portable(s, spec), layout), cfg)
+        .select(col("time_idx"), col("freq_hz"), col("pol"),
+          col("metric"), col("nsamples"), col("z"))
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(t.range AS INT) AS time_idx, CAST(a.range AS INT) AS ant,
+                     CAST(f.range AS INT) AS freq_idx, p.pol AS pol, p.pi AS pi
+              FROM range(17) t, range(16) a, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)),
+            c AS (
+              SELECT time_idx, ant, freq_idx, pol,
+                ((ant*18 + freq_idx*3 + pi*17) % 64)
+                + CASE WHEN freq_idx = 5 AND time_idx BETWEEN 6 AND 9
+                       THEN 40.0 ELSE 0.0 END
+                + CASE WHEN time_idx = 12 THEN 60.0 ELSE 0.0 END
+                + ((time_idx*37 + ant*42 + freq_idx*53 + pi*71) % 128 - 64) / 64.0
+                  AS re,
+                ((freq_idx % 8) IN (0, 4, 7)) OR time_idx < 1 AS fl
+              FROM g),
+            d AS (
+              SELECT time_idx, ant, freq_idx, pol,
+                LEAD(re) OVER w - re AS dre,
+                fl OR LEAD(fl) OVER w AS dfl
+              FROM c WINDOW w AS (PARTITION BY ant, freq_idx, pol ORDER BY time_idx)
+              QUALIFY dre IS NOT NULL),
+            i AS (
+              SELECT time_idx, freq_idx, pol,
+                AVG(CASE WHEN NOT dfl THEN ABS(dre) END) AS metric,
+                SUM(CASE WHEN NOT dfl THEN 1.0 ELSE 0.0 END) AS nsamples
+              FROM d GROUP BY time_idx, freq_idx, pol)
+            SELECT time_idx, 130000000.0 + freq_idx * 40000.0 AS freq_hz, pol,
+              metric, nsamples,
+              (metric / AVG(metric) OVER (PARTITION BY freq_idx, pol) - 1)
+                * SQRT(nsamples) AS z
+            FROM i ORDER BY pol, time_idx, freq_hz"""))
 
   // --------------------------------------------------------- multimodal [EXT]
 
   private val m01 = QueryDef("m01_multimodal_stats",
     (s, d) => graft.multimodal.Multimodal.modalityStats(
       graft.multimodal.Multimodal.generate(s, 200)).orderBy("modality"),
-    None)
+    // metadata-only stats never touch the payload, so the oracle re-derives
+    // them from the generator's arithmetic: modality = id%3, payload length
+    // = 64 + id%64, width = 32 + (id%4)*16, frames = 8 for video else 1
+    Some("""WITH m AS (
+              SELECT r.range AS id,
+                CASE CAST(r.range % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+              FROM range(200) r)
+            SELECT modality, COUNT(*) AS n,
+              CAST(SUM(64 + id % 64) AS BIGINT) AS total_bytes,
+              CAST(MAX(32 + (id % 4) * 16) AS INT) AS max_width,
+              CAST(SUM(CASE WHEN modality = 'video' THEN 8 ELSE 1 END) AS BIGINT)
+                AS total_frames
+            FROM m GROUP BY modality ORDER BY modality"""))
 
   private val m02 = QueryDef("m02_media_features",
     (s, d) => {
@@ -755,8 +949,8 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, x01, x02, x03,
-    t01, t02, t03, t04, t05, t06, t07, t08, q50,
-    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, q50,
+    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09,
     m01, m02, e01, s01, s02) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -138,7 +138,11 @@ object FunctionSuites {
       .withColumn("due", expr("o_orderdate + make_interval(0, 0, week_no, 0, 0, 0, 0)"))
       .select(col("o_orderkey"), col("week_no"), col("due"))
       .orderBy("o_orderkey", "week_no"),
-    None) // exercised rows-only: interval-sequence explode + rejoin
+    Some("""SELECT o_orderkey, CAST(w.week_no AS INT) AS week_no,
+              CAST(o_orderdate + w.week_no * INTERVAL 7 DAY AS TIMESTAMP) AS due
+            FROM orders, (SELECT UNNEST(range(3)) AS week_no) w
+            WHERE o_orderkey <= 100
+            ORDER BY o_orderkey, week_no"""))
 
   private val q51 = QueryDef("q51_grouping_sets",
     (s, d) => {

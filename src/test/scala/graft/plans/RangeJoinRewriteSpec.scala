@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** RangeJoinRewrite: an un-keyed interval join must (a) stop planning as a
+  * nested-loop/cartesian product once the rule is active and (b) produce
+  * exactly the naive join's rows. */
+class RangeJoinRewriteSpec extends SparkSpec {
+
+  // runtime injection path (Verify/Bench register the same rule through
+  // spark.sql.extensions = graft.GraftExtensions)
+  spark.experimental.extraOptimizations =
+    spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite) :+
+      RangeJoinRewrite
+
+  private def eventsDf = {
+    import spark.implicits._
+    // ts in epoch seconds as timestamps; ids dense
+    (0 until 400).map { i =>
+      (i.toLong, 1700000000L + (i * 37 % 1000), s"e$i")
+    }.toDF("id", "sec", "tag")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+  }
+
+  test("un-keyed range join rewrites to a bucketed equi join") {
+    val l = eventsDf.select(col("id").as("lid"), col("ts").as("lts"))
+    val r = eventsDf.select(col("id").as("rid"), col("ts").as("rts"))
+    val naive = l.join(r,
+      col("rts") > col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 10 SECONDS"))
+    val phys = naive.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"),
+      s"rewrite did not fire:\n$phys")
+    assert(phys.contains("Generate") || phys.contains("explode"),
+      s"expected bucket explode in plan:\n$phys")
+  }
+
+  test("rewritten join returns exactly the naive result") {
+    val rows = eventsDf.select("id", "sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (li, ls) <- rows
+      (ri, rs) <- rows
+      if rs > ls && rs <= ls + 10
+    } yield (li, ri)).toSet
+
+    val l = eventsDf.select(col("id").as("lid"), col("ts").as("lts"))
+    val r = eventsDf.select(col("id").as("rid"), col("ts").as("rts"))
+    val got = l.join(r,
+        col("rts") > col("lts") &&
+          col("rts") <= col("lts") + expr("INTERVAL 10 SECONDS"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("keyed range joins are left alone (hash join already bounds them)") {
+    val l = eventsDf.select(col("id").as("lid"), (col("id") % 7).as("k"), col("ts").as("lts"))
+    val r = eventsDf.select(col("id").as("rid"), (col("id") % 7).as("k2"), col("ts").as("rts"))
+    val j = l.join(r,
+      col("k") === col("k2") && col("rts") > col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 10 SECONDS"))
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("__graft_lb"), s"rule should not fire on keyed join:\n$opt")
+  }
+
+  test("numeric (epoch-seconds) range join also rewrites") {
+    val l = eventsDf.select(col("id").as("lid"), col("sec").as("lsec"))
+    val r = eventsDf.select(col("id").as("rid"), col("sec").as("rsec"))
+    val j = l.join(r,
+      col("rsec") > col("lsec") && col("rsec") <= col("lsec") + lit(10L))
+    val phys = j.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"),
+      s"rewrite did not fire:\n$phys")
+    val rows = eventsDf.select("id", "sec").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val expected = (for {
+      (li, ls) <- rows
+      (ri, rs) <- rows
+      if rs > ls && rs <= ls + 10
+    } yield (li, ri)).toSet
+    val got = j.select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected)
+  }
+}
