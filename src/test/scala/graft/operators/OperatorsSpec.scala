@@ -208,4 +208,16 @@ class OperatorsSpec extends SparkSpec {
     val r = df.select(VectorFns.norm(col("a")), VectorFns.l2sq(col("a"), col("b"))).head
     assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 25.0)
   }
+
+  test("sourceSimilarity MinHash estimate tracks the exact union Jaccard") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val est = TextAnalysis.sourceSimilarity(docs, k = 128).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = TextAnalysis.sourceSimilarityExact(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == exact.keySet)
+    // k=128 components -> se ~ sqrt(j(1-j)/128) <= 0.045; 0.15 is >3 sigma
+    val worst = exact.map { case (k, j) => math.abs(est(k) - j) }.max
+    assert(worst <= 0.15, s"minhash estimate off by $worst")
+  }
 }
