@@ -958,6 +958,20 @@ object Catalog {
                     FROM events) g) t
             GROUP BY user_id ORDER BY user_id"""))
 
+  /** REAL stream-stream interval join (append mode, watermarked both
+    * sides), certified by the equivalent batch join in DuckDB. */
+  private val s03 = QueryDef("s03_stream_join",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s, purchaseSignupJoin(eventsStream(s, d)), outputMode = "append")
+        .orderBy("purchase_id", "signup_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+            FROM events p JOIN events s ON p.user_id = s.user_id
+              AND p.event_type = 'purchase' AND s.event_type = 'signup'
+              AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+            ORDER BY purchase_id, signup_id"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -967,7 +981,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09,
-    m01, m02, e01, s01, s02) ++ MoreQueries.all ++ FunctionSuites.all
+    m01, m02, e01, s01, s02, s03) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

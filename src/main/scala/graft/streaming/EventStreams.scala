@@ -44,6 +44,26 @@ object EventStreams {
       .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream-stream interval self-join: each purchase joined to the same
+    * user's signups in the preceding 7 days. Both sides are watermarked and
+    * the time range is bounded on both ends, so Spark can expire join state
+    * — the condition shape that keeps a stream-stream join's state finite
+    * at any scale (an unbounded condition would accumulate state forever). */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val s = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    p.join(s, col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .select("purchase_id", "signup_id")
+  }
+
   /** Watermarked streaming dedup on (user_id, event_type). */
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
