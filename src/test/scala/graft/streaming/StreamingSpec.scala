@@ -66,6 +66,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("transformWithState keeps typed RocksDB state across micro-batches") {
+    // Spark 4 StatefulProcessor API (successor to flatMapGroupsWithState);
+    // requires the RocksDB state store provider
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, Long)]
+      val q = StatefulOps.runningCounts(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, 10L), (1L, 11L), (2L, 20L))
+        q.processAllAvailable()
+        mem.addData((1L, 12L)) // state for user 1 must survive into batch 2
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 2L), (2L, 1L), (1L, 3L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stateful streaming sessionization equals the batch gaps-and-islands") {
     // arbitrary-state variant of q26: per-user session counting inside
     // flatMapGroupsWithState (sorting the group's events by time in-state)
