@@ -110,6 +110,32 @@ object TextFns {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Portable 60-bit SimHash: token hash = first 15 hex digits of md5
+    * (reproducible in any engine with md5 + hex parsing), bit j set iff the
+    * token-vote sum for bit j is positive. Same algorithm as [[simhash64]];
+    * that one's xxhash64 token hash is the fast production path, this one
+    * is the DuckDB-oracle-checkable twin (d08). */
+  def simhashPortable(text: Column): Column = {
+    val counters = aggregate(
+      transform(words(text),
+        w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")),
+      array_repeat(lit(0L), 60),
+      (acc, h) => bind(h) { hh =>
+        zip_with(
+          acc,
+          sequence(lit(0), lit(59)),
+          (c, j) => c + when(
+            call_function("shiftright", hh, j).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(59)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j))
+          .otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
+  }
+
   /** Polynomial rolling-hash fingerprint of normalized text (lowercased,
     * whitespace collapsed): h = h*31 + codepoint, wrapping in Long. */
   def rollingFingerprint(text: Column): Column = {

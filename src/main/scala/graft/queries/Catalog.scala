@@ -419,6 +419,32 @@ object Catalog {
       .orderBy("doc_id"),
     None)
 
+  /** Oracle-checkable twin of d04: the md5-token-hash SimHash, re-derived
+    * bit-for-bit by the DuckDB oracle (the xxhash64 variant d04 stays
+    * rows-only — its hash is engine-native). */
+  private val d08 = QueryDef("d08_simhash_portable",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFns.simhashPortable(col("text")).as("simhash"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+               FROM documents),
+            tok AS (SELECT doc_id, UNNEST(w) AS word FROM t),
+            h AS (SELECT doc_id,
+                    ('0x' || substring(md5(word), 1, 15))::BIGINT AS h FROM tok),
+            bits AS (SELECT doc_id, j.range AS j,
+                       SUM(CASE WHEN (h >> CAST(j.range AS INT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS c
+                     FROM h, range(60) j GROUP BY doc_id, j.range),
+            sig AS (SELECT doc_id,
+                      SUM(CASE WHEN c > 0
+                               THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)
+                        AS simhash
+                    FROM bits GROUP BY doc_id)
+            SELECT doc_id, CAST(simhash AS BIGINT) AS simhash
+            FROM sig ORDER BY doc_id"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -978,7 +1004,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, x01, x02, x03,
+    d01, d02, d03, d04, d05, d06, d07, d08, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09,
     m01, m02, e01, s01, s02, s03) ++ MoreQueries.all ++ FunctionSuites.all
