@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: turns an un-keyed interval ("range") join
   *
@@ -93,6 +93,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def bucket(ts: Expression, w: Long): Expression = {
     val asLong = ts.dataType match {
       case TimestampType => Cast(ts, LongType) // timestamp->long = epoch seconds
+      // NTZ has no direct long cast; through TIMESTAMP first (identity in a
+      // UTC session, and any fixed offset shifts both sides' buckets
+      // equally). The cast MUST carry the session timezone — a zoneless
+      // NTZ->TZ Cast is unresolved, which invalidates the plan
+      case TimestampNTZType =>
+        Cast(Cast(ts, TimestampType, Some(conf.sessionLocalTimeZone)), LongType)
       case LongType => ts
       case _ => Cast(ts, LongType)
     }
@@ -100,7 +106,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        // reentrance guard: a side that already carries a bucket column is
+        // our own rewrite output — never rebucket it (idempotence under
+        // fixpoint batches and transformDown recursion)
+        if !(left.output.iterator ++ right.output.iterator)
+          .exists(_.name.startsWith("__graft_lb")) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hasEqui = conjuncts.exists {
         case EqualTo(a, b) =>

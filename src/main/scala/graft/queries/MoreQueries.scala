@@ -159,5 +159,28 @@ object MoreQueries {
               UNION ALL SELECT n_nationkey FROM nation) t
             GROUP BY k ORDER BY k"""))
 
-  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+  /** Un-keyed interval join — the theta-join shape that Spark alone can
+    * only plan as a nested loop. The session's RangeJoinRewrite turns it
+    * into a bucketed equi join (RangeJoinRewriteSpec pins the plan); here
+    * the oracle certifies the rewrite's RESULTS end-to-end. */
+  private val q54 = QueryDef("q54_rangejoin_unkeyed",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("ts").as("pts"))
+      val g = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sid"), col("ts").as("sts"))
+      p.join(g, col("sts") > col("pts") &&
+          col("sts") <= col("pts") + expr("INTERVAL 30 SECONDS"))
+        .select("pid", "sid")
+        .orderBy("pid", "sid")
+    },
+    Some("""SELECT p.event_id AS pid, s.event_id AS sid
+            FROM events p JOIN events s
+              ON p.event_type = 'purchase' AND s.event_type = 'signup'
+              AND s.ts > p.ts AND s.ts <= p.ts + INTERVAL 30 SECOND
+            ORDER BY pid, sid"""))
+
+  val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
+    q39, q40, q54)
 }

@@ -65,6 +65,29 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!opt.contains("__graft_lb"), s"rule should not fire on keyed join:\n$opt")
   }
 
+  test("TIMESTAMP_NTZ range join rewrites and matches naive") {
+    val l = eventsDf.select(col("id").as("lid"),
+      col("ts").cast("timestamp_ntz").as("lts"))
+    val r = eventsDf.select(col("id").as("rid"),
+      col("ts").cast("timestamp_ntz").as("rts"))
+    val j = l.join(r,
+      col("rts") > col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 10 SECONDS"))
+    val phys = j.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"),
+      s"rewrite did not fire:\n$phys")
+    val rows = eventsDf.select("id", "sec").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val expected = (for {
+      (li, ls) <- rows
+      (ri, rs) <- rows
+      if rs > ls && rs <= ls + 10
+    } yield (li, ri)).toSet
+    val got = j.select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("numeric (epoch-seconds) range join also rewrites") {
     val l = eventsDf.select(col("id").as("lid"), col("sec").as("lsec"))
     val r = eventsDf.select(col("id").as("rid"), col("sec").as("rsec"))
