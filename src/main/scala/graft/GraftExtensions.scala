@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GpsSeconds(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectCheckRule(session => graft.plans.StrictPlanChecks(session))
   }
 }
