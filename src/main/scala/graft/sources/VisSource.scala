@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,22 +76,71 @@ class VisTable(spec: Spec) extends Table with SupportsRead {
 }
 
 class VisScanBuilder(spec: Spec, slice: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = VisSource.schema
+  private var pushed: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new VisScan(spec, slice, required)
+
+  /** Accept simple comparisons on the two partition axes (time_idx,
+    * coarse_chan) — the reference's `times=…`/gpubox-file selection pushed
+    * into the reader (`processors.py:170-172`). Everything is ALSO returned
+    * as a residual for Spark to re-check: pushdown here prunes partitions,
+    * it does not take over row-level evaluation. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(VisScan.supported)
+    filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new VisScan(spec, slice, required, pushed)
 }
 
-class VisScan(spec: Spec, slice: Int, required: StructType) extends Scan with Batch {
+object VisScan {
+  private val axes = Set("time_idx", "coarse_chan")
+  def supported(f: sources.Filter): Boolean = f match {
+    case sources.EqualTo(a, _) => axes(a)
+    case sources.LessThan(a, _) => axes(a)
+    case sources.LessThanOrEqual(a, _) => axes(a)
+    case sources.GreaterThan(a, _) => axes(a)
+    case sources.GreaterThanOrEqual(a, _) => axes(a)
+    case sources.In(a, _) => axes(a)
+    case _ => false
+  }
+
+  /** Does value v satisfy filter f on axis `name`? (non-matching filters
+    * pass vacuously — they constrain the other axis) */
+  private def sat(f: sources.Filter, name: String, v: Int): Boolean = f match {
+    case sources.EqualTo(a, x: Int) if a == name => v == x
+    case sources.LessThan(a, x: Int) if a == name => v < x
+    case sources.LessThanOrEqual(a, x: Int) if a == name => v <= x
+    case sources.GreaterThan(a, x: Int) if a == name => v > x
+    case sources.GreaterThanOrEqual(a, x: Int) if a == name => v >= x
+    case sources.In(a, xs) if a == name => xs.exists(_ == v)
+    case _ => true
+  }
+
+  def keepPartition(p: VisPartition, pushed: Array[sources.Filter]): Boolean =
+    pushed.forall(f => sat(f, "coarse_chan", p.coarseChan)) &&
+      (p.timeStart until p.timeEnd).exists(t =>
+        pushed.forall(f => sat(f, "time_idx", t)))
+}
+
+class VisScan(spec: Spec, slice: Int, required: StructType,
+              pushed: Array[sources.Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-vis PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     (for {
       chan <- 0 until spec.nCoarse
       t0 <- 0 until spec.nTimes by slice
-    } yield VisPartition(chan, t0, math.min(t0 + slice, spec.nTimes))
-      : InputPartition).toArray
+      p = VisPartition(chan, t0, math.min(t0 + slice, spec.nTimes))
+      if VisScan.keepPartition(p, pushed)
+    } yield p: InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new VisReaderFactory(spec, required)
 }

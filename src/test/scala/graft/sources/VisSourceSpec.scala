@@ -52,6 +52,28 @@ class VisSourceSpec extends SparkSpec {
     assert(q.count() == 8)
   }
 
+  test("filter pushdown prunes (time, chan) partitions at the source") {
+    // builder-level: time_idx < 4 with slice 2 keeps slices [0,2) and [2,4)
+    // per chan -> 4 of 8 partitions; coarse_chan = 1 halves again
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    val spec = VisGenerator.Spec(nTimes = 8, nAnts = 4, nCoarse = 2, nFine = 4)
+    def partsWith(fs: org.apache.spark.sql.sources.Filter*) = {
+      val b = new VisScanBuilder(spec, 2)
+      b.pushFilters(fs.toArray)
+      b.build().toBatch.planInputPartitions().length
+    }
+    assert(partsWith() == 8)
+    assert(partsWith(LessThan("time_idx", 4)) == 4)
+    assert(partsWith(LessThan("time_idx", 4), EqualTo("coarse_chan", 1)) == 2)
+    assert(partsWith(EqualTo("time_idx", 0)) == 2)
+
+    // end-to-end: the filtered read returns exactly the filtered rows and
+    // scans fewer partitions than the unfiltered read
+    val q = load(2).filter(col("time_idx") < 4 && col("coarse_chan") === 1)
+    assert(q.rdd.getNumPartitions == 2)
+    assert(q.count() == 4L * 10 * 4 * 2) // times x baselines x fine x pols
+  }
+
   test("the SSINS chain runs unchanged on the DSv2 source") {
     val cfg = graft.mwa.GraftConfig(removeFlaggedAnts = false)
     val ins = graft.mwa.VisOps.ins(graft.mwa.VisOps.diff(
