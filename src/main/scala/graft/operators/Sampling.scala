@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `DataFrame.sample()` draws with a per-partition RNG: the sample changes
+  * under re-partitioning, retries and engine versions — unacceptable when
+  * a corpus subset must be reproducible (and auditable) across reruns of
+  * a 100 TB job. Hash-gate sampling replaces the RNG with a pure function
+  * of each row's key: membership is stable everywhere, join-compatible
+  * (the same key samples identically in every table) and embarrassingly
+  * parallel (a scan-side filter, no shuffle at all).
+  *
+  * The hash is the first 15 hex digits of md5(key) — 60 bits, portable to
+  * any engine with md5 (the DuckDB oracle re-derives the exact sample).
+  */
+object Sampling {
+
+  /** 60-bit portable key hash (uniform on [0, 2^60)). */
+  def keyHash(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Keep rows whose hash bucket (of 1000) falls below `permille` — a
+    * deterministic ~permille/1000 sample. Scan-side filter; no shuffle. */
+  def hashSample(df: DataFrame, key: Column, permille: Int): DataFrame =
+    df.filter(pmod(keyHash(key), lit(1000L)) < permille)
+
+  /** Exactly `n` rows per stratum: the first n under the hash order (a
+    * stable pseudo-random order), ties broken by the key itself. One
+    * shuffle on the stratum columns. */
+  def stratifiedSample(df: DataFrame, strata: Seq[Column], key: Column,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(strata: _*).orderBy(keyHash(key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

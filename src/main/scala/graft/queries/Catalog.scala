@@ -650,6 +650,34 @@ object Catalog {
             FROM pr LEFT JOIN iv ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b
             ORDER BY pr.src_a, pr.src_b"""))
 
+  /** Deterministic 10% hash-gate sample — bit-stable across engines, so
+    * the oracle re-derives the EXACT membership (rand()-based sampling
+    * could never be cross-checked like this). */
+  private val t10 = QueryDef("t10_hash_sample",
+    (s, d) => graft.operators.Sampling.hashSample(
+        Tables.documents(s, d), col("doc_id"), 100)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000 < 100
+            ORDER BY doc_id"""))
+
+  /** Stratified deterministic sample: exactly 5 docs per lang, chosen by
+    * the stable hash order. */
+  private val t11 = QueryDef("t11_stratified_sample",
+    (s, d) => graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, d), Seq(col("lang")), col("doc_id"), 5)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id"),
+    Some("""SELECT lang, doc_id FROM (
+              SELECT lang, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                         doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 5 ORDER BY lang, doc_id"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -1005,7 +1033,7 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, x01, x02, x03,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, q50,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09,
     m01, m02, e01, s01, s02, s03) ++ MoreQueries.all ++ FunctionSuites.all
 

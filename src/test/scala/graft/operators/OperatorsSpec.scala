@@ -209,6 +209,33 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 25.0)
   }
 
+  test("hashSample is deterministic, near-rate and join-compatible") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val s1 = Sampling.hashSample(docs, col("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs.repartition(7), col("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // stable under re-partitioning (rand() sample is not)
+    val n = docs.count().toDouble
+    assert(s1.size > n * 0.06 && s1.size < n * 0.15, s"rate ${s1.size / n}")
+    // join-compatibility: the same keys sample identically in another table
+    val other = docs.select(col("doc_id"), col("lang"))
+    val s3 = Sampling.hashSample(other, col("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3 == s1)
+  }
+
+  test("stratifiedSample returns exactly n per stratum, deterministically") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val s = Sampling.stratifiedSample(docs, Seq(col("lang")), col("doc_id"), 5)
+    val perLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ == 5L))
+    val again = Sampling.stratifiedSample(docs, Seq(col("lang")), col("doc_id"), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == s.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("sourceSimilarity MinHash estimate tracks the exact union Jaccard") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val est = TextAnalysis.sourceSimilarity(docs, k = 128).collect()
