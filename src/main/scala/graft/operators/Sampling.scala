@@ -39,4 +39,34 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Sequence packing: assign each document to a training sequence (bin)
+    * of ~`budget` tokens. Documents are first sharded by key hash (so the
+    * cumulative sum parallelizes — a single global running sum would move
+    * every row to one task), then packed in hash order within the shard:
+    * bin = shard * 2^20 + floor(exclusive-prefix-tokens / budget).
+    * Deterministic, one shuffle, and every bin except a shard's last holds
+    * >= budget - max_doc_tokens of payload (the classic streaming-packing
+    * bound). Adds `seq_id` and `seq_offset` (token start within the bin's
+    * running stream). */
+  def packSequences(df: DataFrame, key: Column, tokens: Column,
+                    budget: Int, shards: Int): DataFrame = {
+    val shard = pmod(keyHash(key), lit(shards.toLong))
+    val w = Window.partitionBy(shard).orderBy(keyHash(key), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIncl = sum(tokens).over(w)
+    val cumExcl = cumIncl - tokens
+    // integral division, not floor(double/): a double quotient silently
+    // loses exactness once cumulative tokens pass 2^53 (real at corpus
+    // scale)
+    def intDiv(a: Column, b: Long): Column = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b)))
+    df.withColumn("__shard", shard)
+      .withColumn("seq_id",
+        (col("__shard") * (1L << 20)) + intDiv(cumExcl, budget.toLong))
+      .withColumn("seq_offset", pmod(cumExcl, lit(budget.toLong)))
+      .drop("__shard")
+  }
 }

@@ -678,6 +678,32 @@ object Catalog {
               FROM documents) t
             WHERE rn <= 5 ORDER BY lang, doc_id"""))
 
+  /** Sequence packing: documents assigned to ~512-token training bins in
+    * 4 hash shards — exact-arithmetic bin ids, so the oracle re-derives
+    * the packing bit-for-bit. */
+  private val t12 = QueryDef("t12_seq_packing",
+    (s, d) => {
+      val docs = Tables.documents(s, d).withColumn("n_tok",
+        size(graft.functions.TextFns.words(col("text"))).cast("long"))
+      graft.operators.Sampling.packSequences(docs, col("doc_id"),
+          col("n_tok"), budget = 512, shards = 4)
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS BIGINT) AS n_tok
+               FROM documents),
+            c AS (SELECT doc_id, h % 4 AS shard, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) - n_tok AS cum
+                  FROM t)
+            SELECT doc_id, shard * 1048576 + cum // 512 AS seq_id,
+              cum % 512 AS seq_offset
+            FROM c ORDER BY doc_id"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -1033,7 +1059,7 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, x01, x02, x03,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, q50,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09,
     m01, m02, e01, s01, s02, s03) ++ MoreQueries.all ++ FunctionSuites.all
 

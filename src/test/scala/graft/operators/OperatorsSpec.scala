@@ -236,6 +236,24 @@ class OperatorsSpec extends SparkSpec {
     assert(again == s.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("packSequences: contiguous bins per shard, bounded offsets, stable") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .withColumn("n_tok", size(TextFns.words(col("text"))).cast("long"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(d, col("doc_id"), col("n_tok"), 512, 4)
+        .select("doc_id", "seq_id", "seq_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val p = run(docs)
+    assert(p.forall { case (_, _, off) => off >= 0 && off < 512 })
+    // bins within each shard are contiguous from 0 (no holes in packing)
+    p.groupBy(_._2 >> 20).foreach { case (_, rows) =>
+      val bins = rows.map(t => t._2 & ((1L << 20) - 1)).toSet
+      assert((0L to bins.max).forall(bins.contains), s"holes in $bins")
+    }
+    // identical assignment regardless of input partitioning
+    assert(run(docs.repartition(7)).toSet == p.toSet)
+  }
+
   test("sourceSimilarity MinHash estimate tracks the exact union Jaccard") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val est = TextAnalysis.sourceSimilarity(docs, k = 128).collect()
