@@ -118,6 +118,44 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over an undirected near-duplicate pair list
+    * (id_a < id_b): every document gets the MIN doc id of its duplicate
+    * cluster as `cluster_id` — the "group duplicates, then keep one
+    * survivor per group" step that follows pair generation in a dedup
+    * pipeline.
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the elementwise minimum; converges in O(graph
+    * diameter) rounds — near-dup clusters are short chains, so single
+    * digits in practice. Each round is two hash shuffles on ids;
+    * `localCheckpoint` cuts the growing lineage exactly like the k-means
+    * loop (Ivf.fitCentroids). At extreme scale the same loop upgrades to
+    * the large-star/small-star edge-rewriting variant; the operator
+    * contract (id -> min-of-component) is unchanged. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      iter += 1
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard over all pairs of a (small / pre-filtered) slice.
     * This is the verification-grade variant: O(n^2) pairs, so callers must
     * bound n (the LSH variants are the scale path). */

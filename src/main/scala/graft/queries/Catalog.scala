@@ -445,6 +445,38 @@ object Catalog {
             SELECT doc_id, CAST(simhash AS BIGINT) AS simhash
             FROM sig ORDER BY doc_id"""))
 
+  /** Pairs -> duplicate clusters (connected components), the survivor-
+    * selection step after near-dup pair generation. Spark runs LSH +
+    * min-label propagation; the oracle recomputes all >= 0.7 pairs
+    * exactly and closes them with a recursive CTE — a hash match
+    * certifies BOTH the LSH pair recall and the clustering. */
+  private val d09 = QueryDef("d09_dup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 3, k = 128, bands = 32, threshold = 0.7)
+      Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+            w AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE doc_id < 200),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.sh, b.sh)) /
+                        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (SELECT a, b FROM e
+                            UNION
+                            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -1058,7 +1090,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, x01, x02, x03,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09,
     m01, m02, e01, s01, s02, s03) ++ MoreQueries.all ++ FunctionSuites.all

@@ -209,6 +209,15 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 25.0)
   }
 
+  test("duplicateClusters labels every node with its component minimum") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (11L, 12L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.duplicateClusters(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("hashSample is deterministic, near-rate and join-compatible") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val s1 = Sampling.hashSample(docs, col("doc_id"), 100)
