@@ -89,6 +89,32 @@ object RelationalOps {
       .drop("__lb")
   }
 
+  /** Resample an event series to a fixed grid with last-observation-
+    * carried-forward: one grid row per key per `stepHours`, covering
+    * [trunc(min ts), max ts], valued by the latest event at-or-before the
+    * grid instant (null before the first event).
+    *
+    * Shape: per-key bounds (one agg) -> sequence explode (no shuffle) ->
+    * [[asOfJoin]] (union + running last, single shuffle on the key). The
+    * right side is deduplicated to the max-`tieBreak` row per (key, ts)
+    * first — without that, equal-timestamp events would make the carried
+    * value depend on partition order. */
+  def resampleLocf(events: DataFrame, key: String, tsCol: String,
+                   valueCol: String, stepHours: Int,
+                   tieBreak: String): DataFrame = {
+    val ev = dedupFirst(events.select(col(key), col(tsCol), col(valueCol),
+        col(tieBreak)),
+      Seq(col(key), col(tsCol)), Seq(col(tieBreak).desc))
+      .drop(tieBreak)
+    val bounds = ev.groupBy(key)
+      .agg(date_trunc("hour", min(col(tsCol))).as("__t0"),
+        max(col(tsCol)).as("__t1"))
+    val grid = bounds.select(col(key),
+      explode(sequence(col("__t0"), col("__t1"),
+        expr(s"INTERVAL $stepHours HOURS"))).as("grid_ts"))
+    asOfJoin(grid, ev, key, "grid_ts", tsCol, Seq(valueCol -> "locf"))
+  }
+
   /** Skew-mitigating equi join: the left (large, skewed) side gets a
     * random-free deterministic salt derived from a high-cardinality column,
     * the right side is exploded across all salt values, and the join runs

@@ -1036,6 +1036,28 @@ object Catalog {
               epoch_us(ts)/1000000.0 - 315964800 + 18 AS gps
             FROM events ORDER BY event_id"""))
 
+  /** Time-series resampling to a 6-hour grid with LOCF. Values are
+    * carried verbatim (no arithmetic), so the oracle's correlated
+    * latest-at-or-before lookup matches exactly; the equal-timestamp
+    * tie-break (max event_id) is pinned on both sides. */
+  private val e02 = QueryDef("e02_resample_locf",
+    (s, d) => RelationalOps.resampleLocf(Tables.events(s, d),
+        "user_id", "ts", "value", stepHours = 6, tieBreak = "event_id")
+      .select(col("user_id"), col("grid_ts"), col("locf"))
+      .orderBy("user_id", "grid_ts"),
+    Some("""WITH b AS (SELECT user_id,
+                 CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP) AS t0,
+                 CAST(MAX(ts) AS TIMESTAMP) AS t1
+               FROM events GROUP BY user_id),
+            grid AS (SELECT user_id,
+                 UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS grid_ts
+               FROM b)
+            SELECT g.user_id, g.grid_ts,
+              (SELECT e.value FROM events e
+               WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+               ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS locf
+            FROM grid g ORDER BY g.user_id, g.grid_ts"""))
+
   // ---------------------------------------------------------- streaming [EXT]
 
   /** REAL Structured Streaming executions (memory sink, run to completion
@@ -1093,7 +1115,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09,
-    m01, m02, e01, s01, s02, s03) ++ MoreQueries.all ++ FunctionSuites.all
+    m01, m02, e01, e02, s01, s02, s03) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
