@@ -102,7 +102,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case LongType => ts
       case _ => Cast(ts, LongType)
     }
-    IntegralDivide(asLong, Literal(w))
+    // FLOOR division, not bare IntegralDivide: truncation-toward-zero is
+    // still monotone with bucket width >= w (so correct), but it creates
+    // one double-width bucket straddling zero — for pre-1970 epochs that
+    // bucket matches ~2x the rows it needs to. (x - pmod(x, w)) / w
+    // floors for any sign, keeping every bucket exactly w wide.
+    IntegralDivide(Subtract(asLong, Pmod(asLong, Literal(w))), Literal(w))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {

@@ -88,6 +88,27 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("negative epochs (pre-1970) bucket correctly — no dropped matches") {
+    import spark.implicits._
+    // seconds straddling zero; truncating division would split bucket -1
+    // incorrectly at the 0 boundary
+    val df = (-50L to 50L by 3).map(s => (s, s)).toDF("id", "sec")
+    val l = df.select(col("id").as("lid"), col("sec").as("lsec"))
+    val r = df.select(col("id").as("rid"), col("sec").as("rsec"))
+    val j = l.join(r,
+      col("rsec") > col("lsec") && col("rsec") <= col("lsec") + lit(10L))
+    val phys = j.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"))
+    val rows = df.collect().map(x => (x.getLong(0), x.getLong(1)))
+    val expected = (for {
+      (li, ls) <- rows; (ri, rs) <- rows
+      if rs > ls && rs <= ls + 10
+    } yield (li, ri)).toSet
+    val got = j.select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("numeric (epoch-seconds) range join also rewrites") {
     val l = eventsDf.select(col("id").as("lid"), col("sec").as("lsec"))
     val r = eventsDf.select(col("id").as("rid"), col("sec").as("rsec"))
