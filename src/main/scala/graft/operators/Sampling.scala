@@ -51,11 +51,14 @@ object Sampling {
     * running stream). */
   def packSequences(df: DataFrame, key: Column, tokens: Column,
                     budget: Int, shards: Int): DataFrame = {
-    val shard = pmod(keyHash(key), lit(shards.toLong))
-    val w = Window.partitionBy(shard).orderBy(keyHash(key), key)
+    // materialize the shard once and emit BOTH derived columns in ONE
+    // projection: separate withColumn layers re-instantiate the window
+    // spec with fresh expression ids, and the analyzer then plans TWO
+    // Window operators — two shuffles for what is one pass
+    val withShard = df.withColumn("__shard", pmod(keyHash(key), lit(shards.toLong)))
+    val w = Window.partitionBy(col("__shard")).orderBy(keyHash(key), key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumIncl = sum(tokens).over(w)
-    val cumExcl = cumIncl - tokens
+    val cumExcl = sum(tokens).over(w) - tokens
     // integral division, not floor(double/): a double quotient silently
     // loses exactness once cumulative tokens pass 2^53 (real at corpus
     // scale)
@@ -63,10 +66,8 @@ object Sampling {
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.catalyst.expressions.Literal(b)))
-    df.withColumn("__shard", shard)
-      .withColumn("seq_id",
-        (col("__shard") * (1L << 20)) + intDiv(cumExcl, budget.toLong))
-      .withColumn("seq_offset", pmod(cumExcl, lit(budget.toLong)))
-      .drop("__shard")
+    withShard.select(df.columns.map(col) ++ Seq(
+      ((col("__shard") * (1L << 20)) + intDiv(cumExcl, budget.toLong)).as("seq_id"),
+      pmod(cumExcl, lit(budget.toLong)).as("seq_offset")): _*)
   }
 }

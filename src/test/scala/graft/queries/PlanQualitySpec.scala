@@ -10,6 +10,13 @@ import graft.SparkSpec
   * incident. */
 class PlanQualitySpec extends SparkSpec {
 
+  // the shared test session has no spark.sql.extensions; install the
+  // rewrite the same way RangeJoinRewriteSpec does (production sessions
+  // get it via GraftExtensions)
+  spark.experimental.extraOptimizations =
+    spark.experimental.extraOptimizations
+      .filterNot(_ == graft.plans.RangeJoinRewrite) :+ graft.plans.RangeJoinRewrite
+
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String =
@@ -62,5 +69,30 @@ class PlanQualitySpec extends SparkSpec {
   test("d06: LSH candidate generation joins on equi keys") {
     val p = plan("d06_minhash_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t10: hash-gate sampling is a scan-side filter — zero shuffles") {
+    val df = graft.operators.Sampling.hashSample(
+      graft.Tables.documents(spark, dir),
+      org.apache.spark.sql.functions.col("doc_id"), 100)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+
+  test("t12: sequence packing shuffles exactly once (the shard window)") {
+    val docs = graft.Tables.documents(spark, dir)
+      .withColumn("n_tok", org.apache.spark.sql.functions.size(
+        graft.functions.TextFns.words(
+          org.apache.spark.sql.functions.col("text"))).cast("long"))
+    val df = graft.operators.Sampling.packSequences(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("n_tok"), 512, 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("Exchange").length - 1 == 1, s"expected ONE Exchange:\n$p")
+  }
+
+  test("q54: un-keyed interval join plans as hash join via the rewrite") {
+    val p = plan("q54_rangejoin_unkeyed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 }
