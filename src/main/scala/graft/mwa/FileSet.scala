@@ -51,7 +51,7 @@ final class FileSet(spark: SparkSession, val files: Seq[String],
 
   /** (obsid, metafits stem, fits files) per observation. */
   def observations(): Seq[(String, String, Seq[String])] =
-    Manifest.observations(manifest).collect()
+    Manifest.observations(manifest).collect().toIndexedSeq
       .map(r => (r.getString(0), r.getAs[String]("metafits_stem"),
         r.getSeq[String](1)))
 }

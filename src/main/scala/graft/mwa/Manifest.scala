@@ -89,5 +89,5 @@ object Manifest {
 
   /** G7: total size (`configurators.py:263-265`). */
   def totalSizeMb(manifest: DataFrame): Long =
-    manifest.agg(coalesce(sum(col("size_mb")), lit(0L))).head.getLong(0)
+    manifest.agg(coalesce(sum(col("size_mb")), lit(0L))).head().getLong(0)
 }

@@ -57,7 +57,7 @@ object ReadOps {
     val template = withPos
       .groupBy("__pos")
       .agg(avg(when(!col("flag"), amp)).as("__gain"))
-    val meanGain = template.agg(avg("__gain")).head.getDouble(0)
+    val meanGain = template.agg(avg("__gain")).head().getDouble(0)
     withPos
       .join(broadcast(template), Seq("__pos"))
       .withColumn("__g", col("__gain") / meanGain)

@@ -66,7 +66,7 @@ object Sampling {
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.catalyst.expressions.Literal(b)))
-    withShard.select(df.columns.map(col) ++ Seq(
+    withShard.select(df.columns.toIndexedSeq.map(col) ++ Seq(
       ((col("__shard") * (1L << 20)) + intDiv(cumExcl, budget.toLong)).as("seq_id"),
       pmod(cumExcl, lit(budget.toLong)).as("seq_offset")): _*)
   }
