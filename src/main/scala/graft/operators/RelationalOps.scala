@@ -80,8 +80,14 @@ object RelationalOps {
                         key: String, leftTs: String, rightTs: String,
                         windowSeconds: Long): DataFrame = {
     val b = windowSeconds
-    val l = left.withColumn("__lb", (col(leftTs).cast("timestamp").cast("long") / b).cast("long"))
-    val r = right.withColumn("__rb", (col(rightTs).cast("timestamp").cast("long") / b).cast("long"))
+    // same floor-bucket as the optimizer rule (every bucket exactly b wide
+    // for any sign of the epoch — a truncating division would double up the
+    // bucket straddling zero for pre-1970 timestamps)
+    def bucket(c: Column): Column = org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.RangeJoinRewrite.bucketOf(
+        org.apache.spark.sql.graft.Bridge.expression(c.cast("timestamp")), b))
+    val l = left.withColumn("__lb", bucket(col(leftTs)))
+    val r = right.withColumn("__rb", bucket(col(rightTs)))
     val rBoth = r.withColumn("__lb", explode(array(col("__rb"), col("__rb") - 1))).drop("__rb")
     l.join(rBoth, Seq(key, "__lb"))
       .filter(col(rightTs) > col(leftTs) &&

@@ -44,11 +44,15 @@ object Sampling {
     * of ~`budget` tokens. Documents are first sharded by key hash (so the
     * cumulative sum parallelizes — a single global running sum would move
     * every row to one task), then packed in hash order within the shard:
-    * bin = shard * 2^20 + floor(exclusive-prefix-tokens / budget).
-    * Deterministic, one shuffle, and every bin except a shard's last holds
-    * >= budget - max_doc_tokens of payload (the classic streaming-packing
-    * bound). Adds `seq_id` and `seq_offset` (token start within the bin's
-    * running stream). */
+    * bin = shard * 2^40 + floor(exclusive-prefix-tokens / budget).
+    * The 2^40 shard stride keeps bin ids collision-free up to 2^40 bins
+    * (~562 TRILLION tokens per shard at budget=512) — a 2^20 stride would
+    * silently alias bins into the next shard's number space at ~537M
+    * tokens/shard, real at corpus scale. seq_id stays within Long for any
+    * shards <= 2^23. Deterministic, one shuffle, and every bin except a
+    * shard's last holds >= budget - max_doc_tokens of payload (the classic
+    * streaming-packing bound). Adds `seq_id` and `seq_offset` (token start
+    * within the bin's running stream). */
   def packSequences(df: DataFrame, key: Column, tokens: Column,
                     budget: Int, shards: Int): DataFrame = {
     // materialize the shard once and emit BOTH derived columns in ONE
@@ -67,7 +71,7 @@ object Sampling {
         org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.catalyst.expressions.Literal(b)))
     withShard.select(df.columns.toIndexedSeq.map(col) ++ Seq(
-      ((col("__shard") * (1L << 20)) + intDiv(cumExcl, budget.toLong)).as("seq_id"),
+      ((col("__shard") * (1L << 40)) + intDiv(cumExcl, budget.toLong)).as("seq_id"),
       pmod(cumExcl, lit(budget.toLong)).as("seq_offset")): _*)
   }
 }

@@ -89,16 +89,24 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** Epoch-seconds bucket id of a timestamp/numeric column. */
-  private def bucket(ts: Expression, w: Long): Expression = {
+  /** Epoch-seconds bucket id of a timestamp/numeric expression. Callers
+    * must pass the bound expression AS WRITTEN in the predicate (coercion
+    * casts included), so the bucketed number line is exactly the one the
+    * residual predicate compares on. Shared with
+    * RelationalOps.rangeJoinBucketed via [[bucketOf]]. */
+  private[graft] def bucketOf(ts: Expression, w: Long): Expression = {
     val asLong = ts.dataType match {
       case TimestampType => Cast(ts, LongType) // timestamp->long = epoch seconds
-      // NTZ has no direct long cast; through TIMESTAMP first (identity in a
-      // UTC session, and any fixed offset shifts both sides' buckets
-      // equally). The cast MUST carry the session timezone — a zoneless
-      // NTZ->TZ Cast is unresolved, which invalidates the plan
+      // Pure-NTZ predicates compare on the LOCAL-time number line, so the
+      // bucket must be computed on that same line. Casting through the
+      // SESSION zone is only difference-preserving for fixed-offset zones —
+      // across a DST fall-back two NTZ values 8s apart land ~3608s apart in
+      // epoch seconds, >1 bucket, silently dropping matches. A fixed UTC
+      // zone makes NTZ->TIMESTAMP exactly the local number line for every
+      // session zone. (A zoneless NTZ->TZ Cast would be unresolved, which
+      // is why the zone is pinned explicitly.)
       case TimestampNTZType =>
-        Cast(Cast(ts, TimestampType, Some(conf.sessionLocalTimeZone)), LongType)
+        Cast(Cast(ts, TimestampType, Some("UTC")), LongType)
       case LongType => ts
       case _ => Cast(ts, LongType)
     }
@@ -135,12 +143,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if conjuncts.flatMap(lowerBound).exists { case (r2, l2) =>
             sameAttr(r2, ub.rts) && sameAttr(l2, ub.lts)
           }
-        } yield (rAttr, lAttr, ub.wSec)
-        bounds.map { case (rAttr, lAttr, w) =>
+        } yield ub
+        bounds.map { ub =>
+          val w = ub.wSec
           val lb = AttributeReference("__graft_lb", LongType, nullable = true)()
           val rb = AttributeReference("__graft_rb", LongType, nullable = true)()
-          val newLeft = Project(left.output :+ Alias(bucket(lAttr, w), lb.name)(lb.exprId), left)
-          val rBucketed = Project(right.output :+ Alias(bucket(rAttr, w), rb.name)(rb.exprId), right)
+          // bucket the bound EXPRESSIONS as written (coercion casts and
+          // all), not the stripped attributes: for mixed TZ/NTZ predicates
+          // the comparison happens after coercion, and bucketing anything
+          // else would bucket a different number line than the predicate
+          val newLeft = Project(left.output :+ Alias(bucketOf(ub.lts, w), lb.name)(lb.exprId), left)
+          val rBucketed = Project(right.output :+ Alias(bucketOf(ub.rts, w), rb.name)(rb.exprId), right)
           // right rows land in their own bucket and the previous one, so a
           // left bucket always holds every right row within (lts, lts + W]
           val gen = Generate(

@@ -732,7 +732,7 @@ object Catalog {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       AS BIGINT) - n_tok AS cum
                   FROM t)
-            SELECT doc_id, shard * 1048576 + cum // 512 AS seq_id,
+            SELECT doc_id, shard * 1099511627776 + cum // 512 AS seq_id,
               cum % 512 AS seq_offset
             FROM c ORDER BY doc_id"""))
 

@@ -1,5 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.scalatest.BeforeAndAfterAll
 import graft.SparkSpec
 
 /** Plan-quality gates: these assertions pin the physical-plan properties
@@ -8,14 +11,23 @@ import graft.SparkSpec
   * silently turns a broadcast join into a cross join, or lifts a filter
   * off the scan, fails here long before it would show up as a 100 TB
   * incident. */
-class PlanQualitySpec extends SparkSpec {
+class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
 
   // the shared test session has no spark.sql.extensions; install the
-  // rewrite the same way RangeJoinRewriteSpec does (production sessions
-  // get it via GraftExtensions)
-  spark.experimental.extraOptimizations =
-    spark.experimental.extraOptimizations
-      .filterNot(_ == graft.plans.RangeJoinRewrite) :+ graft.plans.RangeJoinRewrite
+  // rewrite the same way RangeJoinRewriteSpec does (production sessions get
+  // it via GraftExtensions), restoring on exit so other suites' plan-shape
+  // assertions stay order-independent
+  private var saved: Seq[Rule[LogicalPlan]] = Nil
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.RangeJoinRewrite) :+ graft.plans.RangeJoinRewrite
+  }
+  override def afterAll(): Unit = {
+    spark.experimental.extraOptimizations = saved
+    super.afterAll()
+  }
 
   private val dir = "/root/testdata/sf0.001"
 
