@@ -1106,6 +1106,25 @@ object Catalog {
               AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
             ORDER BY purchase_id, signup_id"""))
 
+  /** REAL sliding-window streaming aggregation (1h window, 15m slide — the
+    * §2.10 variant tumbling/session didn't cover). The oracle enumerates
+    * each event's 4 containing windows explicitly: window starts are the
+    * 15-minute-aligned instants in (ts - 1h, ts]. */
+  private val s04 = QueryDef("s04_stream_sliding",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s, slidingCounts(eventsStream(s, d)))
+        .select(col("w").cast("timestamp_ntz").as("w"), col("event_type"),
+          col("n"), col("sv"))
+        .orderBy("w", "event_type")
+    },
+    Some("""SELECT make_timestamp((epoch_us(ts) // 1000000 // 900 - j.range) * 900
+                     * 1000000) AS w,
+              event_type, COUNT(*) AS n,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+            FROM events, range(4) j
+            GROUP BY w, event_type ORDER BY w, event_type"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -1115,7 +1134,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09,
-    m01, m02, e01, e02, s01, s02, s03) ++ MoreQueries.all ++ FunctionSuites.all
+    m01, m02, e01, e02, s01, s02, s03, s04) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

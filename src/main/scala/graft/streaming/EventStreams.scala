@@ -37,6 +37,18 @@ object EventStreams {
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sv"))
       .select(col("win.start").as("w"), col("event_type"), col("n"), col("sv"))
 
+  /** Sliding hourly aggregation, 15-minute slide: every event contributes
+    * to exactly 4 overlapping windows (1h / 15m). Same shape as
+    * [[hourlyCounts]] but with the slide argument — Spark expands each row
+    * into its windows before the aggregation, so the shuffle carries
+    * (window, type) partial aggregates, never 4x the raw events. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sv"))
+      .select(col("win.start").as("w"), col("event_type"), col("n"), col("sv"))
+
   /** Session windows per user (30-minute gap) — streaming twin of
     * q26_sessionize (session counts per user). */
   def userSessions(events: DataFrame): DataFrame =
