@@ -137,33 +137,44 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      iter += 1
+    // the changed flag rides the label join itself: a LAZY localCheckpoint
+    // is materialized by the convergence count below, so each round runs
+    // exactly ONE distributed job (the old shape ran a second full count
+    // job per round — 2x the scheduling cost at scale)
+    def round(lbls: DataFrame): (DataFrame, Long) = {
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
+        .join(lbls.select(col("id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
-      // the changed flag rides the label join itself: a LAZY localCheckpoint
-      // is materialized by the convergence count below, so each round runs
-      // exactly ONE distributed job (the old shape ran a second full count
-      // job per round — 2x the scheduling cost at scale)
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = lbls.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
             .as("cluster_id"),
           (col("nl") < col("cluster_id")).as("__changed"))
         .localCheckpoint(false)
-      changed = next.filter(col("__changed")).count()
-      labels = next.drop("__changed")
+      val ch = next.filter(col("__changed")).count()
+      (next.drop("__changed"), ch)
     }
-    // a component with diameter > maxIters would exit here with labels that
-    // violate the id -> min-of-component contract; surface it instead of
-    // silently returning multiple survivors per true cluster
-    if (changed > 0) throw new IllegalStateException(
-      s"duplicateClusters did not converge after $maxIters rounds " +
-        s"($changed labels still changing); raise maxIters or switch to " +
-        "the large-star/small-star variant for extreme-diameter graphs")
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      iter += 1
+      val (next, ch) = round(labels)
+      labels = next; changed = ch
+    }
+    if (changed > 0) {
+      // changes IN the final permitted round do not prove non-convergence —
+      // propagation may have completed exactly on round maxIters. Run one
+      // confirming round: if it is a no-op the labels are converged; only a
+      // still-moving graph violates the id -> min-of-component contract,
+      // and that is surfaced instead of silently returning multiple
+      // survivors per true cluster.
+      val (next, ch) = round(labels)
+      labels = next
+      if (ch > 0) throw new IllegalStateException(
+        s"duplicateClusters did not converge after $maxIters rounds " +
+          s"($ch labels still changing); raise maxIters or switch to " +
+          "the large-star/small-star variant for extreme-diameter graphs")
+    }
     labels
   }
 

@@ -82,12 +82,27 @@ object RelationalOps {
     val b = windowSeconds
     // same floor-bucket as the optimizer rule (every bucket exactly b wide
     // for any sign of the epoch — a truncating division would double up the
-    // bucket straddling zero for pre-1970 timestamps)
-    def bucket(c: Column): Column = org.apache.spark.sql.graft.Bridge.column(
-      graft.plans.RangeJoinRewrite.bucketOf(
-        org.apache.spark.sql.graft.Bridge.expression(c.cast("timestamp")), b))
-    val l = left.withColumn("__lb", bucket(col(leftTs)))
-    val r = right.withColumn("__rb", bucket(col(rightTs)))
+    // bucket straddling zero for pre-1970 timestamps). Datetime columns are
+    // passed to bucketOf UNCAST: the residual filter below compares the raw
+    // columns, so the bucket must live on the same number line — a
+    // .cast("timestamp") here would route TIMESTAMP_NTZ through the session
+    // zone, splitting bucket and predicate onto different lines across a
+    // DST transition (bucketOf's NTZ branch pins UTC instead).
+    def bucket(df: DataFrame, name: String): Column = {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      // df(name), not col(name): bucketOf dispatches on the EXPRESSION's
+      // dataType, so it must see a plan-resolved attribute, not an
+      // UnresolvedAttribute
+      val c = df.schema(name).dataType match {
+        case TimestampType | TimestampNTZType => df(name)
+        case _ => df(name).cast("timestamp")
+      }
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.plans.RangeJoinRewrite.bucketOf(
+          org.apache.spark.sql.graft.Bridge.expression(c), b))
+    }
+    val l = left.withColumn("__lb", bucket(left, leftTs))
+    val r = right.withColumn("__rb", bucket(right, rightTs))
     val rBoth = r.withColumn("__lb", explode(array(col("__rb"), col("__rb") - 1))).drop("__rb")
     l.join(rBoth, Seq(key, "__lb"))
       .filter(col(rightTs) > col(leftTs) &&

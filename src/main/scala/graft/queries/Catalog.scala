@@ -348,7 +348,7 @@ object Catalog {
   private val q27 = QueryDef("q27_wordcount",
     (s, d) => TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 20),
     Some("""SELECT word, COUNT(*) AS n FROM (
-              SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
+              SELECT UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word FROM documents) t
             WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20"""),
     bench = true)
 
@@ -398,7 +398,7 @@ object Catalog {
         Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 3, 0.0)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20),
-    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+    Some("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
                        FROM documents WHERE doc_id < 100),
             g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w)
@@ -428,7 +428,7 @@ object Catalog {
         graft.functions.TextFns.simhashPortable(col("text")).as("simhash"))
       .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id,
-                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
                FROM documents),
             tok AS (SELECT doc_id, UNNEST(w) AS word FROM t),
             h AS (SELECT doc_id,
@@ -460,7 +460,7 @@ object Catalog {
         .orderBy("doc_id")
     },
     Some("""WITH RECURSIVE
-            w AS (SELECT doc_id, string_split(text, ' ') AS w
+            w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
                   FROM documents WHERE doc_id < 200),
             g AS (SELECT doc_id, list_distinct(list_transform(
                     range(1, len(w)-1),
@@ -497,7 +497,7 @@ object Catalog {
       .select(col("id_a"), col("id_b"),
         (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
       .orderBy("id_a", "id_b"),
-    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    Some("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
             g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -560,13 +560,13 @@ object Catalog {
   private val t01 = QueryDef("t01_text_stats",
     (s, d) => TextAnalysis.textStats(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""SELECT doc_id,
-              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-              CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
-              FLOOR(len(list_distinct(string_split(text, ' '))) /
-                    GREATEST(len(string_split(text, ' ')), 1) * 10000 + 0.5) / 10000 AS ttr,
+              CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS INT) AS n_distinct,
+              FLOOR(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) /
+                    GREATEST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1) * 10000 + 0.5) / 10000 AS ttr,
               CAST(LENGTH(text) AS INT) AS n_chars,
-              FLOOR((LENGTH(text) - (len(string_split(text, ' ')) - 1)) /
-                    GREATEST(len(string_split(text, ' ')), 1) * 10000 + 0.5) / 10000 AS avg_word_len
+              FLOOR((LENGTH(text) - (len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) - 1)) /
+                    GREATEST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1) * 10000 + 0.5) / 10000 AS avg_word_len
             FROM documents ORDER BY doc_id"""),
     bench = true)
 
@@ -589,9 +589,9 @@ object Catalog {
   private val t04 = QueryDef("t04_quality",
     (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""SELECT doc_id, FLOOR((
-              0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
-              + 0.3 * (len(list_distinct(string_split(text, ' '))) /
-                       GREATEST(len(string_split(text, ' ')), 1))
+              0.4 * LEAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) / 50.0, 1.0)
+              + 0.3 * (len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) /
+                       GREATEST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1))
               + 0.3 * (LENGTH(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
                        GREATEST(LENGTH(text), 1))) * 10000 + 0.5) / 10000 AS quality
             FROM documents ORDER BY doc_id"""))
@@ -602,7 +602,7 @@ object Catalog {
     // lexicographically greatest lang on BOTH sides (Spark greatest() on
     // (score, lang) structs == DuckDB list_sort of structs, last element)
     Some("""WITH w AS (SELECT doc_id,
-                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
                FROM documents),
             b AS (SELECT doc_id, list_sort([
                  {'score': len(list_filter(w, x -> list_contains(
@@ -623,24 +623,38 @@ object Catalog {
                    THEN struct_extract(best, 'lang') ELSE 'und' END AS pred_lang
             FROM b ORDER BY doc_id"""))
 
+  /** Token counting; the unioned doc_id=-1 row contains tabs, a newline
+    * and a double space, pinning the tokenization CONTRACT cross-engine:
+    * the engine splits on \s+ (dropping empties), and the oracle's
+    * regexp_split_to_array must agree — a single-space split would count
+    * 'and\nnewline' as one token and silently diverge. */
   private val t06 = QueryDef("t06_tokens",
     (s, d) => {
       import graft.functions.TextFns
-      Tables.documents(s, d).select(col("doc_id"),
-        size(TextFns.words(col("text"))).cast("int").as("n_ws"),
-        TextFns.tokenCount(col("text")).cast("int").as("n_re"))
+      val tabRow = s.range(1).select(lit(-1L).as("doc_id"),
+        lit("tab\tsep  and\nnewline\t.").as("text"))
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(tabRow)
+        .select(col("doc_id"),
+          size(TextFns.words(col("text"))).cast("int").as("n_ws"),
+          TextFns.tokenCount(col("text")).cast("int").as("n_re"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id,
-              CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+    Some("""WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT -1, 'tab' || chr(9) || 'sep  and' || chr(10) ||
+                         'newline' || chr(9) || '.')
+            SELECT doc_id,
+              CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_ws,
               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_re
-            FROM documents ORDER BY doc_id"""))
+            FROM docs ORDER BY doc_id"""))
 
   private val t07 = QueryDef("t07_tfidf",
     (s, d) => TextAnalysis.tfIdf(Tables.documents(s, d), 3)
       .filter(col("doc_id") < 50)
       .orderBy("doc_id", "rnk"),
-    Some("""WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+    Some("""WITH w AS (SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word FROM documents),
             tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w WHERE word <> '' GROUP BY doc_id, word),
             df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w WHERE word <> '' GROUP BY word),
             s AS (SELECT doc_id, word,
@@ -664,7 +678,7 @@ object Catalog {
   private val t09 = QueryDef("t09_source_sim_exact",
     (s, d) => TextAnalysis.sourceSimilarityExact(Tables.documents(s, d))
       .orderBy("src_a", "src_b"),
-    Some("""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    Some("""WITH w AS (SELECT source, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
             g AS (SELECT source, UNNEST(list_distinct(list_transform(
                     range(1, len(w)-1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM w),
@@ -724,7 +738,7 @@ object Catalog {
     },
     Some("""WITH t AS (SELECT doc_id,
                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
-                 CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
                    AS BIGINT) AS n_tok
                FROM documents),
             c AS (SELECT doc_id, h % 4 AS shard, n_tok,
@@ -805,16 +819,108 @@ object Catalog {
     },
     None, bench = true)
 
+  /** SSINS match filter on the portable fixture — BIT-EXACT oracle for the
+    * greedy iterate-to-fixpoint (the reference's signature algorithm,
+    * configurators.py:89-92). Exactness argument: metrics are dyadic
+    * rationals (sums exact, order-free), sqrt(nsamples)=sqrt(4)=2 exact,
+    * per-cell z is a single correctly-rounded division (identical bits in
+    * any IEEE engine), and the streak Stouffer sum — the only
+    * order-sensitive accumulation — is mirrored with a DuckDB
+    * `list_reduce` left fold over f-ascending terms, exactly the Scala
+    * accumulator order. The fixpoint itself is a recursive CTE carrying
+    * the full mask state; each step flags the single best event per
+    * (obsid,pol) group with the Scala scan-order tie-break
+    * (sig DESC, t, narrow-before-streak, f). tb_aggro=1/32 (dyadic) so the
+    * post-loop time broadcast fires on the narrow-flagged times, covering
+    * all three event kinds in one certified query. */
   private val mwa04 = QueryDef("mwa04_mf_flags",
     (s, d) => {
       import graft.mwa._
-      val cfg = GraftConfig(removeFlaggedAnts = false)
-      val insDf = VisOps.ins(VisOps.diff(VisOps.selectSurface(VisGenerator.vis(s), cfg)))
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+      val insDf = VisOps.ins(VisOps.diff(
+        VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)))
       MatchFilter(insDf, cfg).filter(col("flagged"))
         .select("time_idx", "freq_hz", "pol", "event")
         .orderBy("pol", "time_idx", "freq_hz")
     },
-    None)
+    Some("""WITH RECURSIVE
+            g AS (
+              SELECT CAST(t.range AS INT) AS time_idx, CAST(a.range AS INT) AS ant,
+                     CAST(f.range AS INT) AS freq_idx, p.pol AS pol, p.pi AS pi
+              FROM range(17) t, range(4) a, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)),
+            c AS (
+              SELECT time_idx, ant, freq_idx, pol,
+                ((ant*18 + freq_idx*3 + pi*17) % 64)
+                + CASE WHEN freq_idx = 5 AND time_idx BETWEEN 6 AND 9
+                       THEN 40.0 ELSE 0.0 END
+                + CASE WHEN time_idx = 12 THEN 60.0 ELSE 0.0 END
+                + ((time_idx*37 + ant*42 + freq_idx*53 + pi*71) % 128 - 64) / 64.0
+                  AS re
+              FROM g),
+            d AS (
+              SELECT time_idx, ant, freq_idx, pol,
+                LEAD(re) OVER (PARTITION BY ant, freq_idx, pol ORDER BY time_idx)
+                  - re AS dre
+              FROM c QUALIFY dre IS NOT NULL),
+            m AS (
+              SELECT time_idx AS t, freq_idx AS f, pol, AVG(ABS(dre)) AS metric
+              FROM d GROUP BY 1, 2, 3),
+            rec(iter, pol, t, f, flagged, event) AS (
+              SELECT 0, pol, t, f, false, '' FROM m
+              UNION ALL
+              (
+                WITH cur AS (SELECT * FROM rec),
+                mz AS (SELECT c.*, m.metric FROM cur c JOIN m USING (pol, t, f)),
+                st AS (SELECT pol, f,
+                         SUM(metric) FILTER (WHERE NOT flagged) /
+                         COUNT(*) FILTER (WHERE NOT flagged) AS mean
+                       FROM mz GROUP BY pol, f),
+                z AS (SELECT mz.pol, mz.t, mz.f, mz.flagged, mz.event,
+                        CASE WHEN NOT mz.flagged AND st.mean IS NOT NULL
+                                  AND st.mean <> 0
+                             THEN (mz.metric / st.mean - 1) * 2.0 END AS z
+                      FROM mz JOIN st USING (pol, f)),
+                cand AS (
+                  SELECT pol, z AS sig, 0 AS kind, t, f
+                  FROM z WHERE z IS NOT NULL AND z > 7.0
+                  UNION ALL
+                  SELECT * FROM (
+                    SELECT pol,
+                      list_reduce(list(z * 2.0 ORDER BY f), (a, b) -> a + b)
+                        / SQRT(4.0 * COUNT(z)) AS sig,
+                      1 AS kind, t, NULL::INT AS f
+                    FROM z WHERE z IS NOT NULL GROUP BY pol, t) s
+                  WHERE s.sig > 8.0),
+                best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pol
+                           ORDER BY sig DESC, t, kind, f NULLS LAST) AS rn
+                         FROM cand)
+                SELECT c.iter + 1, c.pol, c.t, c.f,
+                  c.flagged OR (b.kind = 0 AND c.t = b.t AND c.f = b.f)
+                            OR (b.kind = 1 AND c.t = b.t),
+                  CASE WHEN NOT c.flagged AND b.kind = 0 AND c.t = b.t
+                            AND c.f = b.f THEN 'narrow'
+                       WHEN NOT c.flagged AND b.kind = 1 AND c.t = b.t
+                            THEN 'streak'
+                       ELSE c.event END
+                FROM cur c JOIN best b ON b.pol = c.pol AND b.rn = 1
+              )
+            ),
+            fin AS (SELECT * FROM rec
+                    QUALIFY iter = MAX(iter) OVER (PARTITION BY pol)),
+            tb AS (SELECT pol, t, COUNT(*) FILTER (WHERE flagged) AS nf
+                   FROM fin GROUP BY pol, t),
+            outp AS (
+              SELECT fin.pol, fin.t, fin.f,
+                fin.flagged OR (tb.nf / 16.0 > 0.03125 AND tb.nf < 16) AS flagged,
+                CASE WHEN NOT fin.flagged AND tb.nf / 16.0 > 0.03125
+                          AND tb.nf < 16
+                     THEN 'time_broadcast' ELSE fin.event END AS event
+              FROM fin JOIN tb USING (pol, t))
+            SELECT t AS time_idx, 130000000.0 + f * 40000.0 AS freq_hz, pol, event
+            FROM outp WHERE flagged ORDER BY pol, time_idx, freq_hz"""))
 
   /** Scale demonstration: the full SSINS chain on a ~5M-row generated
     * observation (24 times x 16 ants (136 baselines) x 12 chans x 32 fine

@@ -54,6 +54,31 @@ class OperatorsSpec extends SparkSpec {
     assert(bucketed.count(_._1 == 1L) == 2)
   }
 
+  test("rangeJoinBucketed on TIMESTAMP_NTZ is DST fall-back safe") {
+    // mirror of the RangeJoinRewrite DST regression: the residual filter
+    // compares raw NTZ columns on the LOCAL number line, so buckets must be
+    // computed on that same line — a pre-cast through a DST session zone
+    // would put values 8s apart into buckets ~3608s apart and drop matches
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val df = (0 until 60).map(i => (i.toLong, 7L, i * 4L)).toDF("id", "k", "off")
+        .withColumn("ts", expr(
+          "timestampadd(SECOND, off, TIMESTAMP_NTZ'2025-11-02 01:58:00')"))
+      val l = df.select($"id".as("lid"), $"k", $"off".as("loff"), $"ts")
+      val r = df.select($"id".as("rid"), $"k", $"off".as("roff"), $"ts".as("ts2"))
+      val got = RelationalOps.rangeJoinBucketed(l, r, "k", "ts", "ts2", 10L)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val offs = (0 until 60).map(i => (i.toLong, i * 4L))
+      val expected = (for {
+        (li, ls) <- offs; (ri, rs) <- offs
+        if rs > ls && rs <= ls + 10
+      } yield (li, ri)).toSet
+      assert(got == expected,
+        s"missing: ${expected -- got}; extra: ${got -- expected}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("sessionize splits on gaps > threshold") {
     val ev = Seq(
       (7L, ts("2024-01-01 10:00:00")),
