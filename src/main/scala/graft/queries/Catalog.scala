@@ -1073,6 +1073,40 @@ object Catalog {
                 * SQRT(nsamples) AS z
             FROM i ORDER BY pol, time_idx, freq_hz"""))
 
+  /** Real FITS binary decode, certified row-by-row: the fixture is written
+    * as standard gpubox-shaped FITS (2880-byte records, one BINTABLE HDU
+    * per integration, big-endian doubles — Fits.writeVis) carrying the
+    * portable fixture's dyadic values, read back through the DSv2 source's
+    * (file, time-slice) partition planning, and every decoded cell is
+    * matched against the oracle's independent re-derivation of the same
+    * arithmetic. IEEE doubles round-trip big-endian encoding bit-exactly,
+    * so any header-walk, offset, or endianness defect breaks the hash. */
+  private val mwa10 = QueryDef("mwa10_fits_read",
+    (s, d) => {
+      val dir = graft.mwa.Fits.ensureFixture()
+      s.read.format("graft-vis").option("path", dir).load()
+        .select(col("time_idx"), col("ant1"), col("ant2"), col("freq_hz"),
+          col("pol"), col("vis_re"), col("vis_im"), col("flag"), col("nsample"))
+        .orderBy("pol", "time_idx", "ant1", "ant2", "freq_hz")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(t.range AS INT) AS time_idx, CAST(a1.range AS INT) AS ant1,
+                     CAST(a2.range AS INT) AS ant2, CAST(f.range AS INT) AS f,
+                     p.pol AS pol, p.pi AS pi
+              FROM range(17) t, range(4) a1, range(4) a2, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)
+              WHERE a1.range <= a2.range)
+            SELECT time_idx, ant1, ant2,
+              130000000.0 + f * 40000.0 AS freq_hz, pol,
+              ((ant1*7 + ant2*11 + f*3 + pi*17) % 64)
+              + CASE WHEN f = 5 AND time_idx BETWEEN 6 AND 9
+                     THEN 40.0 ELSE 0.0 END
+              + CASE WHEN time_idx = 12 THEN 60.0 ELSE 0.0 END
+              + ((time_idx*37 + ant1*13 + ant2*29 + f*53 + pi*71) % 128 - 64)
+                / 64.0 AS vis_re,
+              0.0 AS vis_im, false AS flag, 1.0 AS nsample
+            FROM g ORDER BY pol, time_idx, ant1, ant2, freq_hz"""))
+
   // --------------------------------------------------------- multimodal [EXT]
 
   private val m01 = QueryDef("m01_multimodal_stats",
@@ -1239,7 +1273,7 @@ object Catalog {
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, q50,
-    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09,
+    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10,
     m01, m02, e01, e02, s01, s02, s03, s04) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -38,6 +38,23 @@ class VisSourceProvider extends TableProvider with DataSourceRegister {
     new VisTable(VisSource.specFrom(new CaseInsensitiveStringMap(properties)))
 }
 
+/** One gpubox FITS file of an observation: its coarse channel and the
+  * geometry keywords from its primary header (parsed once, driver-side,
+  * at planning time — the reference's manifest scan). */
+case class FitsFileMeta(path: String, obsid: Long, coarseChan: Int,
+                        nTimes: Int, nFine: Int,
+                        freq0Hz: Double, dfHz: Double,
+                        jd0: Double, dtDays: Double)
+
+object FitsFileMeta {
+  def fromPrimary(path: String): FitsFileMeta = {
+    val h = graft.mwa.Fits.readHeaders(path).head
+    FitsFileMeta(path, h.long("OBSID"), h.int("COARSE"), h.int("NTIMES"),
+      h.int("NFINE"), h.double("FREQ0"), h.double("DFHZ"),
+      h.double("JD0"), h.double("DTDAYS"))
+  }
+}
+
 object VisSource {
   val schema: StructType = StructType(Seq(
     StructField("obsid", LongType, nullable = false),
@@ -64,6 +81,9 @@ object VisSource {
     noiseSigma = o.getDouble("noisesigma", Spec().noiseSigma))
 
   def timeSlice(o: CaseInsensitiveStringMap): Int = o.getInt("timeslice", 4)
+
+  def path(o: CaseInsensitiveStringMap): Option[String] =
+    Option(o.get("path")).filter(_.nonEmpty)
 }
 
 class VisTable(spec: Spec) extends Table with SupportsRead {
@@ -72,10 +92,11 @@ class VisTable(spec: Spec) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VisScanBuilder(VisSource.specFrom(options), VisSource.timeSlice(options))
+    new VisScanBuilder(VisSource.specFrom(options), VisSource.timeSlice(options),
+      VisSource.path(options))
 }
 
-class VisScanBuilder(spec: Spec, slice: Int)
+class VisScanBuilder(spec: Spec, slice: Int, path: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = VisSource.schema
@@ -95,7 +116,10 @@ class VisScanBuilder(spec: Spec, slice: Int)
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan = new VisScan(spec, slice, required, pushed)
+  override def build(): Scan = path match {
+    case Some(p) => new FitsVisScan(p, slice, required, pushed)
+    case None => new VisScan(spec, slice, required, pushed)
+  }
 }
 
 object VisScan {
@@ -123,8 +147,12 @@ object VisScan {
   }
 
   def keepPartition(p: VisPartition, pushed: Array[sources.Filter]): Boolean =
-    pushed.forall(f => sat(f, "coarse_chan", p.coarseChan)) &&
-      (p.timeStart until p.timeEnd).exists(t =>
+    keepSlice(p.coarseChan, p.timeStart, p.timeEnd, pushed)
+
+  def keepSlice(coarseChan: Int, timeStart: Int, timeEnd: Int,
+                pushed: Array[sources.Filter]): Boolean =
+    pushed.forall(f => sat(f, "coarse_chan", coarseChan)) &&
+      (timeStart until timeEnd).exists(t =>
         pushed.forall(f => sat(f, "time_idx", t)))
 }
 
@@ -191,6 +219,104 @@ class VisPartitionReader(part: VisPartition, spec: Spec, required: StructType)
   override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+// ------------------------------------------------------- FITS-backed variant
+
+/** Scan over real gpubox FITS files (option `path`): plans one partition
+  * per (file=coarse channel, time-slice) from the primary headers —
+  * driver-side metadata only, no payload bytes — and lets the pushed
+  * time_idx/coarse_chan filters prune whole files and HDU ranges before
+  * any data is opened. This is the same planning shape the synthetic scan
+  * uses, with the row kernel replaced by the binary-table decoder. */
+class FitsVisScan(path: String, slice: Int, required: StructType,
+                  pushed: Array[sources.Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-vis fits path=$path PushedFilters: [${pushed.mkString(", ")}]"
+
+  private lazy val files: Seq[FitsFileMeta] = {
+    val dir = new java.io.File(path)
+    val fits = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".fits")).sortBy(_.getName)
+    require(fits.nonEmpty, s"No .fits files under $path")
+    fits.toSeq.map(f => FitsFileMeta.fromPrimary(f.getPath))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (for {
+      m <- files
+      t0 <- 0 until m.nTimes by slice
+      p = FitsVisPartition(m, t0, math.min(t0 + slice, m.nTimes))
+      if VisScan.keepSlice(m.coarseChan, p.timeStart, p.timeEnd, pushed)
+    } yield p: InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FitsReaderFactory(required)
+}
+
+case class FitsVisPartition(meta: FitsFileMeta, timeStart: Int, timeEnd: Int)
+    extends InputPartition
+
+class FitsReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FitsPartitionReader(partition.asInstanceOf[FitsVisPartition], required)
+}
+
+/** Decodes the BINTABLE HDUs whose TIMEIDX falls in this partition's
+  * slice. Headers are walked sequentially (cheap: 2880-byte records);
+  * only in-slice data units are read. */
+class FitsPartitionReader(part: FitsVisPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import graft.mwa.Fits
+
+  private val m = part.meta
+  private val raf = new java.io.RandomAccessFile(m.path, "r")
+  private val fieldIdx = required.fieldNames.map(n =>
+    n -> VisSource.schema.fieldIndex(n)).toMap
+
+  private val hdus: Seq[Fits.Header] = {
+    val out = Seq.newBuilder[Fits.Header]
+    var off = 0L
+    var h = Fits.readHeader(raf, off)
+    while (h.isDefined) {
+      val hd = h.get
+      if (hd.has("TIMEIDX") &&
+        hd.int("TIMEIDX") >= part.timeStart && hd.int("TIMEIDX") < part.timeEnd)
+        out += hd
+      off = hd.nextHduOffset
+      h = Fits.readHeader(raf, off)
+    }
+    out.result()
+  }
+
+  private val colOf = Fits.VisFields.map(_.name).zipWithIndex.toMap
+
+  private val it: Iterator[InternalRow] = hdus.iterator.flatMap { h =>
+    val t = h.int("TIMEIDX")
+    val jd = h.double("TIMEJD")
+    Fits.readRows(raf, h).map { r =>
+      val a1 = r(colOf("ANT1")).asInstanceOf[Int]
+      val a2 = r(colOf("ANT2")).asInstanceOf[Int]
+      val fine = r(colOf("FINECH")).asInstanceOf[Int]
+      val freqIdx = m.coarseChan * m.nFine + fine
+      val full: Array[Any] = Array(
+        m.obsid, t, jd, a1, a2, a1.toLong * 2048 + a2,
+        m.coarseChan, m.freq0Hz + freqIdx * m.dfHz,
+        UTF8String.fromString(r(colOf("POL")).asInstanceOf[String]),
+        r(colOf("VISRE")).asInstanceOf[Double],
+        r(colOf("VISIM")).asInstanceOf[Double],
+        r(colOf("FLAG")).asInstanceOf[Boolean],
+        r(colOf("NSAMP")).asInstanceOf[Double])
+      new GenericInternalRow(required.fieldNames.map(n => full(fieldIdx(n))))
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = raf.close()
 }
 
 /** Scala twin of the generator's Catalyst hash chain: xxhash64(lit(seed),
