@@ -118,6 +118,44 @@ object ArrayExprs {
 
   def minhash_signature(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))
+
+  /** Portable sine on [-pi/2, pi/2]: the odd Taylor polynomial through
+    * x^21 evaluated by Horner's rule in y = x^2 — every step a single
+    * correctly-rounded IEEE op, so ANY engine that evaluates this exact
+    * operation order reproduces it bit-for-bit (glibc, fdlibm and the
+    * Math.sin JIT intrinsic each differ from one another by 1 ulp on real
+    * inputs, so no libm call can be a cross-engine contract). Truncation
+    * error at |x| = pi/2 is (pi/2)^23/23! ~ 1.2e-18, below half an ulp of
+    * sin's value there; outside the reduced range accuracy degrades —
+    * callers clamp first (Van Vleck clamps rho to [-1, 1]). */
+  def sinKernel(x: Double): Double = {
+    val y = x * x
+    x * (1.0 + y * (-1.0 / 6.0 + y * (1.0 / 120.0 + y * (-1.0 / 5040.0 +
+      y * (1.0 / 362880.0 + y * (-1.0 / 39916800.0 + y * (1.0 / 6227020800.0 +
+      y * (-1.0 / 1307674368000.0 + y * (1.0 / 355687428096000.0 +
+      y * (-1.0 / 121645100408832000.0 +
+      y * (1.0 / 51090942171709440000.0)))))))))))
+  }
+
+  def portable_sin(c: Column): Column =
+    Bridge.column(PortableSin(Bridge.expression(c)))
+}
+
+/** Reduced-range sine with a fully specified operation order
+  * (ArrayExprs.sinKernel): bit-identical on every JVM, JIT tier,
+  * architecture and in any engine mirroring the same Horner chain. Used
+  * where a transcendental must be reproducible across executors and
+  * certifiable across engines (Van Vleck correction). */
+case class PortableSin(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"portable_sin needs double, got ${child.dataType}")
+  override def nullSafeEval(c: Any): Any = ArrayExprs.sinKernel(c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.sinKernel($c)")
+  override protected def withNewChildInternal(newChild: Expression): PortableSin =
+    copy(child = newChild)
 }
 
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {

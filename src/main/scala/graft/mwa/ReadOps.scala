@@ -66,21 +66,50 @@ object ReadOps {
       .drop("__pos", "__gain", "__g")
   }
 
-  /** `correct_van_vleck`: quantization-bias correction. The exact MWA
-    * correction integrates the 4+4-bit quantizer transfer function
-    * (mwalib/pyuvdata carry lookup tables); here the standard continuous
-    * arcsine-law approximation corrects the correlation amplitude —
-    * the Spark-side shape (per-row scalar map, codegen-friendly) is what
-    * a table-driven kernel would drop into. */
-  def correctVanVleck(vis: DataFrame, sigmaQ: Double = 1.0): DataFrame = {
-    val scale = lit(2.0 / math.Pi) * lit(sigmaQ * sigmaQ)
-    def corrected(c: Column): Column = {
-      val rho = (c / (sigmaQ * sigmaQ)).cast("double")
-      // clamp into asin's domain; identity-like for small correlations
-      scale * asin(greatest(lit(-1.0), least(lit(1.0), rho * (math.Pi / 2) / lit(1.0))))
-    }
-    vis.withColumn("vis_re", corrected(col("vis_re")))
-      .withColumn("vis_im", corrected(col("vis_im")))
+  /** `correct_van_vleck`: quantization-bias correction for few-bit
+    * correlators (the read option the reference enables at
+    * `configurators.py:220`), per the published Van Vleck arcsine law
+    * (Van Vleck & Middleton 1966, Proc. IEEE 54:2): a hard quantizer
+    * measures r = (2/pi)*arcsin(rho) of the true normalized correlation
+    * rho, so the correction inverts it on the normalized coefficient:
+    *
+    *   rho_hat = c_ij / sqrt(c_ii * c_jj)   (normalize by the autos)
+    *   c_ij'   = sin(pi/2 * rho_hat) * sqrt(c_ii * c_jj)
+    *
+    * applied to the real and imaginary components independently; autos are
+    * their own normalizer and pass through unchanged. Rows whose autos are
+    * missing or non-positive (pure-noise fixtures) keep the raw value.
+    *
+    * Scale shape: the auto table is |ants|/|baselines| ~ 2/n_ants of the
+    * vis table — NOT broadcastable at scale (it grows with times x freqs)
+    * — so both joins are equi shuffle joins on (obsid, time, freq, pol
+    * [, ant]); partial-agg-free, no window, codegen-friendly sin/sqrt. */
+  def correctVanVleck(vis: DataFrame): DataFrame = {
+    val keys = Seq("obsid", "time_idx", "freq_hz", "pol")
+    val autos = vis.filter(col("ant1") === col("ant2"))
+      .select(keys.map(col) ++ Seq(col("ant1").as("__ant"), col("vis_re").as("__p")): _*)
+    val a1 = autos.withColumnRenamed("__ant", "ant1").withColumnRenamed("__p", "__p1")
+    val a2 = autos.withColumnRenamed("__ant", "ant2").withColumnRenamed("__p", "__p2")
+    val joined = vis
+      .join(a1, keys :+ "ant1", "left")
+      .join(a2, keys :+ "ant2", "left")
+    val norm = sqrt(col("__p1") * col("__p2"))
+    // clamp the measured coefficient into the quantizer's [-1, 1] range
+    // before inverting (noise can push |rho_hat| past 1, where sin folds);
+    // portable_sin keeps the correction bit-reproducible across executors,
+    // JIT tiers and engines (libm sin implementations differ by 1 ulp)
+    def corrected(c: Column): Column =
+      graft.functions.ArrayExprs.portable_sin(
+        lit(math.Pi / 2) * greatest(lit(-1.0), least(lit(1.0), c / norm))) * norm
+    val applicable = col("ant1") =!= col("ant2") &&
+      col("__p1").isNotNull && col("__p1") > 0 &&
+      col("__p2").isNotNull && col("__p2") > 0
+    joined
+      .withColumn("vis_re", when(applicable, corrected(col("vis_re")))
+        .otherwise(col("vis_re")))
+      .withColumn("vis_im", when(applicable, corrected(col("vis_im")))
+        .otherwise(col("vis_im")))
+      .drop("__p1", "__p2")
   }
 
   /** The full read chain in the reference's kwargs_for_read order:

@@ -1107,6 +1107,68 @@ object Catalog {
               0.0 AS vis_im, false AS flag, 1.0 AS nsample
             FROM g ORDER BY pol, time_idx, ant1, ant2, freq_hz"""))
 
+  /** Van Vleck arcsine-law correction certified row-by-row: every corrected
+    * cross is sin(pi/2 * clamp(c/sqrt(p1*p2))) * sqrt(p1*p2) with the autos
+    * looked up by (time, freq, pol, ant). The oracle mirrors the exact
+    * operation order — products/sqrt/divisions are single correctly-rounded
+    * ops, and the sine is the engine's portable Horner kernel
+    * (ArrayExprs.sinKernel) written out verbatim in SQL, so the comparison
+    * is bit-exact BY CONSTRUCTION (libm sin differs between glibc and
+    * fdlibm by 1 ulp on this very fixture; a SIN() call could never
+    * certify). Autos and non-positive-power rows pass through raw. */
+  private val mwa11 = QueryDef("mwa11_vanvleck",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+      ReadOps.correctVanVleck(VisGenerator.portable(s, spec))
+        .select(col("time_idx"), col("ant1"), col("ant2"), col("freq_hz"),
+          col("pol"), col("vis_re"), col("vis_im"))
+        .orderBy("pol", "time_idx", "ant1", "ant2", "freq_hz")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(t.range AS INT) AS time_idx, CAST(a1.range AS INT) AS ant1,
+                     CAST(a2.range AS INT) AS ant2, CAST(f.range AS INT) AS f,
+                     p.pol AS pol, p.pi AS pi
+              FROM range(17) t, range(4) a1, range(4) a2, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)
+              WHERE a1.range <= a2.range),
+            c AS (
+              SELECT time_idx, ant1, ant2, f, pol,
+                ((ant1*7 + ant2*11 + f*3 + pi*17) % 64)
+                + CASE WHEN f = 5 AND time_idx BETWEEN 6 AND 9
+                       THEN 40.0 ELSE 0.0 END
+                + CASE WHEN time_idx = 12 THEN 60.0 ELSE 0.0 END
+                + ((time_idx*37 + ant1*13 + ant2*29 + f*53 + pi*71) % 128 - 64)
+                  / 64.0 AS re
+              FROM g),
+            p AS (SELECT time_idx, ant1 AS ant, f, pol, re AS p
+                  FROM c WHERE ant1 = ant2),
+            j AS (SELECT c.time_idx, c.ant1, c.ant2, c.f, c.pol, c.re,
+                    CASE WHEN p1.p > 0 AND p2.p > 0
+                         THEN SQRT(p1.p * p2.p) END AS norm,
+                    c.ant1 <> c.ant2 AND p1.p > 0 AND p2.p > 0 AS ok
+                  FROM c
+                  LEFT JOIN p p1 ON p1.time_idx = c.time_idx AND p1.f = c.f
+                    AND p1.pol = c.pol AND p1.ant = c.ant1
+                  LEFT JOIN p p2 ON p2.time_idx = c.time_idx AND p2.f = c.f
+                    AND p2.pol = c.pol AND p2.ant = c.ant2),
+            xx AS (SELECT *,
+                     PI()/2 * GREATEST(-1.0, LEAST(1.0, re / norm)) AS x
+                   FROM j),
+            yy AS (SELECT *, x*x AS y FROM xx)
+            SELECT time_idx, ant1, ant2,
+              130000000.0 + f * 40000.0 AS freq_hz, pol,
+              CASE WHEN ok THEN
+                (x * (1.0 + y*(-1.0/6.0 + y*(1.0/120.0 + y*(-1.0/5040.0 +
+                 y*(1.0/362880.0 + y*(-1.0/39916800.0 + y*(1.0/6227020800.0 +
+                 y*(-1.0/1307674368000.0 + y*(1.0/355687428096000.0 +
+                 y*(-1.0/121645100408832000.0 +
+                 y*(1.0/51090942171709440000.0)))))))))))) * norm
+              ELSE re END AS vis_re,
+              0.0 AS vis_im
+            FROM yy
+            ORDER BY pol, time_idx, ant1, ant2, freq_hz"""))
+
   // --------------------------------------------------------- multimodal [EXT]
 
   private val m01 = QueryDef("m01_multimodal_stats",
@@ -1273,7 +1335,7 @@ object Catalog {
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, q50,
-    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10,
+    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
     m01, m02, e01, e02, s01, s02, s03, s04) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

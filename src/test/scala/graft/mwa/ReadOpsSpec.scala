@@ -54,12 +54,56 @@ class ReadOpsSpec extends SparkSpec {
     assert(out.count() == VisGenerator.vis(spark, spec).count())
   }
 
-  test("van vleck correction is deterministic, sign-preserving, bounded") {
+  test("van vleck: crosses follow the arcsine law, autos pass through") {
+    import spark.implicits._
+    // 2 ants, 1 time/freq/pol: autos p=4 and p=9 (norm=6), cross c=3
+    // -> rho_hat=0.5, corrected = sin(pi/4)*6
+    val vis = Seq(
+      (1L, 0, 2460000.5, 0, 0, 0L, 0, 1.0e8, "XX", 4.0, 0.0, false, 1.0),
+      (1L, 0, 2460000.5, 1, 1, 2049L, 0, 1.0e8, "XX", 9.0, 0.0, false, 1.0),
+      (1L, 0, 2460000.5, 0, 1, 1L, 0, 1.0e8, "XX", 3.0, 1.5, false, 1.0))
+      .toDF("obsid", "time_idx", "time_jd", "ant1", "ant2", "baseline",
+        "coarse_chan", "freq_hz", "pol", "vis_re", "vis_im", "flag", "nsample")
+    val out = ReadOps.correctVanVleck(vis)
+      .select("ant1", "ant2", "vis_re", "vis_im")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out((0, 0)) == ((4.0, 0.0))) // autos unchanged
+    assert(out((1, 1)) == ((9.0, 0.0)))
+    val (re, im) = out((0, 1))
+    assert(math.abs(re - math.sin(math.Pi / 2 * 0.5) * 6.0) < 1e-15)
+    assert(math.abs(im - math.sin(math.Pi / 2 * 0.25) * 6.0) < 1e-15)
+  }
+
+  test("van vleck: clamps |rho|>1 and keeps raw value on non-positive autos") {
+    import spark.implicits._
+    val vis = Seq(
+      // autos 1 and 1 -> norm 1; cross 2 -> rho clamps to 1 -> corrected 1
+      (1L, 0, 2460000.5, 0, 0, 0L, 0, 1.0e8, "XX", 1.0, 0.0, false, 1.0),
+      (1L, 0, 2460000.5, 1, 1, 2049L, 0, 1.0e8, "XX", 1.0, 0.0, false, 1.0),
+      (1L, 0, 2460000.5, 0, 1, 1L, 0, 1.0e8, "XX", 2.0, 0.0, false, 1.0),
+      // negative auto power at freq 2e8 -> cross kept raw
+      (1L, 0, 2460000.5, 0, 0, 0L, 1, 2.0e8, "XX", -1.0, 0.0, false, 1.0),
+      (1L, 0, 2460000.5, 1, 1, 2049L, 1, 2.0e8, "XX", 4.0, 0.0, false, 1.0),
+      (1L, 0, 2460000.5, 0, 1, 1L, 1, 2.0e8, "XX", 0.5, 0.0, false, 1.0))
+      .toDF("obsid", "time_idx", "time_jd", "ant1", "ant2", "baseline",
+        "coarse_chan", "freq_hz", "pol", "vis_re", "vis_im", "flag", "nsample")
+    val out = ReadOps.correctVanVleck(vis)
+      .filter(col("ant1") =!= col("ant2"))
+      .select("freq_hz", "vis_re").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(1.0e8) == 1.0) // sin(pi/2 * 1) * 1
+    assert(out(2.0e8) == 0.5) // guard: raw
+  }
+
+  test("van vleck correction is deterministic and sign-preserving") {
     val vis = VisGenerator.vis(spark, spec.copy(noiseSigma = 0.2, skyAmp = 0.3,
       rfiAmp = 0, streakAmp = 0))
     val c1 = ReadOps.correctVanVleck(vis).agg(sum("vis_re")).head.getDouble(0)
     val c2 = ReadOps.correctVanVleck(vis).agg(sum("vis_re")).head.getDouble(0)
     assert(c1 == c2)
+    // sin(pi/2 * clamp(rho)) has rho's sign, and the raw-value guard is
+    // trivially sign-preserving
     val signFlips = ReadOps.correctVanVleck(vis).alias("c")
       .join(vis.alias("o"), Seq("time_idx", "ant1", "ant2", "freq_hz", "pol"))
       .filter(signum(col("c.vis_re")) =!= signum(col("o.vis_re")) &&
