@@ -131,6 +131,50 @@ object VisGenerator {
       lit(1.0).as("nsample"))
   }
 
+  /** Portable variant with a PLANTED MULTIPLICATIVE BANDPASS whose
+    * data-estimated removal is IEEE-exact end to end, so the full
+    * remove_coarse_band chain can be certified bit-for-bit by a SQL oracle
+    * (mwa07). Construction: gain(pos) alternates {1, 3} over the fine
+    * position (mean = 2, a power of two); the ungained value is
+    * v = 2 + s(t)*d(bl,pol) + streak with s(t) = +-1 alternating over an
+    * EVEN number of times (sign-paired, so sum_t s(t) = 0 exactly) and
+    * streak/nTimes = 60/16 dyadic. Then every per-position mean amplitude
+    * is exactly gain*5.75, the template mean is exactly 11.5, the
+    * normalized gain divides out exactly (corrected = 2v, dyadic), and
+    * every downstream diff/INS/z step stays order-independent exact. */
+  def portableBandpass(spark: SparkSession,
+                       spec: Spec = Spec(nTimes = 16, nAnts = 4)): DataFrame = {
+    require(spec.nTimes % 2 == 0, "sign-pairing needs an even nTimes")
+    require(spec.nFine % 2 == 0, "gain alternation needs an even nFine")
+    val times = spark.range(spec.nTimes).select(
+      col("id").cast("int").as("time_idx"),
+      (lit(spec.jd0) + col("id") * spec.dtDays).as("time_jd"))
+    val ants = spark.range(spec.nAnts).select(col("id").cast("int").as("ant1"))
+    val ants2 = spark.range(spec.nAnts).select(col("id").cast("int").as("ant2"))
+    val baselines = ants.crossJoin(ants2).filter(col("ant1") <= col("ant2"))
+      .withColumn("baseline", col("ant1").cast("long") * 2048 + col("ant2"))
+    val freqs = spark.range(spec.nCoarse.toLong * spec.nFine).select(
+      col("id").cast("int").as("freq_idx"),
+      (col("id") / spec.nFine).cast("int").as("coarse_chan"),
+      (lit(spec.freq0Hz) + col("id") * spec.dfHz).as("freq_hz"))
+    val pols = spark.createDataFrame(spec.pols.zipWithIndex).toDF("pol", "pol_idx")
+
+    val grid = times.crossJoin(baselines).crossJoin(freqs).crossJoin(pols)
+    val gain = (lit(1) + (col("freq_idx") % spec.nFine) % 2 * 2).cast("double")
+    val sign = when(col("time_idx") % 2 === 0, 1.0).otherwise(-1.0)
+    val d = pmod(col("ant1") * 13 + col("ant2") * 29 + col("pol_idx") * 71,
+      lit(64)).cast("double") / 64.0
+    val streak = when(col("time_idx") === spec.streakTime, spec.streakAmp).otherwise(0.0)
+    grid.select(
+      lit(spec.obsid).as("obsid"),
+      col("time_idx"), col("time_jd"), col("ant1"), col("ant2"), col("baseline"),
+      col("coarse_chan"), col("freq_hz"), col("pol"),
+      (gain * (lit(2.0) + sign * d + streak)).as("vis_re"),
+      lit(0.0).as("vis_im"),
+      lit(false).as("flag"),
+      lit(1.0).as("nsample"))
+  }
+
   /** Coarse-channel dimension matching the generated freq axis
     * (schema: `utils.py:136-142`). */
   def channels(spark: SparkSession, spec: Spec = Spec()): DataFrame =

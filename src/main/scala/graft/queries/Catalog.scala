@@ -348,7 +348,7 @@ object Catalog {
   private val q27 = QueryDef("q27_wordcount",
     (s, d) => TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 20),
     Some("""SELECT word, COUNT(*) AS n FROM (
-              SELECT UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word FROM documents) t
+              SELECT UNNEST(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS word FROM documents) t
             WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20"""),
     bench = true)
 
@@ -398,7 +398,7 @@ object Catalog {
         Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 3, 0.0)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20),
-    Some("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+    Some("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
                        FROM documents WHERE doc_id < 100),
             g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w)
@@ -428,7 +428,7 @@ object Catalog {
         graft.functions.TextFns.simhashPortable(col("text")).as("simhash"))
       .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                 list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
                FROM documents),
             tok AS (SELECT doc_id, UNNEST(w) AS word FROM t),
             h AS (SELECT doc_id,
@@ -460,7 +460,7 @@ object Catalog {
         .orderBy("doc_id")
     },
     Some("""WITH RECURSIVE
-            w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+            w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
                   FROM documents WHERE doc_id < 200),
             g AS (SELECT doc_id, list_distinct(list_transform(
                     range(1, len(w)-1),
@@ -497,7 +497,7 @@ object Catalog {
       .select(col("id_a"), col("id_b"),
         (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
       .orderBy("id_a", "id_b"),
-    Some("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+    Some("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w FROM documents),
             g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -560,13 +560,13 @@ object Catalog {
   private val t01 = QueryDef("t01_text_stats",
     (s, d) => TextAnalysis.textStats(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""SELECT doc_id,
-              CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens,
-              CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS INT) AS n_distinct,
-              FLOOR(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) /
-                    GREATEST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1) * 10000 + 0.5) / 10000 AS ttr,
+              CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))) AS INT) AS n_distinct,
+              FLOOR(len(list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))) /
+                    GREATEST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')), 1) * 10000 + 0.5) / 10000 AS ttr,
               CAST(LENGTH(text) AS INT) AS n_chars,
-              FLOOR((LENGTH(text) - (len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) - 1)) /
-                    GREATEST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1) * 10000 + 0.5) / 10000 AS avg_word_len
+              FLOOR((LENGTH(text) - (len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) - 1)) /
+                    GREATEST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')), 1) * 10000 + 0.5) / 10000 AS avg_word_len
             FROM documents ORDER BY doc_id"""),
     bench = true)
 
@@ -589,9 +589,9 @@ object Catalog {
   private val t04 = QueryDef("t04_quality",
     (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""SELECT doc_id, FLOOR((
-              0.4 * LEAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) / 50.0, 1.0)
-              + 0.3 * (len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) /
-                       GREATEST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1))
+              0.4 * LEAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) / 50.0, 1.0)
+              + 0.3 * (len(list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))) /
+                       GREATEST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')), 1))
               + 0.3 * (LENGTH(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
                        GREATEST(LENGTH(text), 1))) * 10000 + 0.5) / 10000 AS quality
             FROM documents ORDER BY doc_id"""))
@@ -602,7 +602,7 @@ object Catalog {
     // lexicographically greatest lang on BOTH sides (Spark greatest() on
     // (score, lang) structs == DuckDB list_sort of structs, last element)
     Some("""WITH w AS (SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+                 list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
                FROM documents),
             b AS (SELECT doc_id, list_sort([
                  {'score': len(list_filter(w, x -> list_contains(
@@ -623,16 +623,17 @@ object Catalog {
                    THEN struct_extract(best, 'lang') ELSE 'und' END AS pred_lang
             FROM b ORDER BY doc_id"""))
 
-  /** Token counting; the unioned doc_id=-1 row contains tabs, a newline
-    * and a double space, pinning the tokenization CONTRACT cross-engine:
-    * the engine splits on \s+ (dropping empties), and the oracle's
-    * regexp_split_to_array must agree — a single-space split would count
-    * 'and\nnewline' as one token and silently diverge. */
+  /** Token counting; the unioned doc_id=-1 row contains tabs, a newline,
+    * a VERTICAL TAB and a double space, pinning the tokenization CONTRACT
+    * cross-engine: the engine splits on Java \s+ = [ \t\n\x0B\f\r]+
+    * (dropping empties) and every oracle spells out that exact class —
+    * RE2's \s EXCLUDES \x0B, so a literal '\s+' oracle would silently
+    * count 'newline\x0Bvtab' as one token while the engine sees two. */
   private val t06 = QueryDef("t06_tokens",
     (s, d) => {
       import graft.functions.TextFns
       val tabRow = s.range(1).select(lit(-1L).as("doc_id"),
-        lit("tab\tsep  and\nnewline\t.").as("text"))
+        lit("tab\tsep  and\nnewline\u000Bvtab\t.").as("text"))
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .unionByName(tabRow)
         .select(col("doc_id"),
@@ -644,17 +645,17 @@ object Catalog {
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT -1, 'tab' || chr(9) || 'sep  and' || chr(10) ||
-                         'newline' || chr(9) || '.')
+                         'newline' || chr(11) || 'vtab' || chr(9) || '.')
             SELECT doc_id,
-              CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_ws,
-              CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_re
+              CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS INT) AS n_ws,
+              CAST(len(regexp_extract_all(text, '\w+|[^\w \t\n\x0b\f\r]')) AS INT) AS n_re
             FROM docs ORDER BY doc_id"""))
 
   private val t07 = QueryDef("t07_tfidf",
     (s, d) => TextAnalysis.tfIdf(Tables.documents(s, d), 3)
       .filter(col("doc_id") < 50)
       .orderBy("doc_id", "rnk"),
-    Some("""WITH w AS (SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word FROM documents),
+    Some("""WITH w AS (SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS word FROM documents),
             tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w WHERE word <> '' GROUP BY doc_id, word),
             df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w WHERE word <> '' GROUP BY word),
             s AS (SELECT doc_id, word,
@@ -678,7 +679,7 @@ object Catalog {
   private val t09 = QueryDef("t09_source_sim_exact",
     (s, d) => TextAnalysis.sourceSimilarityExact(Tables.documents(s, d))
       .orderBy("src_a", "src_b"),
-    Some("""WITH w AS (SELECT source, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+    Some("""WITH w AS (SELECT source, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w FROM documents),
             g AS (SELECT source, UNNEST(list_distinct(list_transform(
                     range(1, len(w)-1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM w),
@@ -738,7 +739,7 @@ object Catalog {
     },
     Some("""WITH t AS (SELECT doc_id,
                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
-                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                 CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))
                    AS BIGINT) AS n_tok
                FROM documents),
             c AS (SELECT doc_id, h % 4 AS shard, n_tok,
@@ -839,6 +840,15 @@ object Catalog {
       val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
       val cfg = GraftConfig(removeFlaggedAnts = false,
         spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+      // the SQL oracle hardcodes these fixture/config constants; a change
+      // to either side must fail HERE, not as an unexplained hash mismatch
+      require(spec.nTimes == 17 && spec.nAnts == 4 &&
+        spec.nCoarse * spec.nFine == 16 &&
+        spec.freq0Hz == 130000000.0 && spec.dfHz == 40000.0 &&
+        spec.rfiFreqIdx == 5 && spec.rfiTimes == (6, 9) &&
+        spec.rfiAmp == 40.0 && spec.streakTime == 12 && spec.streakAmp == 60.0 &&
+        cfg.narrow == 7.0 && cfg.streak == 8.0 && cfg.tbAggro == 0.03125,
+        "mwa04: Spec/GraftConfig constants drifted from the SQL oracle")
       val insDf = VisOps.ins(VisOps.diff(
         VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)))
       MatchFilter(insDf, cfg).filter(col("flagged"))
@@ -940,23 +950,58 @@ object Catalog {
     },
     None, bench = true)
 
-  /** Full read chain (kwargs_for_read order): flag_choice -> flag_init ->
-    * coarse-band removal -> select -> diff -> INS -> z, over a generated
-    * observation with a planted bandpass ripple. */
+  /** Full read chain with the DATA-ESTIMATED coarse-band removal, certified
+    * bit-for-bit: flag_choice -> remove_coarse_band (template = mean
+    * unflagged amplitude per fine position, normalized to unit mean,
+    * divided out) -> Auto select -> diff -> INS -> z, on the portable
+    * bandpass fixture where every one of those steps is IEEE-exact (see
+    * VisGenerator.portableBandpass). The oracle re-runs the whole chain in
+    * SQL: same template estimation, same two divisions, same window diff
+    * and exact-sum reductions — no rounding anywhere. */
   private val mwa07 = QueryDef("mwa07_readchain",
     (s, d) => {
       import graft.mwa._
-      val spec = VisGenerator.Spec(bandRipple = 0.5)
+      val spec = VisGenerator.Spec(nTimes = 16, nAnts = 4)
       val layout = ReadOps.FreqLayout(spec.freq0Hz, spec.dfHz, spec.nFine)
-      val cfg = GraftConfig(removeFlaggedAnts = false, removeCoarseBand = true)
-      val read = ReadOps.readChain(VisGenerator.vis(s, spec), cfg, layout)
+      val cfg = GraftConfig(removeFlaggedAnts = false, removeCoarseBand = true,
+        flagInit = false, spectrumType = SpectrumType.Auto)
+      val read = ReadOps.readChain(VisGenerator.portableBandpass(s, spec), cfg, layout)
       VisOps.spectrum(read, cfg)
         .select(col("time_idx"), col("freq_hz"), col("pol"),
-          round(col("metric"), 4).as("metric"), col("nsamples"),
-          round(col("z"), 4).as("z"))
+          col("metric"), col("nsamples"), col("z"))
         .orderBy("pol", "time_idx", "freq_hz")
     },
-    None)
+    Some("""WITH g AS (
+              SELECT CAST(t.range AS INT) AS t, CAST(a1.range AS INT) AS a1,
+                     CAST(a2.range AS INT) AS a2, CAST(f.range AS INT) AS f,
+                     p.pol AS pol, p.pi AS pi
+              FROM range(16) t, range(4) a1, range(4) a2, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)
+              WHERE a1.range <= a2.range),
+            vis AS (
+              SELECT t, a1, a2, f, pol,
+                (1 + ((f % 8) % 2) * 2) *
+                (2.0 + (CASE WHEN t % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                         * (((a1*13 + a2*29 + pi*71) % 64) / 64.0)
+                     + CASE WHEN t = 12 THEN 60.0 ELSE 0.0 END) AS re
+              FROM g),
+            tmpl AS (SELECT f % 8 AS pos, AVG(ABS(re)) AS gain
+                     FROM vis GROUP BY 1),
+            mg AS (SELECT AVG(gain) AS m FROM tmpl),
+            corr AS (SELECT t, a1, a2, f, pol, re / (gain / m) AS re
+                     FROM vis JOIN tmpl ON tmpl.pos = vis.f % 8 CROSS JOIN mg),
+            autos AS (SELECT t, a1 AS ant, f, pol, re FROM corr WHERE a1 = a2),
+            d AS (SELECT t, ant, f, pol,
+                    LEAD(re) OVER (PARTITION BY ant, f, pol ORDER BY t) - re AS dre
+                  FROM autos QUALIFY dre IS NOT NULL),
+            i AS (SELECT t, f, pol, AVG(ABS(dre)) AS metric,
+                    CAST(COUNT(*) AS DOUBLE) AS nsamples
+                  FROM d GROUP BY 1, 2, 3)
+            SELECT t AS time_idx, 130000000.0 + f * 40000.0 AS freq_hz, pol,
+              metric, nsamples,
+              (metric / AVG(metric) OVER (PARTITION BY f, pol) - 1)
+                * SQRT(nsamples) AS z
+            FROM i ORDER BY pol, time_idx, freq_hz"""))
 
   private val mwa05 = QueryDef("mwa05_observations",
     (s, d) => graft.mwa.Manifest.observations(

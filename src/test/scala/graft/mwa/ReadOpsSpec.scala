@@ -45,6 +45,22 @@ class ReadOpsSpec extends SparkSpec {
     assert(spread(corrected) < 1.05) // flat after
   }
 
+  test("portable bandpass removal is IEEE-exact: corrected = 2 * ungained") {
+    val bpSpec = VisGenerator.Spec(nTimes = 16, nAnts = 4)
+    val bpLayout = ReadOps.FreqLayout(bpSpec.freq0Hz, bpSpec.dfHz, bpSpec.nFine)
+    val vis = VisGenerator.portableBandpass(spark, bpSpec)
+    val corrected = ReadOps.removeCoarseBand(vis, bpLayout)
+    // template mean is exactly 11.5 by construction, gains divide out
+    // exactly: corrected == 2 * (raw / gain) bit-for-bit, no tolerance
+    val gain = (lit(1) + ReadOps.finePos(bpLayout) % 2 * 2).cast("double")
+    val bad = corrected.alias("c")
+      .join(vis.alias("o"), Seq("time_idx", "ant1", "ant2", "freq_hz", "pol"))
+      .filter(col("c.vis_re") =!= col("o.vis_re") / gain * 2 ||
+        col("c.vis_im") =!= lit(0.0))
+      .count()
+    assert(bad == 0)
+  }
+
   test("readChain applies the configured stages in order") {
     val cfg = GraftConfig(flagInit = true, removeCoarseBand = true,
       correctVanVleck = false, flagChoice = None)
