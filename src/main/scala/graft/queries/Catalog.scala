@@ -751,6 +751,33 @@ object Catalog {
               cum % 512 AS seq_offset
             FROM c ORDER BY doc_id"""))
 
+  /** Approximate top-k words via the Misra-Gries summary, certified in the
+    * GUARANTEED-EXACT regime: the corpus vocabulary (31 words) is far
+    * below k = 256, so no decrement ever fires and every count is exact —
+    * the oracle is the exact group-by. The approximate regime (adversarial
+    * streams, merge error bounds) is property-tested in MisraGriesSpec. */
+  private val t13 = QueryDef("t13_approx_topk",
+    (s, d) => {
+      import graft.functions.{MisraGriesAgg, TextFns}
+      Tables.documents(s, d)
+        .select(explode(TextFns.words(col("text"))).as("word"))
+        .agg(MisraGriesAgg.approx_topk(col("word"), 256).as("tk"))
+        .select(posexplode(col("tk")).as(Seq("pos", "e")))
+        .filter(col("pos") < 20)
+        .select(col("pos").cast("int").as("pos"),
+          col("e.item").as("word"), col("e.cnt").as("cnt"))
+        .orderBy("pos")
+    },
+    Some("""WITH w AS (SELECT UNNEST(list_filter(
+                regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                x -> x <> '')) AS word FROM documents),
+            c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+            r AS (SELECT word, cnt,
+                    ROW_NUMBER() OVER (ORDER BY cnt DESC, word) - 1 AS pos
+                  FROM c)
+            SELECT CAST(pos AS INT) AS pos, word, CAST(cnt AS BIGINT) AS cnt
+            FROM r WHERE pos < 20 ORDER BY pos"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -1372,6 +1399,22 @@ object Catalog {
             FROM events, range(4) j
             GROUP BY w, event_type ORDER BY w, event_type"""))
 
+  /** REAL watermarked streaming dedup (append mode, RocksDB-backed dedup
+    * state), certified by key-set parity: the deduped stream must emit
+    * EXACTLY ONE row per distinct (user_id, event_type) — projecting to
+    * the key columns makes the output deterministic even though which
+    * physical row survives is not, and any duplicate or dropped key breaks
+    * the row/hash compare against the batch DISTINCT. */
+  private val s05 = QueryDef("s05_stream_dedup",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s, dedupedStream(eventsStream(s, d)), outputMode = "append")
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -1379,9 +1422,9 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, x01, x02, x03,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, q50,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
-    m01, m02, e01, e02, s01, s02, s03, s04) ++ MoreQueries.all ++ FunctionSuites.all
+    m01, m02, e01, e02, s01, s02, s03, s04, s05) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
