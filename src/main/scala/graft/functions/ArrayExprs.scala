@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -106,6 +106,110 @@ object ArrayExprs {
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
+
+  private val shingleBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
+  }
+
+  /** Fused text -> MinHash signature in ONE byte-level pass: word spans
+    * are found by scanning the UTF-8 bytes for Java-\s whitespace (all six
+    * class members are single ASCII bytes, and UTF-8 continuation bytes
+    * can never collide with them), each n-gram's canonical bytes
+    * (words joined by 0x20) are assembled in a reusable thread-local
+    * buffer, hashed once, and k-permuted into the running minimum.
+    *
+    * Produces BIT-IDENTICAL signatures to
+    * minhashCompute(shinglesCompute(text, n), k): the hash input is the
+    * same canonical shingle byte string, and duplicate shingles are
+    * idempotent under elementwise min, so the distinct-ing step is simply
+    * unnecessary here. What it saves at scale: the String decode, the
+    * per-row regex compile, the per-shingle StringBuilder/LinkedHashSet/
+    * re-encode churn, and the materialized array<string> column — the
+    * signature goes straight from the scan bytes to 8k bytes of state. */
+  def minhashTextCompute(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val bytes = text.getBytes
+    val len = bytes.length
+    // collect word spans [start, end)
+    var nWords = 0
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      if (!ws) {
+        val s = i
+        while (i < len && {
+          val c = bytes(i)
+          !(c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r')
+        }) i += 1
+        if (nWords == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nWords * 2)
+          ends = java.util.Arrays.copyOf(ends, nWords * 2)
+        }
+        starts(nWords) = s; ends(nWords) = i; nWords += 1
+      } else i += 1
+    }
+    var w = 0
+    while (w <= nWords - n) {
+      // canonical shingle bytes: words w..w+n-1 joined by a single space
+      var need = n - 1
+      var j = 0
+      while (j < n) { need += ends(w + j) - starts(w + j); j += 1 }
+      var buf = shingleBuf.get()
+      if (buf.length < need) {
+        buf = new Array[Byte](Integer.highestOneBit(need) * 2)
+        shingleBuf.set(buf)
+      }
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val wl = ends(w + j) - starts(w + j)
+        System.arraycopy(bytes, starts(w + j), buf, pos, wl)
+        pos += wl
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      var p = 0
+      while (p < k) {
+        val hp = h * ((2L * p + 1L) * 0x9E3779B97F4A7C15L) + (p * 0xC2B2AE3D27D4EB4FL)
+        if (hp < sig(p)) sig(p) = hp
+        p += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def minhash_text(text: Column, n: Int, k: Int): Column =
+    Bridge.column(MinHashText(Bridge.expression(text), n, k))
+
+  /** All unordered position pairs (i < j) of an array, as
+    * array<struct<x, y>> — the per-bucket candidate expansion of an LSH
+    * bucket join, n(n-1)/2 pairs for an n-element bucket. */
+  def pairCombosCompute(arr: ArrayData, et: DataType): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.get(i, et)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = new GenericInternalRow(Array[Any](x, arr.get(j, et)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pair_combos(arr: Column): Column =
+    Bridge.column(PairCombos(Bridge.expression(arr)))
 
   def vector_dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
@@ -212,6 +316,49 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.shinglesCompute($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Fused text -> MinHash signature (see ArrayExprs.minhashTextCompute);
+  * bit-identical to MinHashSig over WordShingles, minus all intermediate
+  * string materialization. */
+case class MinHashText(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_text needs a string column, got ${child.dataType}")
+  override def nullSafeEval(c: Any): Any =
+    ArrayExprs.minhashTextCompute(c.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.minhashTextCompute($c, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashText =
+    copy(child = newChild)
+}
+
+/** Unordered position pairs of an array (ArrayExprs.pairCombosCompute):
+  * the bucket-local candidate expansion that turns a grouped LSH bucket
+  * into its pair list without a self-join. */
+case class PairCombos(child: Expression) extends UnaryExpression {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("x", elemType), StructField("y", elemType))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pair_combos needs an array, got $t")
+  }
+  override def nullSafeEval(c: Any): Any =
+    ArrayExprs.pairCombosCompute(c.asInstanceOf[ArrayData], elemType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val etRef = ctx.addReferenceObj("et", elemType)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayExprs.pairCombosCompute($c, " +
+        s"(org.apache.spark.sql.types.DataType) $etRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PairCombos =
     copy(child = newChild)
 }
 

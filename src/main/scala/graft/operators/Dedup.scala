@@ -30,38 +30,55 @@ object Dedup {
   /** MinHash + LSH near-duplicate candidate pairs, verified by exact
     * shingle Jaccard.
     *
-    * Pipeline: shingle -> k-long MinHash signature -> band digests ->
-    * explode bands -> self equi-join on (band, digest) -> distinct pairs ->
-    * exact-Jaccard verification join. The only non-equi work is the final
-    * verification on the (small) candidate set.
+    * Pipeline: fused text -> k-long MinHash signature (one byte-level
+    * pass, ArrayExprs.minhashTextCompute) -> band digests -> explode
+    * bands -> ONE shuffle grouping (band, digest) buckets -> per-bucket
+    * pair expansion -> distinct pairs -> exact-Jaccard verification by
+    * joining the (few) candidates back to the raw text. The only
+    * non-equi work is the verification on the candidate set; no
+    * self-join, so the signature pipeline runs exactly once and the
+    * shuffle carries one narrow row per (doc, band).
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                  threshold: Double = 0.7): DataFrame = {
-    // persist: the signature table is referenced by candidate generation
-    // AND both sides of the verification join; without a materialization
-    // barrier each branch would recompute the shingle+hash pipeline.
-    // (At real scale this would be a checkpointed signature table.)
+    // signatures via the FUSED byte-level expression (no intermediate
+    // array<string> shingle column is ever materialized on the full
+    // corpus). No persist: since verification joins back to the raw text,
+    // the signature table's only consumer is the banding self-join below,
+    // whose two sides shuffle on the same (band, digest) key — Spark's
+    // ReusedExchange evaluates the signature pipeline once.
     val sigs = df.select(
       col(idCol).as("id"),
-      TextFns.wordShingles(col(textCol), shingleN).as("shingles"))
-      .withColumn("sig", TextFns.minhashSignature(col("shingles"), k))
-      .persist()
+      graft.functions.ArrayExprs.minhash_text(col(textCol), shingleN, k).as("sig"))
     val banded = sigs.select(col("id"),
       explode(TextFns.lshBands(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.digest").as("digest"))
-    val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // bucket-grouped candidate generation: ONE shuffle on (band, digest)
+    // and a per-bucket pair expansion — vs the equivalent self equi-join,
+    // this halves the shuffled volume, computes the signature pipeline
+    // once instead of per join side, and needs no broadcast. Pair count
+    // is identical (n(n-1)/2 per bucket, the LSH cost either way).
+    val candidates = banded.groupBy("band", "digest")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("id_a"),
+        greatest(col("p.x"), col("p.y")).as("id_b"))
       .distinct()
-    val withSets = candidates
-      .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-    withSets
-      .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
+    // exact-Jaccard verification: join the candidates back to the raw
+    // text first, THEN shingle — the shingle expressions sit above the
+    // joins, so the array<string> sets exist only for the few candidate
+    // rows, never for the full corpus
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    candidates
+      .join(texts.select(col("id").as("id_a"), col("__text").as("__ta")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("__text").as("__tb")), Seq("id_b"))
+      .withColumn("jaccard", TextFns.jaccard(
+        TextFns.wordShingles(col("__ta"), shingleN),
+        TextFns.wordShingles(col("__tb"), shingleN)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -73,15 +90,19 @@ object Dedup {
                       topN: Int = 20): DataFrame = {
     val sigs = df.select(
       col(idCol).as("id"),
-      TextFns.minhashSignature(TextFns.wordShingles(col(textCol), shingleN), k).as("sig"))
+      graft.functions.ArrayExprs.minhash_text(col(textCol), shingleN, k).as("sig"))
       .persist()
     val banded = sigs.select(col("id"),
       explode(TextFns.lshBands(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("b.band"), col("b.digest"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    // same bucket-grouped pair expansion as minhashLsh (one shuffle)
+    val cand = banded.groupBy("band", "digest")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("id_a"),
+        greatest(col("p.x"), col("p.y")).as("id_b"))
+      .distinct()
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

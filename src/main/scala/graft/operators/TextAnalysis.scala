@@ -97,8 +97,8 @@ object TextAnalysis {
                        textCol: String = "text", k: Int = 128): DataFrame = {
     import graft.functions.MinHashUnionAgg.minhash_union
     val sigs = docs
-      .select(col(groupCol), TextFns.minhashSignature(
-        TextFns.wordShingles(col(textCol), 3), k).as("sig"))
+      .select(col(groupCol),
+        graft.functions.ArrayExprs.minhash_text(col(textCol), 3, k).as("sig"))
       .groupBy(groupCol)
       .agg(minhash_union(col("sig"), k).as("gsig"))
     sigs.as("a").join(sigs.as("b"), col(s"a.$groupCol") < col(s"b.$groupCol"))

@@ -117,6 +117,25 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L)) // min v per key
   }
 
+  test("fused minhash_text is bit-identical to minhash over word shingles") {
+    import graft.functions.ArrayExprs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  tab\tand\nnewline\u000Bvtab\f\rseparators  collapse "),
+      (3L, "short"), // fewer words than n -> empty shingle set
+      (4L, "dup dup dup dup dup"), // duplicate shingles are min-idempotent
+      (5L, "unicode éèê multi世界 byte words here")
+    ).toDF("doc_id", "text")
+    val k = 64
+    val fused = docs.select(col("doc_id"),
+      ArrayExprs.minhash_text(col("text"), 3, k).as("s"))
+    val composed = docs.select(col("doc_id"),
+      TextFns.minhashSignature(TextFns.wordShingles(col("text"), 3), k).as("s"))
+    val bad = fused.as("f").join(composed.as("c"), "doc_id")
+      .filter(col("f.s") =!= col("c.s")).count()
+    assert(bad == 0)
+  }
+
   test("minhash estimate approximates exact jaccard") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
