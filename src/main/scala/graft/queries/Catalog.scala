@@ -477,6 +477,38 @@ object Catalog {
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
             FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  /** Same clustering contract as d09 but via the O(log n)-round
+    * large-star/small-star edge rewriting (the extreme-diameter scale
+    * path). The oracle is the independent recursive-CTE closure, so a
+    * hash match certifies the star algorithm end-to-end — including that
+    * it agrees with min-label propagation (d09) on the same contract. */
+  private val d10 = QueryDef("d10_cc_star",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 3, k = 128, bands = 32, threshold = 0.7)
+      Dedup.connectedComponentsStar(pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+            w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+                  FROM documents WHERE doc_id < 300),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.sh, b.sh)) /
+                        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (SELECT a, b FROM e
+                            UNION
+                            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -1421,7 +1453,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, x01, x02, x03,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
     m01, m02, e01, e02, s01, s02, s03, s04, s05) ++ MoreQueries.all ++ FunctionSuites.all

@@ -181,6 +181,62 @@ object MoreQueries {
               AND s.ts > p.ts AND s.ts <= p.ts + INTERVAL 30 SECOND
             ORDER BY pid, sid"""))
 
+  /** Deterministic salted join on a genuinely skewed key distribution
+    * (order keys follow the lineitem 1-7 fanout; the salt explodes the
+    * small side 8x and hash-spreads the big side). The oracle is the PLAIN
+    * join — a hash match proves salting is a pure physical rewrite with
+    * identical results. */
+  private val q55 = QueryDef("q55_salted_join",
+    (s, d) => graft.operators.RelationalOps.saltedJoin(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("k"), col("l_quantity"), col("l_linenumber")),
+        Tables.orders(s, d).select(col("o_orderkey").as("k"), col("o_orderpriority")),
+        "k", salts = 8, saltFrom = col("l_linenumber"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(dec(col("l_quantity"))), 2).cast("double").as("qty"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty,
+              COUNT(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Co-located join over bucketed tables: both sides are written
+    * bucketBy(8) on the join key, so the sort-merge join reads
+    * pre-shuffled buckets — zero Exchange on either side
+    * (BucketingSpec pins the plan; this query certifies the results).
+    * At 100 TB this is the standing layout for fact-fact joins: shuffle
+    * once at write time, never again. */
+  private val q56 = QueryDef("q56_bucketed_join",
+    (s, d) => {
+      for (t <- Seq("li_b56", "ord_b56")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        // the in-memory catalog forgets tables across JVMs but the
+        // warehouse dir survives; clear stale files so overwrite is clean
+        val wh = new java.io.File(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+        if (wh.exists()) { wh.listFiles().foreach(_.delete()); wh.delete() }
+      }
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_b56")
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_b56")
+      s.table("li_b56")
+        .join(s.table("ord_b56"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum(dec(col("l_quantity"))), 2).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty,
+              COUNT(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q54)
+    q39, q40, q54, q55, q56)
 }

@@ -262,6 +262,24 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponentsStar agrees with min-label propagation") {
+    // adversarial shapes: a 30-node chain (diameter stress), a hub star
+    // with the MIN at a leaf (hooking must pass through the hub), a
+    // triangle with a chord, and singleton-pair components
+    val chain = (100L until 129L).map(i => (i, i + 1))
+    val star = Seq((50L, 40L), (50L, 41L), (50L, 42L), (50L, 7L))
+    val tri = Seq((60L, 61L), (61L, 62L), (60L, 62L), (62L, 63L))
+    val pairs = (chain ++ star ++ tri ++ Seq((200L, 201L)))
+      .toDF("id_a", "id_b")
+    val exp = Dedup.duplicateClusters(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = Dedup.connectedComponentsStar(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == exp)
+    assert(got(129L) == 100L && got(50L) == 7L && got(40L) == 7L
+      && got(63L) == 60L && got(201L) == 200L)
+  }
+
   test("hashSample is deterministic, near-rate and join-compatible") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val s1 = Sampling.hashSample(docs, col("doc_id"), 100)
