@@ -21,6 +21,27 @@ object RelationalOps {
       .drop("__rn")
   }
 
+  /** Top-k rows per group through the custom GroupTopK plan node
+    * (graft.plans.GroupTopK): bounded per-group heaps in a partial phase
+    * BEFORE the shuffle, so the exchange carries at most
+    * partitions x groups x k rows and nothing is fully sorted — vs the
+    * window form above, which shuffles the whole input and sorts every
+    * group. Requires the session to have graft.GraftExtensions (the
+    * planner strategy); `orderBy` must be a total order for deterministic
+    * results. Output row order within groups is UNDEFINED (append a final
+    * orderBy, like any top-k). */
+  def topKPerGroupExec(df: DataFrame, groupBy: Seq[Column],
+                       orderBy: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.graft.Bridge
+    val so = orderBy.map(c => Bridge.eagerExpression(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    })
+    Bridge.ofRows(df.sparkSession, graft.plans.GroupTopK(
+      groupBy.map(Bridge.eagerExpression), so, k, df.queryExecution.analyzed))
+  }
+
   /** First row per key under an explicit order — exact deduplication with a
     * deterministic survivor (unlike dropDuplicates, whose survivor is
     * arbitrary under parallelism). One shuffle on `keys`. */

@@ -237,6 +237,30 @@ object MoreQueries {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** q14's exact shape through the custom GroupTopK physical operator
+    * (graft.plans.GroupTopK: per-group bounded heaps, partial phase before
+    * ONE k-bounded exchange, no sort) instead of the row_number window.
+    * Shares q14's oracle, so a hash match certifies the custom SparkPlan
+    * end-to-end; both are bench queries — the gap is the measured cost of
+    * full-sort-then-discard vs heap selection. */
+  private val q57 = QueryDef("q57_group_topk_exec",
+    (s, d) => {
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      graft.operators.RelationalOps.topKPerGroupExec(j, Seq(col("c_mktsegment")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select("c_mktsegment", "o_orderkey")
+        .orderBy("c_mktsegment", "o_orderkey")
+    },
+    Some("""SELECT c_mktsegment, o_orderkey FROM (
+              SELECT c_mktsegment, o_orderkey,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey) t
+            WHERE rn <= 3 ORDER BY c_mktsegment, o_orderkey"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q54, q55, q56)
+    q39, q40, q54, q55, q56, q57)
 }
