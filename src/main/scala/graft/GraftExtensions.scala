@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GpsSeconds(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
     ext.injectCheckRule(session => graft.plans.StrictPlanChecks(session))
   }
