@@ -44,8 +44,10 @@ object MatchFilter {
       .toDF()
   }
 
-  /** In-memory greedy fixpoint for one (obsid, pol) spectrum. */
-  private[mwa] def run(cellSeq: Seq[InsCell], config: GraftConfig): Iterator[FlagCell] = {
+  /** In-memory greedy fixpoint for one (obsid, pol) spectrum. Shared by
+    * the batch mapGroups path above and the streaming StatefulProcessor
+    * (graft.streaming.StatefulOps.MatchFilterProcessor). */
+  private[graft] def run(cellSeq: Seq[InsCell], config: GraftConfig): Iterator[FlagCell] = {
     val times = cellSeq.map(_.time_idx).distinct.sorted
     val freqs = cellSeq.map(_.freq_hz).distinct.sorted
     val tIdx = times.zipWithIndex.toMap

@@ -893,28 +893,10 @@ object Catalog {
     * (sig DESC, t, narrow-before-streak, f). tb_aggro=1/32 (dyadic) so the
     * post-loop time broadcast fires on the narrow-flagged times, covering
     * all three event kinds in one certified query. */
-  private val mwa04 = QueryDef("mwa04_mf_flags",
-    (s, d) => {
-      import graft.mwa._
-      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
-      val cfg = GraftConfig(removeFlaggedAnts = false,
-        spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
-      // the SQL oracle hardcodes these fixture/config constants; a change
-      // to either side must fail HERE, not as an unexplained hash mismatch
-      require(spec.nTimes == 17 && spec.nAnts == 4 &&
-        spec.nCoarse * spec.nFine == 16 &&
-        spec.freq0Hz == 130000000.0 && spec.dfHz == 40000.0 &&
-        spec.rfiFreqIdx == 5 && spec.rfiTimes == (6, 9) &&
-        spec.rfiAmp == 40.0 && spec.streakTime == 12 && spec.streakAmp == 60.0 &&
-        cfg.narrow == 7.0 && cfg.streak == 8.0 && cfg.tbAggro == 0.03125,
-        "mwa04: Spec/GraftConfig constants drifted from the SQL oracle")
-      val insDf = VisOps.ins(VisOps.diff(
-        VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)))
-      MatchFilter(insDf, cfg).filter(col("flagged"))
-        .select("time_idx", "freq_hz", "pol", "event")
-        .orderBy("pol", "time_idx", "freq_hz")
-    },
-    Some("""WITH RECURSIVE
+  /** The mwa04 recursive-CTE oracle, shared verbatim with s06_stream_mf
+    * (the streaming execution of the same fixpoint must match the same SQL
+    * bit-for-bit). */
+  private val mwa04Oracle: String = """WITH RECURSIVE
             g AS (
               SELECT CAST(t.range AS INT) AS time_idx, CAST(a.range AS INT) AS ant,
                      CAST(f.range AS INT) AS freq_idx, p.pol AS pol, p.pi AS pi
@@ -989,7 +971,30 @@ object Catalog {
                      THEN 'time_broadcast' ELSE fin.event END AS event
               FROM fin JOIN tb USING (pol, t))
             SELECT t AS time_idx, 130000000.0 + f * 40000.0 AS freq_hz, pol, event
-            FROM outp WHERE flagged ORDER BY pol, time_idx, freq_hz"""))
+            FROM outp WHERE flagged ORDER BY pol, time_idx, freq_hz"""
+
+  private val mwa04 = QueryDef("mwa04_mf_flags",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+      // the SQL oracle hardcodes these fixture/config constants; a change
+      // to either side must fail HERE, not as an unexplained hash mismatch
+      require(spec.nTimes == 17 && spec.nAnts == 4 &&
+        spec.nCoarse * spec.nFine == 16 &&
+        spec.freq0Hz == 130000000.0 && spec.dfHz == 40000.0 &&
+        spec.rfiFreqIdx == 5 && spec.rfiTimes == (6, 9) &&
+        spec.rfiAmp == 40.0 && spec.streakTime == 12 && spec.streakAmp == 60.0 &&
+        cfg.narrow == 7.0 && cfg.streak == 8.0 && cfg.tbAggro == 0.03125,
+        "mwa04: Spec/GraftConfig constants drifted from the SQL oracle")
+      val insDf = VisOps.ins(VisOps.diff(
+        VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)))
+      MatchFilter(insDf, cfg).filter(col("flagged"))
+        .select("time_idx", "freq_hz", "pol", "event")
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    Some(mwa04Oracle))
 
   /** Scale demonstration: the full SSINS chain on a ~5M-row generated
     * observation (24 times x 16 ants (136 baselines) x 12 chans x 32 fine
@@ -1447,6 +1452,51 @@ object Catalog {
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
 
+  /** STREAMING execution of the SSINS match filter on the mwa04 portable
+    * fixture: INS cells are re-played as a 4-file parquet stream
+    * (maxFilesPerTrigger=1 -> 4 micro-batches), accumulated per
+    * (obsid, pol) in RocksDB ListState, and the greedy fixpoint runs
+    * exactly once per observation when its known spectrum shape completes
+    * (StatefulOps.MatchFilterProcessor). Shares mwa04's bit-exact
+    * recursive-CTE oracle — streaming and batch must agree to the hash. */
+  private val s06 = QueryDef("s06_stream_mf",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+      require(spec.nTimes == 17 && spec.nCoarse * spec.nFine == 16,
+        "s06: fixture shape drifted from the shared mwa04 oracle")
+      val insDf = VisOps.ins(VisOps.diff(
+          VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)))
+        .select(col("obsid"), col("time_idx"), col("freq_hz"), col("pol"),
+          col("metric").cast("double"), col("nsamples").cast("double"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_s06_").toString
+      insDf.repartition(4).write.mode("overwrite").parquet(dir)
+      // diff drops one time: (nTimes-1) x nFreqs cells per (obsid, pol)
+      val expected = (spec.nTimes - 1) * spec.nCoarse * spec.nFine
+      val conf = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val stream = s.readStream.schema(insDf.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+          .as[MatchFilter.InsCell]
+        val flags = graft.streaming.StatefulOps
+          .matchFilterStream(stream, cfg, expected).toDF()
+        graft.streaming.EventStreams.runToBatch(s, flags, outputMode = "append")
+          .filter(col("flagged"))
+          .select("time_idx", "freq_hz", "pol", "event")
+          .orderBy("pol", "time_idx", "freq_hz")
+      } finally prev match {
+        case Some(p) => s.conf.set(conf, p)
+        case None => s.conf.unset(conf)
+      }
+    },
+    Some(mwa04Oracle))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -1456,7 +1506,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
-    m01, m02, e01, e02, s01, s02, s03, s04, s05) ++ MoreQueries.all ++ FunctionSuites.all
+    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

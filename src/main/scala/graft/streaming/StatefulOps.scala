@@ -41,4 +41,50 @@ object StatefulOps {
       .transformWithState(new RunningCounter,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** STREAMING SSINS match filter: the reference's signature iterative
+    * algorithm (SURVEY §2.8) as an arbitrary-state streaming operator.
+    *
+    * INS cells arrive per micro-batch in any order/partitioning; a
+    * ListState[InsCell] per (obsid, pol) accumulates the observation's
+    * spectrum in RocksDB (off-heap — a night of observations holds state
+    * for every in-flight obsid without heap pressure). An MWA observation
+    * has a KNOWN spectrum shape (Ntimes x Nfreqs from the metafits), so
+    * end-of-observation is completeness: when the accumulated cell count
+    * reaches `expectedCells`, the greedy fixpoint (MatchFilter.run — the
+    * SAME code as batch) runs once and emits the final flags, and the
+    * state is dropped. Until then the key emits nothing (Append mode).
+    * Emission is therefore exactly-once per observation and INVARIANT to
+    * how the stream is micro-batched — which is what lets the streaming
+    * path share mwa04's bit-exact SQL oracle (s06_stream_mf).
+    */
+  class MatchFilterProcessor(cfg: graft.mwa.GraftConfig, expectedCells: Int)
+      extends StatefulProcessor[(Long, String),
+        graft.mwa.MatchFilter.InsCell, graft.mwa.MatchFilter.FlagCell] {
+    import graft.mwa.MatchFilter.InsCell
+    @transient private var cells: ListState[InsCell] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cells = getHandle.getListState[InsCell]("cells",
+        Encoders.product[InsCell], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[InsCell],
+        timers: TimerValues): Iterator[graft.mwa.MatchFilter.FlagCell] = {
+      rows.foreach(cells.appendValue)
+      val acc = cells.get().toSeq
+      if (acc.length >= expectedCells) {
+        cells.clear()
+        graft.mwa.MatchFilter.run(acc, cfg)
+      } else Iterator.empty
+    }
+  }
+
+  def matchFilterStream(ins: Dataset[graft.mwa.MatchFilter.InsCell],
+                        cfg: graft.mwa.GraftConfig,
+                        expectedCells: Int): Dataset[graft.mwa.MatchFilter.FlagCell] = {
+    import ins.sparkSession.implicits._
+    ins.groupByKey(c => (c.obsid, c.pol))
+      .transformWithState(new MatchFilterProcessor(cfg, expectedCells),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

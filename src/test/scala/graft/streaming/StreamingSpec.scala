@@ -90,6 +90,48 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming match filter equals batch MatchFilter under any batching") {
+    import graft.mwa._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+    val cfg = GraftConfig(removeFlaggedAnts = false,
+      spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+    val insDf = VisOps.ins(VisOps.diff(
+        VisOps.selectSurface(VisGenerator.portable(spark, spec), cfg)))
+      .select(col("obsid"), col("time_idx"), col("freq_hz"), col("pol"),
+        col("metric").cast("double"), col("nsamples").cast("double"))
+    val expectedFlags = MatchFilter(insDf, cfg)
+      .select("time_idx", "freq_hz", "pol", "flagged", "event").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)) ->
+        (r.getBoolean(3), r.getString(4))).toMap
+    import spark.implicits._
+    val cells = insDf.as[MatchFilter.InsCell].collect()
+    val expected = (spec.nTimes - 1) * spec.nCoarse * spec.nFine
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[MatchFilter.InsCell]
+      val q = StatefulOps.matchFilterStream(mem.toDS(), cfg, expected).toDF()
+        .writeStream.format("memory").queryName("mf_out")
+        .outputMode("append").start()
+      try {
+        // deliberately lopsided batching: 100 cells, then 1, then the rest
+        mem.addData(cells.take(100).toSeq)
+        q.processAllAvailable()
+        mem.addData(cells.slice(100, 101).toSeq)
+        q.processAllAvailable()
+        mem.addData(cells.drop(101).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("mf_out")
+        .select("time_idx", "freq_hz", "pol", "flagged", "event").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)) ->
+          (r.getBoolean(3), r.getString(4))).toMap
+      assert(got == expectedFlags)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stateful streaming sessionization equals the batch gaps-and-islands") {
     // arbitrary-state variant of q26: per-user session counting inside
     // flatMapGroupsWithState (sorting the group's events by time in-state)
