@@ -509,6 +509,82 @@ object Catalog {
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
             FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  /** FLAGSHIP end-to-end training-data-prep pipeline, the composition a
+    * 100 TB corpus actually runs: exact dedup (one hash agg) -> MinHash-LSH
+    * near-dup pairs over the survivors -> connected-components cluster
+    * labels -> survivor selection (component minimum) -> token counting ->
+    * language ID. The oracle independently re-derives EVERY stage in
+    * DuckDB (min-per-text dedup, all-pairs exact Jaccard, recursive-CTE
+    * closure, the t05/t06 tokenization and stopword-argmax fragments), so
+    * one hash match certifies the whole chain composes correctly. */
+  private val d11 = QueryDef("d11_pipeline",
+    (s, d) => {
+      val uniq = Dedup.exactRows(Tables.documents(s, d), "doc_id", "text")
+      val pairs = Dedup.minhashLsh(uniq, "doc_id", "text",
+        shingleN = 3, k = 128, bands = 32, threshold = 0.7)
+      val dupes = Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val kept = uniq.join(dupes, Seq("doc_id"), "left_anti")
+      val toks = kept.select(col("doc_id"),
+        size(graft.functions.TextFns.words(col("text"))).cast("int").as("n_tokens"))
+      TextAnalysis.languageId(kept)
+        .join(toks, Seq("doc_id"))
+        .filter(col("n_tokens") >= 5)
+        .select("doc_id", "pred_lang", "n_tokens")
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+            uniq AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+            u AS (SELECT dd.doc_id, dd.text FROM documents dd
+                  JOIN uniq ON dd.doc_id = uniq.doc_id),
+            w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w FROM u),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.sh, b.sh)) /
+                        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (SELECT a, b FROM e
+                            UNION
+                            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                    FROM reach GROUP BY a),
+            kept AS (SELECT u.doc_id, u.text FROM u
+                     LEFT JOIN lbl ON u.doc_id = lbl.doc_id
+                     WHERE lbl.doc_id IS NULL OR lbl.doc_id = lbl.cluster_id),
+            lw AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+                   FROM kept),
+            b AS (SELECT doc_id, list_sort([
+                 {'score': len(list_filter(w, x -> list_contains(
+                    ['the','a','of','and','to','in','is','it','that','for'], x))),
+                  'lang': 'en'},
+                 {'score': len(list_filter(w, x -> list_contains(
+                    ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))),
+                  'lang': 'de'},
+                 {'score': len(list_filter(w, x -> list_contains(
+                    ['el','la','de','que','y','en','un','es','no','por'], x))),
+                  'lang': 'es'},
+                 {'score': len(list_filter(w, x -> list_contains(
+                    ['le','la','de','et','est','un','une','que','pour','dans'], x))),
+                  'lang': 'fr'}])[4] AS best
+               FROM lw),
+            lang AS (SELECT doc_id,
+                CASE WHEN struct_extract(best, 'score') > 0
+                     THEN struct_extract(best, 'lang') ELSE 'und' END AS pred_lang
+              FROM b),
+            tok AS (SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS INT) AS n_tokens
+              FROM kept)
+            SELECT lang.doc_id, lang.pred_lang, tok.n_tokens
+            FROM lang JOIN tok ON lang.doc_id = tok.doc_id
+            WHERE tok.n_tokens >= 5
+            ORDER BY lang.doc_id"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -1503,7 +1579,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, x01, x02, x03,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, x01, x02, x03,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06) ++ MoreQueries.all ++ FunctionSuites.all

@@ -261,6 +261,29 @@ object MoreQueries {
             WHERE rn <= 3 ORDER BY c_mktsegment, o_orderkey"""),
     bench = true)
 
+  /** TSV sink round-trip (SURVEY S8): write a projection through the
+    * tab-separated sink, read it back with an explicit schema, aggregate.
+    * The oracle computes the same aggregate from the source table, so a
+    * hash match certifies the sink/source round-trip preserves values
+    * (incl. doubles via Spark's shortest-round-trip formatting). */
+  private val q58 = QueryDef("q58_tsv_sink",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q58_").toString
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").option("sep", "\t").csv(dir)
+      s.read.schema("l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE")
+        .option("sep", "\t").csv(dir)
+        .groupBy("l_returnflag")
+        .agg(round(sum(dec(col("l_quantity"))), 2).cast("double").as("qty"),
+          count(lit(1)).as("n"), sum(col("l_orderkey")).as("keysum"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty,
+              COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS keysum
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q54, q55, q56, q57)
+    q39, q40, q54, q55, q56, q57, q58)
 }
