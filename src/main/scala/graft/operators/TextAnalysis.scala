@@ -79,8 +79,10 @@ object TextAnalysis {
     val n = docs.count()
     val words = docs.select(col(idCol), explode(TextFns.words(col(textCol))).as("word"))
     val tf = words.groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
-    val df = words.select(idCol, "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // document frequency DERIVED from tf: tf's grouping already reduced the
+    // corpus to distinct (doc, word) rows, so df is one more tiny hash agg —
+    // not a second explode + distinct over the full token stream
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("word"))
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
     val w = org.apache.spark.sql.expressions.Window
