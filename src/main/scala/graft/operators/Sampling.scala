@@ -40,6 +40,31 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES:
+    * priority u^(1/w), keep the top n), restricted to POWER-OF-TWO weights
+    * so it stays deterministic AND cross-engine bit-exact: u^(1/2^k) is k
+    * nested sqrts, and sqrt — unlike pow/log — is IEEE correctly rounded,
+    * so every engine computes the identical priority bits and the ranking
+    * can be certified by an external oracle. u is the 60-bit md5 key hash
+    * mapped to (0,1): reproducible under re-partitioning/retries like
+    * every sampler here. Power-of-two weight CLASSES (1/2/4/8...) are the
+    * practical shape anyway — corpus mixtures are tuned in coarse ratios.
+    *
+    * `log2Weight` must be an integer column in [0, 6]. Top-n is a
+    * TakeOrderedAndProject — no shuffle, scan-side priorities. */
+  def weightedSample(df: DataFrame, key: Column, log2Weight: Column,
+                     n: Int): DataFrame = {
+    val u = (keyHash(key).cast("double") + 0.5) / lit(1.152921504606846976e18)
+    val p = (0 to 6).foldLeft(when(lit(false), lit(0.0))) { (acc, k) =>
+      acc.when(log2Weight === k,
+        (0 until k).foldLeft(u)((c, _) => sqrt(c)))
+    }
+    df.withColumn("__p", p)
+      .orderBy(col("__p").desc, key)
+      .limit(n)
+      .drop("__p")
+  }
+
   /** Sequence packing: assign each document to a training sequence (bin)
     * of ~`budget` tokens. Documents are first sharded by key hash (so the
     * cumulative sum parallelizes — a single global running sum would move

@@ -864,6 +864,31 @@ object Catalog {
     * below k = 256, so no decrement ever fires and every count is exact —
     * the oracle is the exact group-by. The approximate regime (adversarial
     * streams, merge error bounds) is property-tested in MisraGriesSpec. */
+  /** Weighted sampling (A-ES) over power-of-two weight classes: the
+    * priorities are nested correctly-rounded sqrts of the md5-derived
+    * uniform, so the oracle re-derives the EXACT ranking bit-for-bit —
+    * the corpus-mixture sampler ("upweight en 8x, de 4x, es 2x") with a
+    * certified sample. */
+  private val t14 = QueryDef("t14_weighted_sample",
+    (s, d) => graft.operators.Sampling.weightedSample(
+        Tables.documents(s, d), col("doc_id"),
+        when(col("lang") === "en", 3).when(col("lang") === "de", 2)
+          .when(col("lang") === "es", 1).otherwise(0), 40)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""WITH u AS (SELECT doc_id, lang,
+                (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+                  / 1152921504606846976.0 AS u
+              FROM documents),
+            p AS (SELECT doc_id, lang,
+                CASE WHEN lang = 'en' THEN sqrt(sqrt(sqrt(u)))
+                     WHEN lang = 'de' THEN sqrt(sqrt(u))
+                     WHEN lang = 'es' THEN sqrt(u)
+                     ELSE u END AS p
+              FROM u),
+            top AS (SELECT doc_id, lang FROM p ORDER BY p DESC, doc_id LIMIT 40)
+            SELECT doc_id, lang FROM top ORDER BY doc_id"""))
+
   private val t13 = QueryDef("t13_approx_topk",
     (s, d) => {
       import graft.functions.{MisraGriesAgg, TextFns}
@@ -1580,7 +1605,7 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, x01, x02, x03,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, q50,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06) ++ MoreQueries.all ++ FunctionSuites.all
 

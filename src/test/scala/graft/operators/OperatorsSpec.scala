@@ -280,6 +280,22 @@ class OperatorsSpec extends SparkSpec {
       && got(63L) == 60L && got(201L) == 200L)
   }
 
+  test("weightedSample is deterministic and upweights the heavy class") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val w = when(col("lang") === "en", 3).otherwise(0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, col("doc_id"), w, 60)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(docs)
+    assert(s1 == ids(docs.repartition(7))) // stable under partitioning
+    val enShareCorpus = docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    val enShareSample = docs.filter(col("doc_id").isInCollection(s1))
+      .filter(col("lang") === "en").count().toDouble / s1.size
+    // 8x weight must clearly overrepresent the en stratum
+    assert(enShareSample > enShareCorpus * 1.5,
+      s"sample $enShareSample vs corpus $enShareCorpus")
+  }
+
   test("hashSample is deterministic, near-rate and join-compatible") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val s1 = Sampling.hashSample(docs, col("doc_id"), 100)
