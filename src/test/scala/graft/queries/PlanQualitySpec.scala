@@ -107,4 +107,25 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     val p = plan("q54_rangejoin_unkeyed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("d10/d11: clustering pipelines never plan a cartesian product") {
+    // the star-CC rounds and the composed prep pipeline are join-heavy;
+    // every join must stay equi (LSH band digests / cluster labels)
+    for (q <- Seq("d10_cc_star", "d11_pipeline")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q55: salting spreads the hot key — join is equi on (key, salt)") {
+    val p = plan("q55_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("xxhash64"), s"deterministic salt missing:\n$p")
+  }
+
+  test("t14: weighted sampling is TakeOrdered over scan-side priorities") {
+    val p = plan("t14_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"top-n must not full-sort:\n$p")
+  }
 }
