@@ -36,6 +36,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    and beyond that the sort-based window is the better plan anyway;
   *  - reentrance: skip when the window already sits on a GroupTopK of
   *    the same spec (this rule runs inside a fixed-point batch).
+  *
+  * Pruning caveat: GroupTopK outputs its child's full schema (the window
+  * above needs it), and ColumnPruning does not see through custom nodes —
+  * so the rewrite relies on the window's child already being projected to
+  * the needed columns, which both the DataFrame idiom (select before
+  * window) and SQL subqueries provide; PlanQualitySpec pins q14's pruned
+  * ReadSchema with the rewrite active.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 

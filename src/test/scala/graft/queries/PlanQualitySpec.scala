@@ -18,14 +18,22 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
   // it via GraftExtensions), restoring on exit so other suites' plan-shape
   // assertions stay order-independent
   private var saved: Seq[Rule[LogicalPlan]] = Nil
+  private var savedStrategies: Seq[org.apache.spark.sql.execution.SparkStrategy] = Nil
   override def beforeAll(): Unit = {
     super.beforeAll()
     saved = spark.experimental.extraOptimizations
+    savedStrategies = spark.experimental.extraStrategies
     spark.experimental.extraOptimizations =
-      saved.filterNot(_ == graft.plans.RangeJoinRewrite) :+ graft.plans.RangeJoinRewrite
+      saved.filterNot(r => r == graft.plans.RangeJoinRewrite ||
+        r == graft.plans.WindowTopKRewrite) :+
+        graft.plans.RangeJoinRewrite :+ graft.plans.WindowTopKRewrite
+    spark.experimental.extraStrategies =
+      savedStrategies.filterNot(_ == graft.plans.GroupTopKStrategy) :+
+        graft.plans.GroupTopKStrategy
   }
   override def afterAll(): Unit = {
     spark.experimental.extraOptimizations = saved
+    spark.experimental.extraStrategies = savedStrategies
     super.afterAll()
   }
 
@@ -106,6 +114,13 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
   test("q54: un-keyed interval join plans as hash join via the rewrite") {
     val p = plan("q54_rangejoin_unkeyed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q14: GroupTopK rewrite fires AND the scan stays column-pruned") {
+    val p = plan("q14_topk_group")
+    assert("GroupTopK \\[".r.findAllIn(p).size == 2, p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"), p)
+    assert(!p.contains("o_orderdate"), p)
   }
 
   test("d10/d11: clustering pipelines never plan a cartesian product") {
