@@ -87,4 +87,78 @@ object StatefulOps {
       .transformWithState(new MatchFilterProcessor(cfg, expectedCells),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** An INS cell stamped with its event time, for the watermark-driven
+    * variant below. */
+  final case class InsCellTs(obsid: Long, time_idx: Int, freq_hz: Double,
+                             pol: String, metric: Double, nsamples: Double,
+                             ts: java.sql.Timestamp)
+
+  /** WATERMARK-driven streaming match filter: where MatchFilterProcessor
+    * closes an observation by its known spectrum shape, this variant
+    * closes it by event-time silence — an EVENT-TIME TIMER re-registered
+    * at (max event time seen + closeOutMs) on every batch; when the
+    * watermark passes it (no new data for the observation within the
+    * close-out window), the fixpoint runs once on the accumulated cells
+    * and state is dropped. This is the production shape for instruments
+    * whose observation length is NOT known a priori; the exactly-once
+    * emission per key still holds because the timer only fires after the
+    * watermark guarantees no more rows can arrive.
+    *
+    * Two windows govern correctness and must be sized to the instrument:
+    * the WATERMARK delay bounds out-of-order arrival (event-time mode
+    * DROPS rows older than the watermark before they reach state), and
+    * `closeOutMs` bounds in-observation event-time silence. Undersizing
+    * either truncates the accumulated spectrum — the spec exercises
+    * both. */
+  class MatchFilterTimerProcessor(cfg: graft.mwa.GraftConfig, closeOutMs: Long)
+      extends StatefulProcessor[(Long, String),
+        InsCellTs, graft.mwa.MatchFilter.FlagCell] {
+    import graft.mwa.MatchFilter.{FlagCell, InsCell}
+    @transient private var cells: ListState[InsCell] = _
+    @transient private var deadline: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cells = getHandle.getListState[InsCell]("cells",
+        Encoders.product[InsCell], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[InsCellTs],
+        timers: TimerValues): Iterator[FlagCell] = {
+      var maxTs = Long.MinValue
+      rows.foreach { c =>
+        cells.appendValue(InsCell(c.obsid, c.time_idx, c.freq_hz, c.pol,
+          c.metric, c.nsamples))
+        maxTs = math.max(maxTs, c.ts.getTime)
+      }
+      val newDeadline = maxTs + closeOutMs
+      if (deadline.exists()) {
+        if (deadline.get() >= newDeadline) return Iterator.empty
+        getHandle.deleteTimer(deadline.get())
+      }
+      getHandle.registerTimer(newDeadline)
+      deadline.update(newDeadline)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Long, String), timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FlagCell] = {
+      val acc = cells.get().toSeq
+      cells.clear(); deadline.clear()
+      if (acc.nonEmpty) graft.mwa.MatchFilter.run(acc, cfg) else Iterator.empty
+    }
+  }
+
+  /** Wire the watermark-driven MF; `ins` must already carry a watermark on
+    * `ts` (withWatermark before the groupByKey). */
+  def matchFilterStreamEventTime(ins: Dataset[InsCellTs],
+                                 cfg: graft.mwa.GraftConfig,
+                                 closeOutMs: Long): Dataset[graft.mwa.MatchFilter.FlagCell] = {
+    import ins.sparkSession.implicits._
+    ins.groupByKey(c => (c.obsid, c.pol))
+      .transformWithState(new MatchFilterTimerProcessor(cfg, closeOutMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

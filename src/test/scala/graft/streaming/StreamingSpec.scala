@@ -132,6 +132,59 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("watermark-timer match filter emits once the observation goes silent") {
+    import graft.mwa._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+    val cfg = GraftConfig(removeFlaggedAnts = false,
+      spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+    val insDf = VisOps.ins(VisOps.diff(
+        VisOps.selectSurface(VisGenerator.portable(spark, spec), cfg)))
+      .select(col("obsid"), col("time_idx"), col("freq_hz"), col("pol"),
+        col("metric").cast("double"), col("nsamples").cast("double"))
+    val expectedFlagged = MatchFilter(insDf, cfg).filter(col("flagged")).count()
+    import spark.implicits._
+    val base = 1700000000000L
+    val cells = insDf.collect().map { r =>
+      StatefulOps.InsCellTs(r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getString(3), r.getDouble(4), r.getDouble(5),
+        new java.sql.Timestamp(base + r.getInt(1) * 1000L))
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[StatefulOps.InsCellTs]
+      // the watermark delay must cover the adversarial arrival disorder
+      // below (event-time mode drops rows older than the watermark —
+      // with "1 second" instead, batch 2's early times would be silently
+      // discarded and the fixpoint would run on a truncated spectrum);
+      // the close-out window must exceed in-observation event-time gaps
+      val withWm = mem.toDS().withWatermark("ts", "1 hour")
+      val q = StatefulOps.matchFilterStreamEventTime(withWm, cfg, closeOutMs = 30000L)
+        .toDF().writeStream.format("memory").queryName("mf_timer_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(cells.take(150).toSeq)
+        q.processAllAvailable()
+        mem.addData(cells.drop(150).toSeq)
+        q.processAllAvailable()
+        // observation goes silent: a sentinel far in the future advances
+        // the watermark past every real deadline; two rounds because the
+        // watermark computed at batch N gates the timers of batch N+1
+        val sentinel = StatefulOps.InsCellTs(9999L, 0, 0.0, "XX", 0.0, 4.0,
+          new java.sql.Timestamp(base + 10 * 3600 * 1000L))
+        mem.addData(Seq(sentinel))
+        q.processAllAvailable()
+        mem.addData(Seq(sentinel.copy(time_idx = 1)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("mf_timer_out").filter(col("obsid") =!= 9999L)
+      assert(out.count() == insDf.count()) // every real cell got a verdict
+      assert(out.filter(col("flagged")).count() == expectedFlagged)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stateful streaming sessionization equals the batch gaps-and-islands") {
     // arbitrary-state variant of q26: per-user session counting inside
     // flatMapGroupsWithState (sorting the group's events by time in-state)
