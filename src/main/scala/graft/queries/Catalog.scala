@@ -663,6 +663,21 @@ object Catalog {
     },
     None, bench = true)
 
+  /** PQ/ADC kNN (rows-only: k-means codebooks are engine-seeded; exact
+    * twin x01, recall floor in PqSpec). The compression scale path: the
+    * corpus scans as m one-byte codes per vector, distances are m table
+    * lookups (see operators/Pq.scala). */
+  private val x04 = QueryDef("x04_pq_knn",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Pq.pqKnn(emb.filter(col("vec_id") < 20), emb, 5,
+          m = 16, codes = 32, iters = 3)
+        .select(col("vec_id"), col("nn_id"), col("approx_d2"),
+          col("rank").as("rnk"))
+        .orderBy("vec_id", "rnk")
+    },
+    None) // not benched: full-scan ADC is the compression demo, x02/x03 are the bench ANN
+
   // ------------------------------------------------------------- text [EXT]
 
   private val t01 = QueryDef("t01_text_stats",
@@ -1604,7 +1619,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, x01, x02, x03,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, x01, x02, x03, x04,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06) ++ MoreQueries.all ++ FunctionSuites.all
