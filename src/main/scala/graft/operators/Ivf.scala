@@ -58,8 +58,9 @@ object Ivf {
     centroids
   }
 
-  /** Nearest-centroid assignment (broadcast centroids, window argmin). */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Nearest-centroid assignment (broadcast centroids, window argmin).
+    * private[operators]: Pq.ivfAdcKnn reuses it for the coarse stage. */
+  private[operators] def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val joined = vecs.crossJoin(broadcast(centroids))
       .withColumn("__d", VectorFns.l2sq(col("__v"), col("centroid")))
     val w = Window.partitionBy(col("__id")).orderBy(col("__d"), col("cell"))

@@ -128,4 +128,56 @@ object Pq {
       .filter(col("rank") <= k)
       .select("vec_id", "nn_id", "approx_d2", "rank")
   }
+
+  /** IVFADC: the composed scale path — IVF cells PRUNE the candidate set
+    * (only `nprobe`/`nCells` of the corpus is considered per query) and
+    * PQ/ADC COMPRESSES the scoring of what remains (m table lookups per
+    * candidate instead of a full-dimension distance). This is the shape
+    * a billion-vector index actually runs: neither stage alone bounds
+    * both the candidate count and the bytes-per-candidate.
+    * Returns (vec_id, nn_id, approx_d2, rank). */
+  def ivfAdcKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCells: Int = 16, nprobe: Int = 4,
+                m: Int = 16, codes: Int = 32, iters: Int = 3,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                roundTo: Int = 4): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dsub = dim / m
+    // coarse stage: IVF cells (broadcast centroids)
+    val cents = Ivf.fitCentroids(corpus, nCells, iters, idCol, vecCol).persist()
+    val vecs = corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val corpusCells = Ivf.assign(vecs, cents)
+      .select(col("__id").as("nn_id"), col("cell"))
+    // fine stage: PQ codes per corpus vector
+    val books = fitCodebooks(corpus, m, codes, iters, idCol, vecCol).persist()
+    val corpusCodes = encode(corpus, books, m, dsub, idCol, vecCol)
+      .select(col("__id").as("nn_id"), col("sub"), col("code"))
+      .join(corpusCells, Seq("nn_id"))
+    // query probes: nprobe nearest cells
+    val qv = queries.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val probes = qv.crossJoin(broadcast(cents))
+      .withColumn("__d", VectorFns.l2sq(col("__v"), col("centroid")))
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("__d"), col("cell"))
+    val qCells = probes.withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe)
+      .select(col("vec_id"), col("cell"))
+    // ADC table per query, restricted to candidates in probed cells
+    val adc = subvectors(queries, idCol, vecCol, m, dsub)
+      .join(broadcast(books), Seq("sub"))
+      .select(col("__id").as("vec_id"), col("sub"), col("code"),
+        VectorFns.l2sq(col("subvec"), col("centroid")).as("partial"))
+    val scored = qCells.join(corpusCodes, Seq("cell"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .join(adc, Seq("vec_id", "sub", "code"))
+      .groupBy("vec_id", "nn_id")
+      .agg(round(sum(col("partial")), roundTo).as("approx_d2"),
+        count(lit(1)).as("__m"))
+      .filter(col("__m") === m).drop("__m")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("approx_d2"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "nn_id", "approx_d2", "rank")
+  }
 }

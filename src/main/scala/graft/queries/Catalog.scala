@@ -678,6 +678,20 @@ object Catalog {
     },
     None) // not benched: full-scan ADC is the compression demo, x02/x03 are the bench ANN
 
+  /** IVFADC (rows-only; recall floor in PqSpec): IVF cells prune the
+    * candidate set, PQ/ADC compresses the scoring — the composed shape a
+    * billion-vector index runs. */
+  private val x05 = QueryDef("x05_ivfadc_knn",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Pq.ivfAdcKnn(emb.filter(col("vec_id") < 20), emb, 5,
+          nCells = 16, nprobe = 4, m = 16, codes = 32, iters = 3)
+        .select(col("vec_id"), col("nn_id"), col("approx_d2"),
+          col("rank").as("rnk"))
+        .orderBy("vec_id", "rnk")
+    },
+    None)
+
   // ------------------------------------------------------------- text [EXT]
 
   private val t01 = QueryDef("t01_text_stats",
@@ -1619,7 +1633,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, x01, x02, x03, x04,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, x01, x02, x03, x04, x05,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06) ++ MoreQueries.all ++ FunctionSuites.all

@@ -45,4 +45,22 @@ class PqSpec extends SparkSpec {
     // every query answered with exactly k candidates
     assert(approx.map(_._1) == exact.map(_._1))
   }
+
+  test("IVFADC prunes candidates and keeps a recall floor") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = exactL2(queries, emb, 5)
+      .select("vec_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = Pq.ivfAdcKnn(queries, emb, 5, nCells = 8, nprobe = 4,
+      m = 16, codes = 32, iters = 3)
+    val approx = composed.select("vec_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"ivfadc recall@5 = $recall%.3f")
+    // the coarse stage throws away (1 - nprobe/nCells) of the corpus and
+    // the fine stage quantizes — the compounded floor is necessarily
+    // below the pure-ADC 0.35 (structureless worst case)
+    assert(recall >= 0.30, f"IVFADC recall collapsed: $recall%.3f")
+    assert(approx.map(_._1) == exact.map(_._1)) // every query answered
+  }
 }
