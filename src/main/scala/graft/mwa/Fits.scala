@@ -36,6 +36,10 @@ object Fits {
   /** Fixed-format FITS card: keyword in cols 1-8, "= " in 9-10, value
     * right-justified to col 30 (strings left-justified, quoted). */
   def card(key: String, value: String, quoted: Boolean = false): String = {
+    // a quoted value >= 19 chars would be truncated by pad() and could
+    // lose its closing quote — reject rather than emit a malformed card
+    require(!quoted || value.length <= 18,
+      s"FITS quoted card value too long (${value.length} > 18): $key='$value'")
     val v = if (quoted) pad(s"'${value}'", 20) else {
       val s = value
       if (s.length >= 20) s else (" " * (20 - s.length)) + s

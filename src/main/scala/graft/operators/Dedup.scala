@@ -27,6 +27,33 @@ object Dedup {
   def exactRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
     RelationalOps.dedupFirst(df, Seq(md5(col(textCol).cast("binary"))), Seq(col(idCol)))
 
+  /** Buckets whose id list exceeds this expand through the join fallback
+    * in [[bucketPairs]] instead of a single-row pair array. 512 ids is
+    * ~131k pairs (~4 MB of longs) per bucket row — comfortably in-task. */
+  private val hotBucketCap = 512
+
+  /** Candidate (id_a < id_b) pairs from (band, digest, ids) LSH buckets.
+    * Buckets up to [[hotBucketCap]] ids expand in place via the
+    * `pair_combos` generator (one narrow array per bucket row). Hotter
+    * buckets — degenerate pileups of templated near-identical text —
+    * would concentrate O(n^2) pair memory in ONE task's single row, so
+    * they fall back to a bucket-keyed self equi-join, which streams the
+    * same pairs spread across tasks. The union is the identical pair set
+    * either way; only the memory shape differs. */
+  private def bucketPairs(buckets: DataFrame): DataFrame = {
+    val inPlace = buckets.filter(size(col("ids")) <= hotBucketCap)
+      .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("id_a"),
+        greatest(col("p.x"), col("p.y")).as("id_b"))
+    val hotIds = buckets.filter(size(col("ids")) > hotBucketCap)
+      .select(col("band"), col("digest"), explode(col("ids")).as("id"))
+    val joined = hotIds.as("x").join(hotIds.as("y"),
+        col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    inPlace.union(joined)
+  }
+
   /** MinHash + LSH near-duplicate candidate pairs, verified by exact
     * shingle Jaccard.
     *
@@ -47,9 +74,8 @@ object Dedup {
     // signatures via the FUSED byte-level expression (no intermediate
     // array<string> shingle column is ever materialized on the full
     // corpus). No persist: since verification joins back to the raw text,
-    // the signature table's only consumer is the banding self-join below,
-    // whose two sides shuffle on the same (band, digest) key — Spark's
-    // ReusedExchange evaluates the signature pipeline once.
+    // the signature table has a single consumer — the banding groupBy —
+    // so the pipeline runs exactly once with no reuse mechanism needed.
     val sigs = df.select(
       col(idCol).as("id"),
       graft.functions.ArrayExprs.minhash_text(col(textCol), shingleN, k).as("sig"))
@@ -61,12 +87,10 @@ object Dedup {
     // this halves the shuffled volume, computes the signature pipeline
     // once instead of per join side, and needs no broadcast. Pair count
     // is identical (n(n-1)/2 per bucket, the LSH cost either way).
-    val candidates = banded.groupBy("band", "digest")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
-      .select(least(col("p.x"), col("p.y")).as("id_a"),
-        greatest(col("p.x"), col("p.y")).as("id_b"))
+    val candidates = bucketPairs(
+      banded.groupBy("band", "digest")
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) > 1))
       .distinct()
     // exact-Jaccard verification: join the candidates back to the raw
     // text first, THEN shingle — the shingle expressions sit above the
@@ -88,20 +112,23 @@ object Dedup {
   def minhashTopPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 64, bands: Int = 32,
                       topN: Int = 20): DataFrame = {
+    // lazy localCheckpoint, not persist: same one-computation reuse across
+    // the two consumers (banding + candidate join-back), but the blocks are
+    // ContextCleaner-reclaimed when the frame goes out of scope instead of
+    // pinning CacheManager storage across repeated invocations
     val sigs = df.select(
       col(idCol).as("id"),
       graft.functions.ArrayExprs.minhash_text(col(textCol), shingleN, k).as("sig"))
-      .persist()
+      .localCheckpoint(false)
     val banded = sigs.select(col("id"),
       explode(TextFns.lshBands(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("b.band"), col("b.digest"))
-    // same bucket-grouped pair expansion as minhashLsh (one shuffle)
-    val cand = banded.groupBy("band", "digest")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
-      .select(least(col("p.x"), col("p.y")).as("id_a"),
-        greatest(col("p.x"), col("p.y")).as("id_b"))
+    // same bucket-grouped pair expansion as minhashLsh (one shuffle),
+    // with the same hot-bucket join fallback
+    val cand = bucketPairs(
+      banded.groupBy("band", "digest")
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) > 1))
       .distinct()
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -119,9 +146,10 @@ object Dedup {
     * <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // lazy localCheckpoint for the same no-leak reuse as minhashTopPairs
     val sigs = df.select(col(idCol).as("id"),
       TextFns.simhash64(col(textCol)).as("sig"))
-      .persist()
+      .localCheckpoint(false)
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

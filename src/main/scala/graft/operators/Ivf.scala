@@ -75,7 +75,7 @@ object Ivf {
              nCells: Int = 16, nprobe: Int = 4, iters: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding",
              roundTo: Int = 4): DataFrame = {
-    val centroids = fitCentroids(corpus, nCells, iters, idCol, vecCol).persist()
+    val centroids = fitCentroids(corpus, nCells, iters, idCol, vecCol)
     val corpusCells = assign(
       corpus.select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("__v")), centroids)

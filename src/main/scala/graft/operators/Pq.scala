@@ -106,7 +106,7 @@ object Pq {
             roundTo: Int = 4): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     val dsub = dim / m
-    val books = fitCodebooks(corpus, m, codes, iters, idCol, vecCol).persist()
+    val books = fitCodebooks(corpus, m, codes, iters, idCol, vecCol)
     val corpusCodes = encode(corpus, books, m, dsub, idCol, vecCol)
       .select(col("__id").as("nn_id"), col("sub"), col("code"))
     // ADC table: one partial distance per (query, sub, code) — m*k rows
@@ -144,13 +144,13 @@ object Pq {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     val dsub = dim / m
     // coarse stage: IVF cells (broadcast centroids)
-    val cents = Ivf.fitCentroids(corpus, nCells, iters, idCol, vecCol).persist()
+    val cents = Ivf.fitCentroids(corpus, nCells, iters, idCol, vecCol)
     val vecs = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val corpusCells = Ivf.assign(vecs, cents)
       .select(col("__id").as("nn_id"), col("cell"))
     // fine stage: PQ codes per corpus vector
-    val books = fitCodebooks(corpus, m, codes, iters, idCol, vecCol).persist()
+    val books = fitCodebooks(corpus, m, codes, iters, idCol, vecCol)
     val corpusCodes = encode(corpus, books, m, dsub, idCol, vecCol)
       .select(col("__id").as("nn_id"), col("sub"), col("code"))
       .join(corpusCells, Seq("nn_id"))

@@ -58,7 +58,11 @@ object Sampling {
     val p = (0 to 6).foldLeft(when(lit(false), lit(0.0))) { (acc, k) =>
       acc.when(log2Weight === k,
         (0 until k).foldLeft(u)((c, _) => sqrt(c)))
-    }
+    }.otherwise(raise_error(concat(
+      // fail loudly: an unmatched weight would otherwise yield a NULL
+      // priority that silently sorts the row out of the sample
+      lit("weightedSample: log2Weight outside the [0,6] contract: "),
+      coalesce(log2Weight.cast("string"), lit("NULL")))))
     df.withColumn("__p", p)
       .orderBy(col("__p").desc, key)
       .limit(n)
