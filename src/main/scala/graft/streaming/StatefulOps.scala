@@ -63,19 +63,31 @@ object StatefulOps {
         graft.mwa.MatchFilter.InsCell, graft.mwa.MatchFilter.FlagCell] {
     import graft.mwa.MatchFilter.InsCell
     @transient private var cells: ListState[InsCell] = _
+    @transient private var nCells: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       cells = getHandle.getListState[InsCell]("cells",
         Encoders.product[InsCell], TTLConfig.NONE)
+      nCells = getHandle.getValueState[Long]("nCells",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: (Long, String), rows: Iterator[InsCell],
         timers: TimerValues): Iterator[graft.mwa.MatchFilter.FlagCell] = {
-      rows.foreach(cells.appendValue)
-      val acc = cells.get().toSeq
-      if (acc.length >= expectedCells) {
-        cells.clear()
+      // completeness rides a running counter so each micro-batch does
+      // O(batch) work; the full ListState is materialized exactly once,
+      // when the observation completes and the fixpoint runs
+      var added = 0L
+      rows.foreach { c => cells.appendValue(c); added += 1 }
+      val n = (if (nCells.exists()) nCells.get() else 0L) + added
+      if (n >= expectedCells) {
+        val acc = cells.get().toSeq
+        cells.clear(); nCells.clear()
         graft.mwa.MatchFilter.run(acc, cfg)
-      } else Iterator.empty
+      } else {
+        nCells.update(n)
+        Iterator.empty
+      }
     }
   }
 

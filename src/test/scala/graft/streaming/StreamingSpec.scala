@@ -116,11 +116,16 @@ class StreamingSpec extends SparkSpec {
         .writeStream.format("memory").queryName("mf_out")
         .outputMode("append").start()
       try {
-        // deliberately lopsided batching: 100 cells, then 1, then the rest
+        // deliberately lopsided batching: 100 cells, then 1, then the rest.
+        // Completeness is tracked by a ValueState counter (O(batch) work
+        // per batch — the ListState is only materialized at the completing
+        // batch), so emission must happen exactly at batch 3:
         mem.addData(cells.take(100).toSeq)
         q.processAllAvailable()
+        assert(spark.table("mf_out").isEmpty)
         mem.addData(cells.slice(100, 101).toSeq)
         q.processAllAvailable()
+        assert(spark.table("mf_out").isEmpty)
         mem.addData(cells.drop(101).toSeq)
         q.processAllAvailable()
       } finally q.stop()
