@@ -1627,6 +1627,76 @@ object Catalog {
     },
     Some(mwa04Oracle))
 
+  /** WATERMARK-TIMER streaming execution of the SSINS match filter on the
+    * same mwa04 portable fixture: where s06 closes an observation by its
+    * KNOWN spectrum shape, this variant closes by event-time SILENCE — an
+    * event-time timer re-registered at (max seen ts + closeOut) fires when
+    * the watermark passes it (StatefulOps.MatchFilterTimerProcessor), the
+    * production shape when observation length is not known a priori. INS
+    * cells are stamped ts = base + time_idx seconds and fed through a
+    * MemoryStream in two lopsided batches; a far-future sentinel key then
+    * advances the watermark past every real deadline (two rounds: the
+    * watermark computed at batch N gates the timers of batch N+1). Shares
+    * mwa04's bit-exact recursive-CTE oracle — close-out by silence must
+    * produce the identical fixpoint. */
+  private val s07 = QueryDef("s07_stream_mf_timer",
+    (s, d) => {
+      import graft.mwa._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+      require(spec.nTimes == 17 && spec.nCoarse * spec.nFine == 16,
+        "s07: fixture shape drifted from the shared mwa04 oracle")
+      val insDf = VisOps.ins(VisOps.diff(
+          VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)))
+        .select(col("obsid"), col("time_idx"), col("freq_hz"), col("pol"),
+          col("metric").cast("double"), col("nsamples").cast("double"))
+      import s.implicits._
+      val base = 1700000000000L
+      val cells = insDf.collect().map { r =>
+        graft.streaming.StatefulOps.InsCellTs(r.getLong(0), r.getInt(1),
+          r.getDouble(2), r.getString(3), r.getDouble(4), r.getDouble(5),
+          new java.sql.Timestamp(base + r.getInt(1) * 1000L))
+      }
+      val conf = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val mem = MemoryStream[graft.streaming.StatefulOps.InsCellTs]
+        // watermark delay must cover the lopsided-batch arrival disorder
+        // (event-time mode drops rows older than the watermark); close-out
+        // must exceed the 1 s in-observation event-time stride
+        val withWm = mem.toDS().withWatermark("ts", "1 hour")
+        val q = graft.streaming.StatefulOps
+          .matchFilterStreamEventTime(withWm, cfg, closeOutMs = 30000L)
+          .toDF().writeStream.format("memory").queryName("s07_out")
+          .outputMode("append").start()
+        try {
+          mem.addData(cells.take(150).toSeq)
+          q.processAllAvailable()
+          mem.addData(cells.drop(150).toSeq)
+          q.processAllAvailable()
+          val sentinel = graft.streaming.StatefulOps.InsCellTs(9999L, 0, 0.0,
+            "XX", 0.0, 4.0, new java.sql.Timestamp(base + 10 * 3600 * 1000L))
+          mem.addData(Seq(sentinel))
+          q.processAllAvailable()
+          mem.addData(Seq(sentinel.copy(time_idx = 1)))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table("s07_out").filter(col("obsid") =!= 9999L)
+          .filter(col("flagged"))
+          .select("time_idx", "freq_hz", "pol", "event")
+          .orderBy("pol", "time_idx", "freq_hz")
+      } finally prev match {
+        case Some(p) => s.conf.set(conf, p)
+        case None => s.conf.unset(conf)
+      }
+    },
+    Some(mwa04Oracle))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -1636,7 +1706,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, x01, x02, x03, x04, x05,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
-    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06) ++ MoreQueries.all ++ FunctionSuites.all
+    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
