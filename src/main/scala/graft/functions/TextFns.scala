@@ -82,6 +82,38 @@ object TextFns {
     }
   }
 
+  /** Portable (md5-derived) MinHash signature: component i is the minimum
+    * over shingles of the 60-bit integer prefix of md5("i:shingle") — the
+    * oracle-checkable twin of [[minhashSignature]] (whose xxhash64 is
+    * engine-native), the same trick d08 plays for SimHash. Re-derivable in
+    * any engine with md5. Callers must filter empty shingle sets (min of
+    * an empty list is NULL in every engine, but engines disagree on how
+    * NULL list elements serialize downstream). */
+  def minhashPortable(shingles: Column, k: Int): Column =
+    bind(shingles) { sh =>
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(sh, s =>
+          conv(substring(md5(concat(i.cast("string"), lit(":"), s).cast("binary")),
+            1, 15), 16, 10).cast("long"))))
+    }
+
+  /** Portable LSH band digests: identical banding logic to [[lshBands]]
+    * (band b covers signature rows [b*r, (b+1)*r), r = k/bands) with the
+    * engine-native xxhash64 digest replaced by md5 over the comma-joined
+    * decimal rows, so the band-slice boundaries and bucket keys are
+    * re-derivable cross-engine. */
+  def lshBandsPortable(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    bind(sig) { s =>
+      transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          md5(concat_ws(",",
+            transform(slice(s, b * rows + 1, lit(rows)), x => x.cast("string")))
+            .cast("binary")).as("digest")))
+    }
+  }
+
   /** 64-bit SimHash over the word multiset. Bit j of the result is set iff
     * sum over words of (+1 if bit j of xxhash64(word) else -1) is > 0.
     * Near-duplicates differ in few bits (compare via hamming()).

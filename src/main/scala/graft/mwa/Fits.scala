@@ -167,7 +167,16 @@ object Fits {
     val bitpix = math.abs(cards.get("BITPIX").map(_.trim.toInt).getOrElse(8))
     val axes = (1 to naxis).map(i => cards(s"NAXIS$i").trim.toLong)
     val pcount = cards.get("PCOUNT").map(_.trim.toLong).getOrElse(0L)
-    val dataLen = if (naxis == 0) 0L else axes.product * (bitpix / 8) + pcount
+    val gcount = cards.get("GCOUNT").map(_.trim.toLong).getOrElse(1L)
+    // FITS 4.0 §7: random-groups records (GROUPS=T, NAXIS1=0) size as
+    // BITPIX/8 * GCOUNT * (PCOUNT + NAXIS2*...*NAXISn); everything else as
+    // prod(NAXISn) * BITPIX/8 + PCOUNT (heap bytes for BINTABLE).
+    val isGroups = cards.get("GROUPS").exists(_.trim == "T")
+    val dataLen =
+      if (naxis == 0) 0L
+      else if (isGroups && axes.headOption.contains(0L))
+        (bitpix / 8).toLong * gcount * (pcount + axes.drop(1).product)
+      else axes.product * (bitpix / 8) + pcount
     Some(Header(cards.toMap, offset + read, dataLen))
   }
 
@@ -267,6 +276,115 @@ object Fits {
         }
       } finally out.close()
       path
+    }
+  }
+
+  // ------------------------------------------------- uvfits (random groups)
+
+  /** uvfits is FITS "random groups" (FITS 4.0 §7): the primary HDU carries
+    * the visibility data itself as GCOUNT groups, each PCOUNT float
+    * parameters (UU, VV, WW, BASELINE, DATE) followed by a (re, im, weight)
+    * × pol × freq float32 array. This is the second on-disk input family the
+    * reference accepts (`configurators.py:43-48` routes `*.uvfits` into
+    * pyuvdata's `UVData.from_file`). The writer emits one group per
+    * (time, baseline) in time-major order with the AIPS baseline convention
+    * 256*(ant1+1) + (ant2+1) and DATE as offset-from-JD0 (PZERO5 carries
+    * JD0), values bit-equal to the gpubox fixture's dyadic arithmetic —
+    * all representable exactly in float32, so the decode certifies
+    * round-trip bit-exactly against the same oracle as mwa10. */
+  object Uvfits {
+    val PCount = 5 // UU VV WW BASELINE DATE
+
+    def nBaselines(nAnts: Int): Int = nAnts * (nAnts + 1) / 2
+
+    def groupFloats(spec: VisGenerator.Spec): Int =
+      PCount + 3 * spec.pols.length * spec.nCoarse * spec.nFine
+
+    def write(dir: Path, spec: VisGenerator.Spec): Path = {
+      Files.createDirectories(dir)
+      val path = dir.resolve(s"${spec.obsid}.uvfits")
+      val baselines =
+        for (a1 <- 0 until spec.nAnts; a2 <- a1 until spec.nAnts) yield (a1, a2)
+      val nFreq = spec.nCoarse * spec.nFine
+      val nPol = spec.pols.length
+      val gcount = spec.nTimes * baselines.length
+      val header = endPad(Seq(
+        cardBool("SIMPLE", true), cardInt("BITPIX", -32),
+        cardInt("NAXIS", 4), cardInt("NAXIS1", 0),
+        cardInt("NAXIS2", 3), cardInt("NAXIS3", nPol), cardInt("NAXIS4", nFreq),
+        cardBool("GROUPS", true), cardInt("PCOUNT", PCount), cardInt("GCOUNT", gcount),
+        card("PTYPE1", "UU", quoted = true), card("PTYPE2", "VV", quoted = true),
+        card("PTYPE3", "WW", quoted = true),
+        card("PTYPE4", "BASELINE", quoted = true),
+        card("PTYPE5", "DATE", quoted = true), cardDouble("PZERO5", spec.jd0),
+        cardInt("OBSID", spec.obsid), cardInt("NTIMES", spec.nTimes),
+        cardInt("NANTS", spec.nAnts), cardInt("NFINE", spec.nFine),
+        cardInt("NCOARSE", spec.nCoarse),
+        card("POLS", spec.pols.mkString(","), quoted = true),
+        cardDouble("FREQ0", spec.freq0Hz), cardDouble("DFHZ", spec.dfHz),
+        cardDouble("JD0", spec.jd0), cardDouble("DTDAYS", spec.dtDays)))
+      val groupBytes = 4 * groupFloats(spec)
+      val dataLen = groupBytes.toLong * gcount
+      val data = ByteBuffer.allocate((dataLen + dataPad(dataLen)).toInt)
+      for (t <- 0 until spec.nTimes; (a1, a2) <- baselines) {
+        data.putFloat(0.0f).putFloat(0.0f).putFloat(0.0f) // UU VV WW
+        data.putFloat((256 * (a1 + 1) + (a2 + 1)).toFloat)
+        data.putFloat((t * spec.dtDays).toFloat)
+        // array order: NAXIS2 (re,im,wt) fastest, then pol, then freq
+        for (f <- 0 until nFreq; pi <- 0 until nPol) {
+          val sky = Math.floorMod(a1 * 7 + a2 * 11 + f * 3 + pi * 17, 64).toDouble
+          val noise =
+            (Math.floorMod(t * 37 + a1 * 13 + a2 * 29 + f * 53 + pi * 71, 128) - 64)
+              .toDouble / 64.0
+          val narrow = if (f == spec.rfiFreqIdx &&
+            t >= spec.rfiTimes._1 && t <= spec.rfiTimes._2) spec.rfiAmp else 0.0
+          val streak = if (t == spec.streakTime) spec.streakAmp else 0.0
+          data.putFloat((sky + narrow + streak + noise).toFloat)
+          data.putFloat(0.0f) // im
+          data.putFloat(1.0f) // weight > 0 => unflagged, nsample = weight
+        }
+      }
+      val out = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(path.toFile)))
+      try { out.write(header); out.write(data.array()) } finally out.close()
+      path
+    }
+
+    /** Decode groups [groupStart, groupEnd) of a random-groups primary HDU:
+      * yields (params, data) float arrays per group. Seeks directly to the
+      * first requested group — fixed group size makes time pruning a seek,
+      * no bytes read for pruned groups. */
+    def readGroups(raf: RandomAccessFile, h: Header,
+                   groupStart: Int, groupEnd: Int): Iterator[(Array[Float], Array[Float])] = {
+      val naxis = h.int("NAXIS")
+      val arrLen = (2 to naxis).map(i => h.int(s"NAXIS$i")).product
+      val pcount = h.int("PCOUNT")
+      val groupBytes = 4 * (pcount + arrLen)
+      val n = groupEnd - groupStart
+      val buf = new Array[Byte](groupBytes * n)
+      raf.seek(h.dataOffset + groupBytes.toLong * groupStart)
+      raf.readFully(buf)
+      val bb = ByteBuffer.wrap(buf)
+      (0 until n).iterator.map { _ =>
+        val params = Array.fill(pcount)(bb.getFloat)
+        val data = Array.fill(arrLen)(bb.getFloat)
+        (params, data)
+      }
+    }
+
+    /** The shared uvfits fixture (same geometry/values as the mwa10 gpubox
+      * fixture, single random-groups file). */
+    @volatile private var dir: String = _
+    def ensureFixture(): String = synchronized {
+      if (dir == null) {
+        val d = Paths.get(sys.props("java.io.tmpdir"), "graft_uvfits_fixture_v1")
+        if (!Files.exists(d.resolve("_SUCCESS"))) {
+          write(d, fixtureSpec)
+          Files.write(d.resolve("_SUCCESS"), Array.emptyByteArray)
+        }
+        dir = d.toString
+      }
+      dir
     }
   }
 

@@ -107,6 +107,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Oracle-checkable twin of the LSH banding stage: md5-portable MinHash
+    * signatures (TextFns.minhashPortable) banded with md5 digests
+    * (TextFns.lshBandsPortable), then the PRODUCTION candidate path —
+    * the (band, digest) bucket groupBy with in-place pair expansion and
+    * hot-bucket join fallback (bucketPairs) — counting how many bands each
+    * candidate pair shares. Certifies band-slice boundaries, bucket keys,
+    * and pair multiplicity cross-engine; d03/d06 run the same pipeline
+    * with the faster engine-native digests.
+    *
+    * @return (id_a, id_b, n_bands) with id_a < id_b, one row per
+    *         candidate pair. */
+  def lshCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"),
+        TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), TextFns.minhashPortable(col("__sh"), k).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(TextFns.lshBandsPortable(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.digest").as("digest"))
+    // a pair shares band b iff both docs land in the same (b, digest)
+    // bucket, so the bucket-expansion output carries exactly one pair
+    // occurrence per shared band — count(*) IS n_bands
+    bucketPairs(
+      banded.groupBy("band", "digest")
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) > 1))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Top-N most similar pairs by MinHash estimate (no threshold) — useful
     * as a bounded-output diagnostic over corpora with no true near-dups. */
   def minhashTopPairs(df: DataFrame, idCol: String, textCol: String,

@@ -585,6 +585,39 @@ object Catalog {
             WHERE tok.n_tokens >= 5
             ORDER BY lang.doc_id"""))
 
+  /** Direct cross-engine certificate of the LSH BANDING stage (d03/d06's
+    * candidate generator, previously certified only transitively through
+    * d06's all-pairs oracle): md5-portable MinHash signatures and band
+    * digests run through the production bucket-groupBy + pair-expansion
+    * path, and DuckDB re-derives every signature component, band slice,
+    * bucket key, and pair multiplicity independently. A hash match pins
+    * the banding arithmetic itself — slice boundaries, band indexing,
+    * bucket join semantics — not just the downstream verified pairs. */
+  private val d12 = QueryDef("d12_lsh_portable",
+    (s, d) => Dedup.lshCandidatesPortable(Tables.documents(s, d),
+        "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH w AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+               FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            ne AS (SELECT doc_id, sh FROM g WHERE len(sh) > 0),
+            sig AS (SELECT doc_id, list_transform(range(16), i ->
+                      list_min(list_transform(sh, s ->
+                        ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT)))
+                      AS sig
+                    FROM ne),
+            bd AS (SELECT doc_id, CAST(b.range AS INT) AS band,
+                     md5(array_to_string(
+                       sig[CAST(b.range AS INT)*4+1 : CAST(b.range AS INT)*4+4], ','))
+                       AS digest
+                   FROM sig, range(4) b)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+            FROM bd a JOIN bd b
+              ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY id_a, id_b"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -1408,6 +1441,40 @@ object Catalog {
             FROM yy
             ORDER BY pol, time_idx, ant1, ant2, freq_hz"""))
 
+  /** uvfits (FITS random-groups) decode, certified row-by-row: the fixture
+    * is a single standard random-groups file (GROUPS=T, PCOUNT=5 UU/VV/WW/
+    * BASELINE/DATE params, float32 (re,im,wt)×pol×freq group arrays, AIPS
+    * 256*a1+a2 baseline code — the reference's second input family,
+    * `configurators.py:43-48` via pyuvdata) carrying the same dyadic values
+    * as the mwa10 gpubox fixture, so it shares mwa10's oracle verbatim.
+    * Every value is exactly representable in float32, so any group-offset,
+    * parameter-unpack, or axis-order defect breaks the hash. */
+  private val mwa12 = QueryDef("mwa12_uvfits_read",
+    (s, d) => {
+      val dir = graft.mwa.Fits.Uvfits.ensureFixture()
+      s.read.format("graft-vis").option("path", dir).load()
+        .select(col("time_idx"), col("ant1"), col("ant2"), col("freq_hz"),
+          col("pol"), col("vis_re"), col("vis_im"), col("flag"), col("nsample"))
+        .orderBy("pol", "time_idx", "ant1", "ant2", "freq_hz")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(t.range AS INT) AS time_idx, CAST(a1.range AS INT) AS ant1,
+                     CAST(a2.range AS INT) AS ant2, CAST(f.range AS INT) AS f,
+                     p.pol AS pol, p.pi AS pi
+              FROM range(17) t, range(4) a1, range(4) a2, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)
+              WHERE a1.range <= a2.range)
+            SELECT time_idx, ant1, ant2,
+              130000000.0 + f * 40000.0 AS freq_hz, pol,
+              ((ant1*7 + ant2*11 + f*3 + pi*17) % 64)
+              + CASE WHEN f = 5 AND time_idx BETWEEN 6 AND 9
+                     THEN 40.0 ELSE 0.0 END
+              + CASE WHEN time_idx = 12 THEN 60.0 ELSE 0.0 END
+              + ((time_idx*37 + ant1*13 + ant2*29 + f*53 + pi*71) % 128 - 64)
+                / 64.0 AS vis_re,
+              0.0 AS vis_im, false AS flag, 1.0 AS nsample
+            FROM g ORDER BY pol, time_idx, ant1, ant2, freq_hz"""))
+
   // --------------------------------------------------------- multimodal [EXT]
 
   private val m01 = QueryDef("m01_multimodal_stats",
@@ -1703,9 +1770,9 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, x01, x02, x03, x04, x05,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, x01, x02, x03, x04, x05,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, q50,
-    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11,
+    mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -117,6 +117,8 @@ class VisScanBuilder(spec: Spec, slice: Int, path: Option[String] = None)
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan = path match {
+    case Some(p) if UvfitsVisScan.hasUvfits(p) =>
+      new UvfitsVisScan(p, slice, required, pushed)
     case Some(p) => new FitsVisScan(p, slice, required, pushed)
     case None => new VisScan(spec, slice, required, pushed)
   }
@@ -148,6 +150,13 @@ object VisScan {
 
   def keepPartition(p: VisPartition, pushed: Array[sources.Filter]): Boolean =
     keepSlice(p.coarseChan, p.timeStart, p.timeEnd, pushed)
+
+  /** Time-axis-only pruning for partitions that span every coarse channel
+    * (uvfits groups carry the whole frequency axis per visibility). */
+  def keepTimeSlice(timeStart: Int, timeEnd: Int,
+                    pushed: Array[sources.Filter]): Boolean =
+    (timeStart until timeEnd).exists(t =>
+      pushed.forall(f => sat(f, "time_idx", t)))
 
   def keepSlice(coarseChan: Int, timeStart: Int, timeEnd: Int,
                 pushed: Array[sources.Filter]): Boolean =
@@ -312,6 +321,119 @@ class FitsPartitionReader(part: FitsVisPartition, required: StructType)
       new GenericInternalRow(required.fieldNames.map(n => full(fieldIdx(n))))
     }
   }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = raf.close()
+}
+
+// ----------------------------------------------------- uvfits-backed variant
+
+/** One uvfits (FITS random-groups) file: whole-observation geometry from
+  * the primary header — parsed driver-side at planning time, like the
+  * gpubox manifest scan. */
+case class UvfitsFileMeta(path: String, obsid: Long, nTimes: Int, nAnts: Int,
+                          nFine: Int, nCoarse: Int, pols: Seq[String],
+                          freq0Hz: Double, dfHz: Double,
+                          jd0: Double, dtDays: Double)
+
+object UvfitsFileMeta {
+  def fromPrimary(path: String): UvfitsFileMeta = {
+    val h = graft.mwa.Fits.readHeaders(path).head
+    require(h.has("GROUPS") && h.int("PCOUNT") > 0,
+      s"$path is not a FITS random-groups (uvfits) file")
+    UvfitsFileMeta(path, h.long("OBSID"), h.int("NTIMES"), h.int("NANTS"),
+      h.int("NFINE"), h.int("NCOARSE"), h.str("POLS").split(',').toSeq,
+      h.double("FREQ0"), h.double("DFHZ"), h.double("JD0"), h.double("DTDAYS"))
+  }
+}
+
+/** Scan over uvfits files: one partition per (file, time-slice). A group is
+  * one (time, baseline) visibility carrying the full frequency axis, so the
+  * time axis prunes by direct seek (fixed group size) while coarse_chan
+  * filters stay residual — Spark re-checks them row-level, the scan just
+  * cannot skip bytes for them (the reference's pyuvdata read has the same
+  * shape: `select` on times subsets groups, frequencies post-filter). */
+class UvfitsVisScan(path: String, slice: Int, required: StructType,
+                    pushed: Array[sources.Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-vis uvfits path=$path PushedFilters: [${pushed.mkString(", ")}]"
+
+  private lazy val files: Seq[UvfitsFileMeta] = {
+    val uv = UvfitsVisScan.listUvfits(path)
+    require(uv.nonEmpty, s"No .uvfits files under $path")
+    uv.map(f => UvfitsFileMeta.fromPrimary(f))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (for {
+      m <- files
+      t0 <- 0 until m.nTimes by slice
+      p = UvfitsVisPartition(m, t0, math.min(t0 + slice, m.nTimes))
+      if VisScan.keepTimeSlice(p.timeStart, p.timeEnd, pushed)
+    } yield p: InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new UvfitsReaderFactory(required)
+}
+
+object UvfitsVisScan {
+  def listUvfits(path: String): Seq[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".uvfits")).sortBy(_.getName).map(_.getPath).toSeq
+  def hasUvfits(path: String): Boolean = listUvfits(path).nonEmpty
+}
+
+case class UvfitsVisPartition(meta: UvfitsFileMeta, timeStart: Int, timeEnd: Int)
+    extends InputPartition
+
+class UvfitsReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new UvfitsPartitionReader(partition.asInstanceOf[UvfitsVisPartition], required)
+}
+
+/** Decodes the random groups of this partition's time-slice: seeks straight
+  * to group timeStart*nBaselines (no bytes touched for pruned times),
+  * unpacks the AIPS baseline code and DATE offset, and emits one row per
+  * (freq, pol) cell of each group. time_idx/time_jd are re-derived from the
+  * header's time grid so float32 DATE rounding cannot leak into the output. */
+class UvfitsPartitionReader(part: UvfitsVisPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import graft.mwa.Fits
+
+  private val m = part.meta
+  private val raf = new java.io.RandomAccessFile(m.path, "r")
+  private val fieldIdx = required.fieldNames.map(n =>
+    n -> VisSource.schema.fieldIndex(n)).toMap
+  private val head = Fits.readHeader(raf, 0L).getOrElse(
+    throw new IllegalStateException(s"empty FITS file ${m.path}"))
+  private val nBl = Fits.Uvfits.nBaselines(m.nAnts)
+  private val nPol = m.pols.length
+  private val nFreq = m.nCoarse * m.nFine
+  private val polU = m.pols.map(UTF8String.fromString).toArray
+
+  private val it: Iterator[InternalRow] =
+    Fits.Uvfits.readGroups(raf, head, part.timeStart * nBl, part.timeEnd * nBl)
+      .flatMap { case (params, data) =>
+        val bl = math.round(params(3)).toInt
+        val a1 = bl / 256 - 1
+        val a2 = bl % 256 - 1
+        val t = math.round(params(4) / m.dtDays).toInt
+        val jd = m.jd0 + t * m.dtDays
+        for (f <- (0 until nFreq).iterator; pi <- (0 until nPol).iterator) yield {
+          val base = (f * nPol + pi) * 3
+          val wt = data(base + 2)
+          val full: Array[Any] = Array(
+            m.obsid, t, jd, a1, a2, a1.toLong * 2048 + a2,
+            f / m.nFine, m.freq0Hz + f * m.dfHz, polU(pi),
+            data(base).toDouble, data(base + 1).toDouble,
+            wt <= 0f, math.abs(wt).toDouble)
+          new GenericInternalRow(required.fieldNames.map(n => full(fieldIdx(n))))
+        }
+      }
 
   private var current: InternalRow = _
   override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
