@@ -97,6 +97,23 @@ object VisOps {
       .drop("__mean")
   }
 
+  /** Per-signal-chain (per-antenna) amplitude spectrum — the `sigchain`
+    * plot-type projection (`configurators.py:94-97`) in tidy form: every
+    * visibility attributes its amplitude to BOTH of its antennas (once for
+    * autos), then mean |V| over unflagged contributions per (ant, freq,
+    * pol). Scale shape: the explode doubles rows before ONE hash
+    * aggregation with map-side partial combine — no window, no self-join. */
+  def sigchainSpectrum(vis: DataFrame): DataFrame =
+    vis.select(col("obsid"),
+        explode(array_distinct(array(col("ant1"), col("ant2")))).as("ant"),
+        col("freq_hz"), col("pol"), col("flag"), col("vis_re"), col("vis_im"))
+      .groupBy(col("obsid"), col("ant"), col("freq_hz"), col("pol"))
+      .agg(
+        avg(when(!col("flag"),
+          sqrt(col("vis_re") * col("vis_re") + col("vis_im") * col("vis_im"))))
+          .as("metric"),
+        sum(when(!col("flag"), lit(1)).otherwise(0)).cast("double").as("nsamples"))
+
   /** The full chain: select -> diff -> INS -> z-score. */
   def spectrum(vis: DataFrame, config: GraftConfig,
                antennaDim: Option[DataFrame] = None): DataFrame = {

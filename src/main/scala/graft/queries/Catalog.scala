@@ -1059,7 +1059,7 @@ object Catalog {
   /** The mwa04 recursive-CTE oracle, shared verbatim with s06_stream_mf
     * (the streaming execution of the same fixpoint must match the same SQL
     * bit-for-bit). */
-  private val mwa04Oracle: String = """WITH RECURSIVE
+  private val mwa04OracleBody: String = """WITH RECURSIVE
             g AS (
               SELECT CAST(t.range AS INT) AS time_idx, CAST(a.range AS INT) AS ant,
                      CAST(f.range AS INT) AS freq_idx, p.pol AS pol, p.pi AS pi
@@ -1132,7 +1132,9 @@ object Catalog {
                 CASE WHEN NOT fin.flagged AND tb.nf / 16.0 > 0.03125
                           AND tb.nf < 16
                      THEN 'time_broadcast' ELSE fin.event END AS event
-              FROM fin JOIN tb USING (pol, t))
+              FROM fin JOIN tb USING (pol, t))"""
+
+  private val mwa04Oracle: String = mwa04OracleBody + """
             SELECT t AS time_idx, 130000000.0 + f * 40000.0 AS freq_hz, pol, event
             FROM outp WHERE flagged ORDER BY pol, time_idx, freq_hz"""
 
@@ -1257,17 +1259,9 @@ object Catalog {
     * values are dyadic rationals — every downstream sum is IEEE-exact and
     * order-independent, so the DuckDB oracle reproduces the spectrum
     * BIT-FOR-BIT with no rounding anywhere (see VisGenerator.portable). */
-  private val mwa08 = QueryDef("mwa08_portable_spectrum",
-    (s, d) => {
-      import graft.mwa._
-      val cfg = GraftConfig(removeFlaggedAnts = false,
-        spectrumType = SpectrumType.Auto)
-      VisOps.spectrum(VisGenerator.portable(s), cfg)
-        .select(col("time_idx"), col("freq_hz"), col("pol"),
-          col("metric"), col("nsamples"), col("z"))
-        .orderBy("pol", "time_idx", "freq_hz")
-    },
-    Some("""WITH g AS (
+  /** The mwa08 oracle, shared verbatim with mwa13_spectrum_tsv (the TSV
+    * export of the same view must round-trip bit-exactly). */
+  private val mwa08Oracle: String = """WITH g AS (
               SELECT CAST(t.range AS INT) AS time_idx, CAST(a.range AS INT) AS ant,
                      CAST(f.range AS INT) AS freq_idx, p.pol AS pol, p.pi AS pi
               FROM range(17) t, range(16) a, range(16) f,
@@ -1294,7 +1288,19 @@ object Catalog {
               metric, nsamples,
               (metric / AVG(metric) OVER (PARTITION BY freq_idx, pol) - 1)
                 * SQRT(nsamples) AS z
-            FROM i ORDER BY pol, time_idx, freq_hz"""))
+            FROM i ORDER BY pol, time_idx, freq_hz"""
+
+  private val mwa08 = QueryDef("mwa08_portable_spectrum",
+    (s, d) => {
+      import graft.mwa._
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto)
+      VisOps.spectrum(VisGenerator.portable(s), cfg)
+        .select(col("time_idx"), col("freq_hz"), col("pol"),
+          col("metric"), col("nsamples"), col("z"))
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    Some(mwa08Oracle))
 
   /** Same portable chain with flag_init in front (coarse-band edge/center
     * channels + first integration flagged): certifies flag propagation
@@ -1474,6 +1480,106 @@ object Catalog {
                 / 64.0 AS vis_re,
               0.0 AS vis_im, false AS flag, 1.0 AS nsample
             FROM g ORDER BY pol, time_idx, ant1, ant2, freq_hz"""))
+
+  /** The reference's `export_tsv` path (`configurators.py:97`): write the
+    * plot-shaped view as TSV, read it back with an explicit schema — so
+    * the oracle certifies the serialization round-trip (including double
+    * shortest-repr round-tripping), not just the computation. */
+  private def tsvRoundTrip(s: SparkSession, df: DataFrame,
+                           schema: String, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+    df.write.mode("overwrite").option("sep", "\t").csv(dir)
+    s.read.schema(schema).option("sep", "\t").csv(dir)
+  }
+
+  /** `plot_type="spectrum"` export view (`configurators.py:94-97`): the
+    * tidy (time, freq, pol, metric, nsamples, z) INS z-score spectrum —
+    * exactly what the reference plots/exports after the SSINS chain —
+    * through the TSV sink and back. Shares mwa08's oracle verbatim, so a
+    * hash match certifies the chain AND the TSV round-trip. */
+  private val mwa13 = QueryDef("mwa13_spectrum_tsv",
+    (s, d) => {
+      import graft.mwa._
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto)
+      val view = VisOps.spectrum(VisGenerator.portable(s), cfg)
+        .select(col("time_idx"), col("freq_hz"), col("pol"),
+          col("metric"), col("nsamples"), col("z"))
+      tsvRoundTrip(s, view,
+        "time_idx INT, freq_hz DOUBLE, pol STRING, metric DOUBLE, nsamples DOUBLE, z DOUBLE",
+        "mwa13")
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    Some(mwa08Oracle))
+
+  /** `plot_type="sigchain"` export view: per-signal-chain (antenna) mean
+    * amplitude spectrum over the diffed data — each visibility attributed
+    * to both its antennas, reduced per (ant, freq, pol) — through the TSV
+    * sink. The oracle re-derives the per-antenna reduction independently. */
+  private val mwa14 = QueryDef("mwa14_sigchain_tsv",
+    (s, d) => {
+      import graft.mwa._
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto)
+      val view = VisOps.sigchainSpectrum(
+          VisOps.diff(VisOps.selectSurface(VisGenerator.portable(s), cfg)))
+        .select(col("ant"), col("freq_hz"), col("pol"),
+          col("metric"), col("nsamples"))
+      tsvRoundTrip(s, view,
+        "ant INT, freq_hz DOUBLE, pol STRING, metric DOUBLE, nsamples DOUBLE",
+        "mwa14")
+        .orderBy("pol", "ant", "freq_hz")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(t.range AS INT) AS time_idx, CAST(a.range AS INT) AS ant,
+                     CAST(f.range AS INT) AS freq_idx, p.pol AS pol, p.pi AS pi
+              FROM range(17) t, range(16) a, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)),
+            c AS (
+              SELECT time_idx, ant, freq_idx, pol,
+                ((ant*18 + freq_idx*3 + pi*17) % 64)
+                + CASE WHEN freq_idx = 5 AND time_idx BETWEEN 6 AND 9
+                       THEN 40.0 ELSE 0.0 END
+                + CASE WHEN time_idx = 12 THEN 60.0 ELSE 0.0 END
+                + ((time_idx*37 + ant*42 + freq_idx*53 + pi*71) % 128 - 64) / 64.0
+                  AS re
+              FROM g)
+            SELECT ant, 130000000.0 + freq_idx * 40000.0 AS freq_hz, pol,
+              AVG(ABS(dre)) AS metric, CAST(COUNT(*) AS DOUBLE) AS nsamples
+            FROM (
+              SELECT time_idx, ant, freq_idx, pol,
+                LEAD(re) OVER (PARTITION BY ant, freq_idx, pol ORDER BY time_idx)
+                  - re AS dre
+              FROM c QUALIFY dre IS NOT NULL)
+            GROUP BY ant, freq_idx, pol
+            ORDER BY pol, ant, freq_hz"""))
+
+  /** `plot_type="flags"` export view: the FULL match-filter mask (every
+    * cell, flagged or not, with its event kind) in tidy form through the
+    * TSV sink — the boolean occupancy grid the reference's flags plot
+    * renders. Shares mwa04's recursive-CTE oracle body; only the final
+    * projection differs (no WHERE flagged, `none` for unflagged cells so
+    * the empty string survives the CSV round-trip unambiguously). */
+  private val mwa15 = QueryDef("mwa15_flags_tsv",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+      val insDf = VisOps.ins(VisOps.diff(
+        VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)))
+      val view = MatchFilter(insDf, cfg)
+        .select(col("time_idx"), col("freq_hz"), col("pol"), col("flagged"),
+          when(col("event") === "", "none").otherwise(col("event")).as("event"))
+      tsvRoundTrip(s, view,
+        "time_idx INT, freq_hz DOUBLE, pol STRING, flagged BOOLEAN, event STRING",
+        "mwa15")
+        .orderBy("pol", "time_idx", "freq_hz")
+    },
+    Some(mwa04OracleBody + """
+            SELECT t AS time_idx, 130000000.0 + f * 40000.0 AS freq_hz, pol,
+              flagged, CASE WHEN event = '' THEN 'none' ELSE event END AS event
+            FROM outp ORDER BY pol, time_idx, freq_hz"""))
 
   // --------------------------------------------------------- multimodal [EXT]
 
@@ -1773,6 +1879,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, x01, x02, x03, x04, x05,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
+    mwa13, mwa14, mwa15,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
