@@ -1870,6 +1870,42 @@ object Catalog {
     },
     Some(mwa04Oracle))
 
+  /** Exactly-once recovery across a query RESTART, oracled: half the
+    * events flow through a checkpointed dropDuplicates stream, the query
+    * stops (a controlled kill), the other half lands, and a NEW query
+    * restarts from the same checkpoint. The sink must hold exactly the
+    * batch-distinct answer — state recovered, no duplicates, no gaps.
+    * Shares s05's oracle; only the execution path (kill + recovery)
+    * differs. StreamingSpec pins the same contract; this puts it under
+    * the DuckDB gate. */
+  private val s08 = QueryDef("s08_stream_restart",
+    (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s08_")
+      val (src, ck, sink) = (s"$base/src", s"$base/ck", s"$base/sink")
+      val events = Tables.events(s, d).select("event_id", "user_id", "event_type")
+      events.filter(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$src/batchA")
+      def run(): Unit = {
+        val q = s.readStream.schema(s.read.parquet(s"$src/batchA").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+          // plain dropDuplicates (no watermark): the strict
+          // exactly-once-per-key contract — state never expires
+          .dropDuplicates("user_id", "event_type")
+          .select("user_id", "event_type")
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // half A, then the controlled kill
+      events.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$src/batchB")
+      run() // restart from the checkpoint over both halves
+      s.read.parquet(sink).orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -1880,7 +1916,7 @@ object Catalog {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15,
-    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07) ++ MoreQueries.all ++ FunctionSuites.all
+    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
