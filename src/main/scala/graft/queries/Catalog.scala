@@ -1481,6 +1481,41 @@ object Catalog {
               0.0 AS vis_im, false AS flag, 1.0 AS nsample
             FROM g ORDER BY pol, time_idx, ant1, ant2, freq_hz"""))
 
+  /** uvh5 (HDF5) decode, certified row-by-row: the fixture is a minimal
+    * standard HDF5 file (v0 superblock, symbol-table groups, contiguous
+    * layout — `mwa/Hdf5.scala`) with the uvh5 /Header + /Data shape
+    * (blt-major complex64 visdata, AIPS pol codes — the reference's third
+    * input family via pyuvdata's UVH5 reader, `configurators.py:43-48`),
+    * carrying the same dyadic values as the gpubox/uvfits fixtures, so it
+    * shares mwa10's oracle verbatim. Any defect in the B-tree walk, heap
+    * name resolution, datatype parse, or blt/freq/pol axis order breaks
+    * the hash. */
+  private val mwa16 = QueryDef("mwa16_uvh5_read",
+    (s, d) => {
+      val dir = graft.mwa.Uvh5.ensureFixture()
+      s.read.format("graft-vis").option("path", dir).load()
+        .select(col("time_idx"), col("ant1"), col("ant2"), col("freq_hz"),
+          col("pol"), col("vis_re"), col("vis_im"), col("flag"), col("nsample"))
+        .orderBy("pol", "time_idx", "ant1", "ant2", "freq_hz")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(t.range AS INT) AS time_idx, CAST(a1.range AS INT) AS ant1,
+                     CAST(a2.range AS INT) AS ant2, CAST(f.range AS INT) AS f,
+                     p.pol AS pol, p.pi AS pi
+              FROM range(17) t, range(4) a1, range(4) a2, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)
+              WHERE a1.range <= a2.range)
+            SELECT time_idx, ant1, ant2,
+              130000000.0 + f * 40000.0 AS freq_hz, pol,
+              ((ant1*7 + ant2*11 + f*3 + pi*17) % 64)
+              + CASE WHEN f = 5 AND time_idx BETWEEN 6 AND 9
+                     THEN 40.0 ELSE 0.0 END
+              + CASE WHEN time_idx = 12 THEN 60.0 ELSE 0.0 END
+              + ((time_idx*37 + ant1*13 + ant2*29 + f*53 + pi*71) % 128 - 64)
+                / 64.0 AS vis_re,
+              0.0 AS vis_im, false AS flag, 1.0 AS nsample
+            FROM g ORDER BY pol, time_idx, ant1, ant2, freq_hz"""))
+
   /** The reference's `export_tsv` path (`configurators.py:97`): write the
     * plot-shaped view as TSV, read it back with an explicit schema — so
     * the oracle certifies the serialization round-trip (including double
@@ -1915,7 +1950,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, x01, x02, x03, x04, x05,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
-    mwa13, mwa14, mwa15,
+    mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

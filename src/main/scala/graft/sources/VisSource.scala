@@ -119,6 +119,8 @@ class VisScanBuilder(spec: Spec, slice: Int, path: Option[String] = None)
   override def build(): Scan = path match {
     case Some(p) if UvfitsVisScan.hasUvfits(p) =>
       new UvfitsVisScan(p, slice, required, pushed)
+    case Some(p) if Uvh5VisScan.hasUvh5(p) =>
+      new Uvh5VisScan(p, slice, required, pushed)
     case Some(p) => new FitsVisScan(p, slice, required, pushed)
     case None => new VisScan(spec, slice, required, pushed)
   }
@@ -434,6 +436,140 @@ class UvfitsPartitionReader(part: UvfitsVisPartition, required: StructType)
           new GenericInternalRow(required.fieldNames.map(n => full(fieldIdx(n))))
         }
       }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = raf.close()
+}
+
+// ------------------------------------------------------ uvh5-backed variant
+
+/** One uvh5 file's planning metadata, parsed driver-side from the HDF5
+  * /Header datasets (scalars + the tiny freq/pol arrays — no /Data bytes
+  * are touched at planning time). */
+case class Uvh5FileMeta(path: String, obsid: Long, nTimes: Int, nBls: Int,
+                        nFine: Int, freqs: Array[Double], pols: Seq[String],
+                        jd0: Double, dtDays: Double)
+
+object Uvh5FileMeta {
+  def fromHeader(path: String): Uvh5FileMeta = {
+    import graft.mwa.Hdf5
+    val ds = Hdf5.datasets(path)
+    def scalar(n: String): Long = Hdf5.scalarLong(path, ds(s"Header/$n"))
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val nBls = scalar("Nbls").toInt
+      val nFreq = scalar("Nfreqs").toInt
+      val nPol = scalar("Npols").toInt
+      val freqs = Hdf5.readDoubles(raf, ds("Header/freq_array"), 0, nFreq)
+      val pols = Hdf5.readLongs(raf, ds("Header/polarization_array"), 0, nPol)
+        .map(graft.mwa.Uvh5.PolName).toSeq
+      // time grid from the blt-major time_array: jd0 = first entry, dt =
+      // first step (one row per baseline per time, time-major)
+      val t01 = Hdf5.readDoubles(raf, ds("Header/time_array"), 0, 1) ++
+        Hdf5.readDoubles(raf, ds("Header/time_array"), nBls.toLong, 1)
+      Uvh5FileMeta(path, scalar("obsid"), scalar("Ntimes").toInt, nBls,
+        scalar("nfine").toInt, freqs, pols, t01(0), t01(1) - t01(0))
+    } finally raf.close()
+  }
+}
+
+/** Scan over uvh5 (HDF5) files: one partition per (file, time-slice).
+  * The /Data arrays are blt-major with contiguous layout, so a
+  * time-slice is a contiguous element range of every dataset — pruning
+  * is a seek, exactly like the uvfits group seek; coarse_chan filters
+  * stay residual (each blt row carries the whole frequency axis). */
+class Uvh5VisScan(path: String, slice: Int, required: StructType,
+                  pushed: Array[sources.Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-vis uvh5 path=$path PushedFilters: [${pushed.mkString(", ")}]"
+
+  private lazy val files: Seq[Uvh5FileMeta] = {
+    val uv = Uvh5VisScan.listUvh5(path)
+    require(uv.nonEmpty, s"No .uvh5 files under $path")
+    uv.map(Uvh5FileMeta.fromHeader)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (for {
+      m <- files
+      t0 <- 0 until m.nTimes by slice
+      p = Uvh5VisPartition(m, t0, math.min(t0 + slice, m.nTimes))
+      if VisScan.keepTimeSlice(p.timeStart, p.timeEnd, pushed)
+    } yield p: InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Uvh5ReaderFactory(required)
+}
+
+object Uvh5VisScan {
+  def listUvh5(path: String): Seq[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".uvh5")).sortBy(_.getName).map(_.getPath).toSeq
+  def hasUvh5(path: String): Boolean = listUvh5(path).nonEmpty
+}
+
+case class Uvh5VisPartition(meta: Uvh5FileMeta, timeStart: Int, timeEnd: Int)
+    extends InputPartition
+
+class Uvh5ReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new Uvh5PartitionReader(partition.asInstanceOf[Uvh5VisPartition], required)
+}
+
+/** Decodes the blt rows of this partition's time-slice: one bulk read per
+  * /Data dataset over the contiguous element range [blt0*F*P, blt1*F*P)
+  * — bytes outside the slice are never touched. time_idx is the blt's
+  * time ordinal (blt / Nbls), bit-identical to the other decoders. */
+class Uvh5PartitionReader(part: Uvh5VisPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import graft.mwa.Hdf5
+
+  private val m = part.meta
+  private val raf = new java.io.RandomAccessFile(m.path, "r")
+  private val fieldIdx = required.fieldNames.map(n =>
+    n -> VisSource.schema.fieldIndex(n)).toMap
+  private val ds = Hdf5.datasets(m.path)
+  private val nFreq = m.freqs.length
+  private val nPol = m.pols.length
+  private val polU = m.pols.map(UTF8String.fromString).toArray
+
+  private val blt0 = part.timeStart * m.nBls
+  private val blt1 = part.timeEnd * m.nBls
+  private val nBlt = blt1 - blt0
+  private val cells = nBlt * nFreq * nPol
+  private val ant1 = Hdf5.readLongs(raf, ds("Header/ant_1_array"), blt0, nBlt)
+  private val ant2 = Hdf5.readLongs(raf, ds("Header/ant_2_array"), blt0, nBlt)
+  // time_jd comes from time_array VERBATIM (pyuvdata semantics) — deriving
+  // the grid step by subtracting two ~2.46e6 JDs cancels ~18 bits and
+  // perturbs reconstructed times in the last ulps
+  private val timeJd = Hdf5.readDoubles(raf, ds("Header/time_array"), blt0, nBlt)
+  private val vis = Hdf5.readBytesOf(raf, ds("Data/visdata"),
+    blt0.toLong * nFreq * nPol, cells)
+  private val flg = Hdf5.readBytesOf(raf, ds("Data/flags"),
+    blt0.toLong * nFreq * nPol, cells)
+  private val nsm = Hdf5.readBytesOf(raf, ds("Data/nsamples"),
+    blt0.toLong * nFreq * nPol, cells)
+
+  private val it: Iterator[InternalRow] =
+    (0 until nBlt).iterator.flatMap { b =>
+      val t = (blt0 + b) / m.nBls
+      val jd = timeJd(b)
+      val a1 = ant1(b).toInt
+      val a2 = ant2(b).toInt
+      for (f <- (0 until nFreq).iterator; pi <- (0 until nPol).iterator) yield {
+        val c = (b * nFreq + f) * nPol + pi
+        val full: Array[Any] = Array(
+          m.obsid, t, jd, a1, a2, a1.toLong * 2048 + a2,
+          f / m.nFine, m.freqs(f), polU(pi),
+          vis.getFloat(8 * c).toDouble, vis.getFloat(8 * c + 4).toDouble,
+          flg.get(c) != 0, nsm.getFloat(4 * c).toDouble)
+        new GenericInternalRow(required.fieldNames.map(n => full(fieldIdx(n))))
+      }
+    }
 
   private var current: InternalRow = _
   override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
