@@ -46,6 +46,58 @@ object TextAnalysis {
         lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * alphaRatio
       } * 10000 + 0.5) / 10000).as("quality"))
 
+  /** Within-document repetition signals (the Gopher-rule family, Rae et
+    * al. 2021 — public heuristics): duplicate word-bigram and -trigram
+    * fractions plus the most-frequent-word fraction. Per-row column
+    * expressions only — no shuffle; templated/spammy documents score
+    * high and get filtered before training. Ratios use the midpoint-safe
+    * floor(x*1e4+0.5)/1e4 idiom (see textStats). */
+  def repetitionScores(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import graft.functions.Fn.bind
+    def ngrams(w: org.apache.spark.sql.Column, n: Int) =
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+    def dupFrac(w: org.apache.spark.sql.Column, n: Int) =
+      bind(ngrams(w, n)) { g =>
+        when(size(g) <= 0, 0.0).otherwise(
+          floor((size(g) - size(array_distinct(g))).cast("double") /
+            size(g).cast("double") * 10000 + 0.5) / 10000)
+      }
+    docs.select(col(idCol), bind(TextFns.words(col(textCol))) { w =>
+      struct(
+        dupFrac(w, 2).as("dup_bigram"),
+        dupFrac(w, 3).as("dup_trigram"),
+        when(size(w) <= 0, 0.0).otherwise(
+          floor(array_max(transform(array_distinct(w),
+            d => size(filter(w, x => x === d)))).cast("double") /
+            size(w).cast("double") * 10000 + 0.5) / 10000).as("top_word_frac"))
+    }.as("__r"))
+      .select(col(idCol), col("__r.dup_bigram"), col("__r.dup_trigram"),
+        col("__r.top_word_frac"))
+  }
+
+  /** Benchmark decontamination: for every corpus document, the number of
+    * distinct word n-gram shingles it shares with a benchmark (eval-set)
+    * corpus — the overlap check run before training to drop contaminated
+    * documents. Scale shape: the benchmark's distinct shingle set is tiny
+    * and BROADCAST; the corpus side is one explode + broadcast hash join +
+    * hash agg — the corpus never shuffles its text, only matched shingle
+    * hits. Returns (doc_id, n_shared), n_shared > 0. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 3): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(explode(TextFns.wordShingles(col(textCol), shingleN)).as("__s"))
+        .distinct())
+    corpus
+      .select(col(idCol), explode(TextFns.wordShingles(col(textCol), shingleN)).as("__s"))
+      .join(bench, Seq("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Language identification via stopword-hit heuristic. */
   def languageId(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =

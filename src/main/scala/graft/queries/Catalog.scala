@@ -973,6 +973,57 @@ object Catalog {
             SELECT CAST(pos AS INT) AS pos, word, CAST(cnt AS BIGINT) AS cnt
             FROM r WHERE pos < 20 ORDER BY pos"""))
 
+  /** Gopher-family repetition signals, fully re-derived by the oracle:
+    * duplicate bigram/trigram fractions over the NON-distinct n-gram
+    * multiset and the most-frequent-word fraction. Integer-ratio values
+    * with midpoint-safe rounding — bit-deterministic cross-engine. */
+  private val t15 = QueryDef("t15_repetition",
+    (s, d) => graft.operators.TextAnalysis.repetitionScores(
+        Tables.documents(s, d))
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM documents),
+            n AS (SELECT doc_id, w,
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+                list_transform(range(1, len(w)-1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+              FROM w)
+            SELECT doc_id,
+              CASE WHEN len(g2) <= 0 THEN 0.0 ELSE
+                FLOOR((len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)
+                  * 10000 + 0.5) / 10000 END AS dup_bigram,
+              CASE WHEN len(g3) <= 0 THEN 0.0 ELSE
+                FLOOR((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3)
+                  * 10000 + 0.5) / 10000 END AS dup_trigram,
+              CASE WHEN len(w) <= 0 THEN 0.0 ELSE
+                FLOOR(list_max(list_transform(list_distinct(w),
+                    d -> len(list_filter(w, x -> x = d)))) * 1.0 / len(w)
+                  * 10000 + 0.5) / 10000 END AS top_word_frac
+            FROM n ORDER BY doc_id"""))
+
+  /** Benchmark decontamination: distinct-shingle overlap of every corpus
+    * document against a (broadcast) benchmark set — the pre-training
+    * eval-contamination check. The oracle recomputes the overlap from
+    * scratch with an independent join. */
+  private val t16 = QueryDef("t16_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.TextAnalysis.contamination(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            bench AS (SELECT DISTINCT UNNEST(sh) AS s FROM g WHERE doc_id < 20),
+            corp AS (SELECT doc_id, UNNEST(sh) AS s FROM g WHERE doc_id >= 20)
+            SELECT c.doc_id, COUNT(*) AS n_shared
+            FROM corp c JOIN bench b ON c.s = b.s
+            GROUP BY c.doc_id ORDER BY doc_id"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -1948,7 +1999,7 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, x01, x02, x03, x04, x05,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, q50,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08) ++ MoreQueries.all ++ FunctionSuites.all
