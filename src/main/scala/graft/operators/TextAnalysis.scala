@@ -98,6 +98,106 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-document duplicate n-gram statistics (the occurrence-weighted
+    * dedup signal of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better" — arXiv:2107.06499): for every document, the
+    * fraction of its word n-gram OCCURRENCES whose n-gram also appears in
+    * at least one other document. High-fraction documents are near-copies
+    * of corpus content even when no single whole-doc hash matches.
+    *
+    * Scale shape: per-doc occurrence counts first (one hash agg keyed on
+    * (doc, digest) with map-side combine — the token stream never
+    * re-shuffles), then document frequency is one more agg over the
+    * already-distinct (doc, digest) rows, joined back and re-aggregated
+    * per doc. The shuffle key is md5(ngram) (16 bytes), never the raw
+    * n-gram string. Docs shorter than n words yield no row (no n-grams).
+    *
+    * @return (doc_id, n_grams, n_dup, dup_frac), floor-idiom rounding.
+    */
+  def crossDocNgramDup(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 5): DataFrame = {
+    import graft.functions.Fn.bind
+    val grams = docs.select(col(idCol),
+      explode(bind(TextFns.words(col(textCol))) { w =>
+        when(size(w) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(w) - n),
+            i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      }).as("__g"))
+      .select(col(idCol), md5(col("__g").cast("binary")).as("__d"))
+    val perDoc = grams.groupBy(col(idCol), col("__d"))
+      .agg(count(lit(1)).as("cnt"))
+    val docFreq = perDoc.groupBy("__d").agg(count(lit(1)).as("ndocs"))
+    perDoc.join(docFreq, Seq("__d"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("cnt").cast("long").as("n_grams"),
+        sum(when(col("ndocs") > 1, col("cnt")).otherwise(lit(0L)))
+          .cast("long").as("n_dup"),
+        (floor(sum(when(col("ndocs") > 1, col("cnt")).otherwise(lit(0L))).cast("double") /
+          sum("cnt").cast("double") * 10000 + 0.5) / 10000).as("dup_frac"))
+  }
+
+  /** Email pattern for [[piiRedact]] — deliberately RE2-compatible (no
+    * backreferences, no lookaround) so Spark (java.util.regex) and the
+    * DuckDB oracle (RE2) match identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Long digit runs (account/phone-shaped) for [[piiRedact]]. */
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII scrubbing pass for training-data curation: replaces email
+    * addresses and long digit runs with typed placeholder tokens and
+    * reports per-document match counts. Pure per-row regex work — scan
+    * parallel, no shuffle, whole-stage codegen. */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        LongNumRe, "<NUM>").as("redacted"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("int").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(LongNumRe), lit(0)))
+        .cast("int").as("n_nums"))
+
+  /** C4-style boilerplate removal (Raffel et al. 2020 drop repeated lines
+    * corpus-wide): documents are segmented into fixed `chunkWords`-word
+    * segments (the stand-in for lines on newline-free corpora; a real
+    * corpus would segment on '\n'), any segment appearing in >= `maxDocs`
+    * distinct documents is dropped, and each document is reassembled from
+    * its surviving segments in original order.
+    *
+    * Scale shape: posexplode to (doc, pos, chunk) -> document frequency is
+    * a hash agg on md5(chunk) -> join back -> per-doc rebuild via
+    * collect_list of (pos, chunk) + array_sort (each doc's chunk list is
+    * document-sized — bounded — never corpus-sized). Two shuffles total.
+    *
+    * @return (doc_id, n_chunks, n_removed, cleaned)
+    */
+  def removeBoilerplateChunks(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text", chunkWords: Int = 3,
+                              maxDocs: Int = 3): DataFrame = {
+    import graft.functions.Fn.bind
+    val cw = chunkWords
+    val chunks = docs.select(col(idCol),
+      posexplode(bind(TextFns.words(col(textCol))) { w =>
+        when(size(w) <= 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), ceil(size(w).cast("double") / cw).cast("int") - 1),
+            i => concat_ws(" ", slice(w, i * cw + 1, lit(cw)))))
+      }).as(Seq("pos", "chunk")))
+    val docFreq = chunks.groupBy(md5(col("chunk").cast("binary")).as("__d"))
+      .agg(count_distinct(col(idCol)).as("ndocs"))
+    chunks.join(docFreq, md5(col("chunk").cast("binary")) === col("__d"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("ndocs") >= maxDocs, 1).otherwise(0))
+          .cast("int").as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("ndocs") < maxDocs, struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("cleaned"))
+  }
+
   /** Language identification via stopword-hit heuristic. */
   def languageId(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =

@@ -618,6 +618,32 @@ object Catalog {
               ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
             GROUP BY 1, 2 ORDER BY id_a, id_b"""))
 
+  /** Cross-document duplicate 5-gram occurrence fraction (the Lee et al.
+    * 2021 occurrence-weighted dedup signal — TextAnalysis.crossDocNgramDup).
+    * The oracle re-derives per-doc gram counts, document frequency, and the
+    * occurrence-weighted fraction from scratch; Spark groups on md5
+    * digests, DuckDB on the raw grams — identical counts certify the
+    * digest keying is a pure narrowing, not a semantic change. */
+  private val d13 = QueryDef("d13_crossdoc_ngrams",
+    (s, d) => graft.operators.TextAnalysis.crossDocNgramDup(
+        Tables.documents(s, d), n = 5)
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM documents),
+            g AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)-3),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+                  FROM w WHERE len(w) >= 5),
+            pd AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY doc_id, g),
+            df AS (SELECT g, COUNT(*) AS ndocs FROM pd GROUP BY g)
+            SELECT pd.doc_id,
+              CAST(SUM(cnt) AS BIGINT) AS n_grams,
+              CAST(SUM(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+              FLOOR(SUM(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) * 1.0 / SUM(cnt)
+                * 10000 + 0.5) / 10000 AS dup_frac
+            FROM pd JOIN df USING (g)
+            GROUP BY pd.doc_id ORDER BY doc_id"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -721,6 +747,20 @@ object Catalog {
           nCells = 16, nprobe = 4, m = 16, codes = 32, iters = 3)
         .select(col("vec_id"), col("nn_id"), col("approx_d2"),
           col("rank").as("rnk"))
+        .orderBy("vec_id", "rnk")
+    },
+    None)
+
+  /** SQ8 ANN (Sq.sq8Knn): full-precision queries against the 1-byte/dim
+    * scalar-quantized corpus. Rows-only by design — the quantized
+    * similarity has no portable SQL twin; quality is pinned by
+    * SqRecallSpec's recall floor against the exact twin x01 and the
+    * quantizer arithmetic by SqSpec. */
+  private val x06 = QueryDef("x06_sq8_knn",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Sq.sq8Knn(emb.filter(col("vec_id") < 20), emb, 5)
+        .select(col("vec_id"), col("nn_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("vec_id", "rnk")
     },
     None)
@@ -1023,6 +1063,61 @@ object Catalog {
             SELECT c.doc_id, COUNT(*) AS n_shared
             FROM corp c JOIN bench b ON c.s = b.s
             GROUP BY c.doc_id ORDER BY doc_id"""))
+
+  /** PII redaction over documents with deterministic synthetic PII
+    * appended (the corpus itself is PII-free): emails and long digit runs
+    * replaced by typed tokens, per-doc match counts reported. Both the
+    * fixture synthesis and both regexes are computed independently by the
+    * oracle — RE2-compatible patterns so java.util.regex and DuckDB's RE2
+    * agree (see TextAnalysis.EmailRe). */
+  private val t17 = QueryDef("t17_pii_redact",
+    (s, d) => graft.operators.TextAnalysis.piiRedact(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@mail.example.com or call "),
+            (col("doc_id") * 7919 + 1000000).cast("string")).as("text")))
+      .orderBy("doc_id"),
+    Some("""WITH f AS (SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call '
+                  || CAST(doc_id * 7919 + 1000000 AS VARCHAR) AS text
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_nums
+            FROM f ORDER BY doc_id"""))
+
+  /** C4-style boilerplate removal (TextAnalysis.removeBoilerplateChunks):
+    * 3-word segments appearing in >= 3 distinct documents are dropped and
+    * documents reassembled in order. The oracle re-derives segmentation,
+    * document frequency, the drop set, and the ORDER-PRESERVING
+    * reassembly (string_agg ORDER BY pos vs array_sort on (pos, chunk)
+    * structs) — a hash match certifies the rebuild order, not just the
+    * counts. */
+  private val t18 = QueryDef("t18_boilerplate",
+    (s, d) => graft.operators.TextAnalysis.removeBoilerplateChunks(
+        Tables.documents(s, d), chunkWords = 3, maxDocs = 3)
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM documents),
+            c AS (SELECT doc_id, UNNEST(list_transform(
+                    range(0, CAST(CEIL(len(w) / 3.0) AS INT)),
+                    i -> {'pos': i, 'chunk': array_to_string(w[i*3+1:i*3+3], ' ')})) AS u
+                  FROM w WHERE len(w) > 0),
+            cc AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM c),
+            df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM cc GROUP BY chunk)
+            SELECT cc.doc_id,
+              CAST(COUNT(*) AS INT) AS n_chunks,
+              CAST(SUM(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS INT) AS n_removed,
+              COALESCE(string_agg(CASE WHEN ndocs < 3 THEN chunk END,
+                ' ' ORDER BY pos), '') AS cleaned
+            FROM cc JOIN df USING (chunk)
+            GROUP BY cc.doc_id ORDER BY doc_id"""))
 
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
@@ -1992,17 +2087,42 @@ object Catalog {
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
 
+  /** STREAMING deterministic hash-gate sampling: the t10 sample (md5 keyed,
+    * 100 permille) applied to a documents STREAM. The gate is a stateless
+    * per-row filter, so it composes with any streaming pipeline at zero
+    * state cost — the property that makes deterministic sampling the right
+    * down-sampling primitive for continuous ingestion. Shares t10's oracle:
+    * stream and batch must select the identical rows. */
+  private val s09 = QueryDef("s09_stream_sample",
+    (s, d) => {
+      import graft.streaming.EventStreams.runToBatch
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      runToBatch(s,
+        graft.operators.Sampling.hashSample(docs, col("doc_id"), 100),
+        outputMode = "append")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000 < 100
+            ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, x01, x02, x03, x04, x05,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, q50,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+    x01, x02, x03, x04, x05, x06,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
+    t17, t18, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
-    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08) ++ MoreQueries.all ++ FunctionSuites.all
+    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the corpus-hygiene operators (cross-doc n-gram dedup
+  * signal, PII redaction, boilerplate-chunk removal) on controlled
+  * fixtures where every expected value is hand-derivable. */
+class TextHygieneSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("crossDocNgramDup: exact copies score 1.0, unique docs 0.0") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),  // copy of 1
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),    // unique
+      (3L, "short doc")                             // < n words: no row
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.crossDocNgramDup(docs, n = 5)
+      .orderBy("doc_id").collect()
+    assert(r.length === 3) // doc 3 has no 5-grams
+    assert(r(0).getLong(1) === 2 && r(0).getLong(2) === 2 && r(0).getDouble(3) === 1.0)
+    assert(r(1).getDouble(3) === 1.0)
+    assert(r(2).getLong(2) === 0L && r(2).getDouble(3) === 0.0)
+  }
+
+  test("crossDocNgramDup: partial overlap counts occurrences, not grams") {
+    // doc 0 repeats a shared 2-gram twice: both OCCURRENCES count as dup
+    val docs = Seq(
+      (0L, "a b a b"),   // 2-grams: "a b","b a","a b" -> "a b" x2 shared
+      (1L, "a b c")      // 2-grams: "a b","b c"
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.crossDocNgramDup(docs, n = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 3 && r(0).getLong(2) === 2)  // 2 of 3 occurrences
+    assert(r(1).getLong(1) === 2 && r(1).getLong(2) === 1)
+  }
+
+  test("piiRedact: emails and long digit runs replaced, counts exact") {
+    val docs = Seq(
+      (0L, "mail a.b+c@ex-ample.org and x@y.io now"),
+      (1L, "call 1234567 or 87654321 ext 12345"),   // 12345 too short
+      (2L, "clean text no pii")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs).orderBy("doc_id").collect()
+    assert(r(0).getString(1) === "mail <EMAIL> and <EMAIL> now")
+    assert(r(0).getInt(2) === 2 && r(0).getInt(3) === 0)
+    assert(r(1).getString(1) === "call <NUM> or <NUM> ext 12345")
+    assert(r(1).getInt(2) === 0 && r(1).getInt(3) === 2)
+    assert(r(2).getString(1) === "clean text no pii")
+    assert(r(2).getInt(2) === 0 && r(2).getInt(3) === 0)
+  }
+
+  test("removeBoilerplateChunks: drops corpus-frequent chunks, keeps order") {
+    // "x y" chunk appears in 3 docs -> dropped at maxDocs=3; everything
+    // else is unique and survives in original position
+    val docs = Seq(
+      (0L, "x y a0 b0 x y c0 d0"),
+      (1L, "x y a1 b1"),
+      (2L, "a2 b2 x y"),
+      (3L, "solo words only here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.removeBoilerplateChunks(docs, chunkWords = 2, maxDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getInt(1) === 4 && r(0).getInt(2) === 2)
+    assert(r(0).getString(3) === "a0 b0 c0 d0")
+    assert(r(1).getString(3) === "a1 b1")
+    assert(r(2).getString(3) === "a2 b2")
+    assert(r(3).getInt(2) === 0 && r(3).getString(3) === "solo words only here")
+  }
+
+  test("removeBoilerplateChunks: fully-boilerplate doc reassembles to ''") {
+    val docs = Seq(
+      (0L, "x y"), (1L, "x y"), (2L, "x y")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.removeBoilerplateChunks(docs, chunkWords = 2, maxDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(r.forall(_.getString(3) === ""))
+    assert(r.forall(_.getInt(2) === 1))
+  }
+}
