@@ -211,6 +211,45 @@ object TextAnalysis {
       md5(lower(col(textCol)).cast("binary")).as("fp_md5"),
       TextFns.rollingFingerprint(col(textCol)).as("fp_roll"))
 
+  /** BM25 retrieval scoring (Robertson/Sparck Jones; the Lucene idf form
+    * ln(1 + (N - df + 0.5)/(df + 0.5))) of every document against a fixed
+    * term set — the standard lexical-search / data-curation ranking
+    * signal. Per-term scores are rounded to 4 decimals BEFORE the per-doc
+    * sum so cross-engine float-summation order cannot flip ranks (the
+    * tfIdf rule), and the final ordering ties on doc id.
+    *
+    * Scale shape: the token stream is filtered to the (tiny, broadcast
+    * literal) term set at the scan, so the tf aggregation shuffles only
+    * matching tokens; df derives from tf (one more tiny agg — the t07
+    * derivation); dl/avgdl are exact integer sums in double. Only docs
+    * containing at least one term produce a row.
+    *
+    * @return (doc_id, bm25) top-`topK` by (bm25 desc, doc_id).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stats = docs.select(col(idCol),
+      size(TextFns.words(col(textCol))).cast("double").as("dl"))
+    val g = stats.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl")).head()
+    val (nDocs, avgdl) = (g.getDouble(0), g.getDouble(1))
+    val tf = docs.select(col(idCol),
+        explode(TextFns.words(col(textCol))).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(dfT, Seq("word")).join(stats, Seq(idCol))
+      .withColumn("s", round(
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))), 4))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("s")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Corpus-level word frequency: explode + hash aggregate (one shuffle on
     * word; the classic map-side-combine friendly shape). */
   def wordFrequency(docs: DataFrame, textCol: String = "text",

@@ -644,6 +644,54 @@ object Catalog {
             FROM pd JOIN df USING (g)
             GROUP BY pd.doc_id ORDER BY doc_id"""))
 
+  /** PageRank centrality over the near-duplicate graph (d02's top-20
+    * n-gram-Jaccard pairs as undirected edges), 3 rounds of
+    * Graph.pageRankScaled's EXACT integer-arithmetic iteration. The
+    * oracle re-derives the edge set AND unrolls all three rounds with
+    * BIGINT `//` division — a hash match certifies the distributed
+    * iteration (contribution split, damping arithmetic, truncation
+    * points) bit-for-bit, something float PageRank could never pin. */
+  private val d14 = QueryDef("d14_pagerank",
+    (s, d) => {
+      val edges = Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 3, 0.0)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)
+      graft.operators.Graph.pageRankScaled(edges, iters = 3)
+        .select(col("id").as("doc_id"), col("pr"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+                       FROM documents WHERE doc_id < 100),
+            g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    FLOOR(len(list_intersect(a.sh, b.sh)) /
+                          len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  ORDER BY jaccard DESC, id_a, id_b LIMIT 20),
+            dir AS (SELECT id_a AS src, id_b AS dst FROM e
+                    UNION ALL SELECT id_b, id_a FROM e),
+            deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+            n AS (SELECT COUNT(*) AS n FROM deg),
+            r0 AS (SELECT src AS id, CAST(1000000000000 // (SELECT n FROM n) AS BIGINT) AS pr FROM deg),
+            it1 AS (SELECT d.dst AS id,
+                      CAST(((15 * 1000000000000) // 100) // (SELECT n FROM n)
+                        + (85 * SUM(r.pr // dg.deg)) // 100 AS BIGINT) AS pr
+                    FROM r0 r JOIN deg dg ON r.id = dg.src
+                    JOIN dir d ON d.src = r.id GROUP BY d.dst),
+            it2 AS (SELECT d.dst AS id,
+                      CAST(((15 * 1000000000000) // 100) // (SELECT n FROM n)
+                        + (85 * SUM(r.pr // dg.deg)) // 100 AS BIGINT) AS pr
+                    FROM it1 r JOIN deg dg ON r.id = dg.src
+                    JOIN dir d ON d.src = r.id GROUP BY d.dst),
+            it3 AS (SELECT d.dst AS id,
+                      CAST(((15 * 1000000000000) // 100) // (SELECT n FROM n)
+                        + (85 * SUM(r.pr // dg.deg)) // 100 AS BIGINT) AS pr
+                    FROM it2 r JOIN deg dg ON r.id = dg.src
+                    JOIN dir d ON d.src = r.id GROUP BY d.dst)
+            SELECT id AS doc_id, pr FROM it3 ORDER BY doc_id"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -1118,6 +1166,32 @@ object Catalog {
                 ' ' ORDER BY pos), '') AS cleaned
             FROM cc JOIN df USING (chunk)
             GROUP BY cc.doc_id ORDER BY doc_id"""))
+
+  /** BM25 retrieval (TextAnalysis.bm25) for a fixed 3-term query over the
+    * corpus. The oracle recomputes dl/avgdl, tf, df, the Lucene idf, and
+    * the saturation term independently; per-term scores round to 4
+    * decimals before the doc sum so cross-engine summation order cannot
+    * flip the top-20 ranking. */
+  private val t19 = QueryDef("t19_bm25",
+    (s, d) => graft.operators.TextAnalysis.bm25(
+        Tables.documents(s, d), Seq("spark", "table", "join"), topK = 20),
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM documents),
+            st AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM w),
+            c AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+                         (SELECT AVG(dl) FROM st) AS avgdl),
+            tok AS (SELECT doc_id, UNNEST(w) AS word FROM w),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+                   WHERE word IN ('spark','table','join') GROUP BY doc_id, word),
+            df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            sc AS (SELECT tf.doc_id,
+                     ROUND(LN(1 + ((SELECT n FROM c) - df + 0.5) / (df + 0.5)) *
+                       (tf * (1.2 + 1.0)) /
+                       (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM c))), 4) AS s
+                   FROM tf JOIN df USING (word) JOIN st ON st.doc_id = tf.doc_id)
+            SELECT doc_id, ROUND(SUM(s), 4) AS bm25
+            FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""))
 
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
@@ -2116,10 +2190,10 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     x01, x02, x03, x04, x05, x06,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, q50,
+    t17, t18, t19, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09) ++ MoreQueries.all ++ FunctionSuites.all

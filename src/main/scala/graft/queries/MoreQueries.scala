@@ -284,6 +284,31 @@ object MoreQueries {
               COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS keysum
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Grouped approximate percentiles ORACLED IN THE EXACT REGIME (the t13
+    * Misra-Gries precedent): percentile_approx's GK sketch buffers up to
+    * `accuracy` values before compressing, so with accuracy = 10^7 >> any
+    * group size here it returns the exact rank-ceil(p*n) element — the
+    * same discrete-quantile convention as DuckDB's quantile_disc (probed:
+    * both pick rank ceil(p*n)). The approximate path (same code) kicks in
+    * only past 10M rows per group, where a 10^-7 rank error is
+    * negligible — that's the sketch's 100 TB posture. */
+  private val q59 = QueryDef("q59_approx_percentile",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.25, 10000000)")
+          .cast("double").as("p25"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000000)")
+          .cast("double").as("p50"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000000)")
+          .cast("double").as("p90"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              CAST(quantile_disc(l_extendedprice, 0.25) AS DOUBLE) AS p25,
+              CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+              CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q54, q55, q56, q57, q58)
+    q39, q40, q54, q55, q56, q57, q58, q59)
 }
