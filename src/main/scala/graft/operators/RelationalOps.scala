@@ -176,6 +176,63 @@ object RelationalOps {
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** MERGE / upsert: apply a batch of changes to a keyed snapshot —
+    * matched keys take the source row (update), unmatched source keys are
+    * inserted, unmatched target keys survive — i.e. SQL MERGE's
+    * WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT, the CDC
+    * apply step of every incremental pipeline.
+    *
+    * Both sides are first reduced to one row per key under `order`
+    * (latest wins, [[dedupFirst]] with the order REVERSED by the caller
+    * passing desc), so arbitrary event batches can be passed directly.
+    * Shape: two key-partitioned reductions + one full outer join, all on
+    * the same key — at scale one shuffle per side, no broadcast, no
+    * driver state. Column set must match between target and source.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String,
+                  order: Seq[Column]): DataFrame = {
+    val cols = target.columns.toSeq
+    require(source.columns.toSeq == cols,
+      s"mergeUpsert: column mismatch ${source.columns.toSeq} vs $cols")
+    val t = dedupFirst(target, Seq(col(key)), order)
+    val s = dedupFirst(source, Seq(col(key)), order)
+    val picked = cols.filterNot(_ == key).map { c =>
+      coalesce(col(s"__s.$c"), col(s"__t.$c")).as(c)
+    }
+    // join on the key column only; source wins per column via coalesce
+    // (source rows are complete here — per-column coalesce keeps the shape
+    // general if a caller projects nulls for "no change")
+    t.as("__t").join(s.as("__s"), Seq(key), "full_outer")
+      .select(col(key) +: picked: _*)
+  }
+
+  /** Slowly-changing-dimension type 2: compress a keyed event history into
+    * validity intervals — one row per (key, consecutive run of equal
+    * values) with [valid_from, valid_to) bounds, open runs ending null.
+    * Change detection via lag, run numbering via a running sum, interval
+    * bounds via min/lead — three window passes over ONE shuffle on the
+    * key (all windows share the same partitioning, so Catalyst reuses the
+    * exchange and sort). `tieBreak` makes equal-timestamp events
+    * deterministic. */
+  def scd2(events: DataFrame, key: String, tsCol: String, valueCol: String,
+           tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieBreak))
+    val run = events
+      .withColumn("__chg",
+        when(lag(col(valueCol), 1).over(w).isNull ||
+          lag(col(valueCol), 1).over(w) =!= col(valueCol), 1).otherwise(0))
+      .withColumn("__run",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    // min, not first: every value in a run is equal by construction, but
+    // min is deterministic under parallel aggregation by definition
+    val byRun = run.groupBy(col(key), col("__run"))
+      .agg(min(col(valueCol)).as(valueCol), min(col(tsCol)).as("valid_from"))
+    val w2 = Window.partitionBy(col(key)).orderBy(col("__run"))
+    byRun.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(col(key), col(valueCol), col("valid_from"), col("valid_to"))
+  }
+
   /** Gaps-and-islands sessionization: a new session starts when the gap to
     * the previous event (per key) exceeds `gapSeconds`. Adds `session_id`
     * (1-based per key). Single shuffle on the key. */

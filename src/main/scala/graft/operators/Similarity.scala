@@ -80,6 +80,43 @@ object Similarity {
       .select("vec_id", "nn_id", "sim", "rank")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    * semantic deduplication. Vectors are partitioned into cells, and within
+    * each cell a vector is DROPPED when any lower-id cell-mate has rounded
+    * cosine >= `threshold` — exactly the paper's upper-triangular
+    * similarity-matrix rule (not transitive-closure clustering).
+    *
+    * The cell here is the sign-bit grid of the first `cellBits` dimensions:
+    * deterministic, SQL-portable, zero training. Production at 100 TB swaps
+    * in a k-means assignment (operators/Ivf.scala's fitCentroids +
+    * nearest-centroid) for balanced data-aware cells — the pair generation,
+    * drop rule and shapes below are identical either way.
+    *
+    * Scale shape: cell assignment is a per-row expression (no shuffle);
+    * candidate pairs come from ONE equi self-join on cell (never all-pairs
+    * across cells); the drop set is a semi-join back. Cells bound the
+    * quadratic term to (corpus/cells)^2 per cell — cells scale with the
+    * corpus exactly like SemDeDup's k-means k.
+    *
+    * @return one row per input vector: (vec_id, cell, kept) — callers
+    *         filter kept for the surviving corpus
+    */
+  def semanticDedup(df: DataFrame, cellBits: Int = 4, threshold: Double = 0.9,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    roundTo: Int = 4): DataFrame = {
+    val cell = (0 until cellBits).map { i =>
+      when(element_at(col(vecCol), i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), cell.as("cell"))
+    val dropped = v.as("x").join(v.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .filter(round(VectorFns.cosine(col("x.v"), col("y.v")), roundTo) >= threshold)
+      .select(col("y.id").as("id")).distinct()
+      .withColumn("__drop", lit(1))
+    v.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"), col("__drop").isNull.as("kept"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among all pairs of
     * a bounded slice (exact); LSH-bucketed for the full corpus. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

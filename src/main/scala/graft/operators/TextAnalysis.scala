@@ -250,6 +250,89 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Bigram language-model cross-entropy scoring — the CCNet-style
+    * in-domain quality signal (Wenzek et al. 2020 score documents by the
+    * perplexity of a reference-corpus LM; low = in-domain). The LM is a
+    * Stupid-Backoff bigram model (Brants et al. 2007): seen bigram scores
+    * c12/c1, otherwise alpha * (c2 + 1)/(T + V) (add-one unigram backoff,
+    * so unseen words stay finite).
+    *
+    * Determinism: each bigram's ln-score is rounded to 4 decimals and
+    * summed as a SCALED BIGINT (the d14 integer trick), so the per-doc sum
+    * is exact and order-independent across engines and partitionings;
+    * cross_entropy = -mean, floor-idiom rounded.
+    *
+    * Scale shape: LM training is two hash aggs over the reference token /
+    * bigram stream; scoring reduces each doc to distinct (doc, w1, w2)
+    * counts first (tokens never re-shuffle), then equi-joins the count
+    * tables on their word keys — vocabulary-sized sides are NEVER
+    * broadcast or collected (T and V are the only driver scalars).
+    *
+    * @return (doc_id, n_bigrams, cross_entropy); docs with < 2 tokens
+    *         yield no row
+    */
+  def ngramLmScore(docs: DataFrame, reference: DataFrame, alpha: Double = 0.4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.Fn.bind
+    def bigrams(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) =
+      df.select(keep :+ explode(bind(TextFns.words(col(textCol))) { w =>
+        when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), size(w) - 2),
+            i => struct(element_at(w, i + 1).as("w1"),
+              element_at(w, i + 2).as("w2"))))
+      }).as("__b"): _*).select(keep ++ Seq(col("__b.w1"), col("__b.w2")): _*)
+    val refTokens = reference.select(
+      explode(TextFns.words(col(textCol))).as("w"))
+    val uni = refTokens.groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").as("t"), count(lit(1)).as("v")).head()
+    val (bigT, bigV) = (totals.getLong(0), totals.getLong(1))
+    val big = bigrams(reference, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val docBig = bigrams(docs, Seq(col(idCol)))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val scored = docBig
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .withColumn("__s",
+        when(col("c12").isNotNull,
+          col("c12").cast("double") / col("c1").cast("double"))
+          .otherwise(lit(alpha) * (coalesce(col("c2"), lit(0L)) + lit(1L))
+            .cast("double") / lit((bigT + bigV).toDouble)))
+      .withColumn("__lp", floor(log(col("__s")) * 10000 + 0.5).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(sum("cnt").cast("long").as("n_bigrams"),
+        (floor(-sum(col("__lp") * col("cnt")).cast("double") /
+          sum("cnt").cast("double") + 0.5) / 10000).as("cross_entropy"))
+  }
+
+  /** Overlapping token-window chunking — the RAG / context-packing
+    * segmentation step: windows of `chunkTokens` tokens starting every
+    * `chunkTokens - overlap` tokens (every start k*stride < n_tokens; the
+    * final window may be shorter). Pure per-row array expressions then one
+    * explode — scan-parallel, zero shuffle.
+    *
+    * @return (doc_id, chunk_idx, start_tok, n_tokens, chunk)
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 8,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"chunkDocs: need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    import graft.functions.Fn.bind
+    docs.select(col(idCol),
+        posexplode(bind(TextFns.words(col(textCol))) { w =>
+          when(size(w) <= 0, array().cast("array<array<string>>"))
+            .otherwise(transform(
+              sequence(lit(0), floor((size(w) - 1).cast("double") / stride).cast("int")),
+              k => slice(w, k * stride + 1, lit(chunkTokens))))
+        }).as(Seq("chunk_idx", "__w")))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("int").as("start_tok"),
+        size(col("__w")).cast("int").as("n_tokens"),
+        concat_ws(" ", col("__w")).as("chunk"))
+  }
+
   /** Corpus-level word frequency: explode + hash aggregate (one shuffle on
     * word; the classic map-side-combine friendly shape). */
   def wordFrequency(docs: DataFrame, textCol: String = "text",

@@ -692,6 +692,47 @@ object Catalog {
                     JOIN dir d ON d.src = r.id GROUP BY d.dst)
             SELECT id AS doc_id, pr FROM it3 ORDER BY doc_id"""))
 
+  /** SemDeDup (Similarity.semanticDedup): sign-grid cells over the first 4
+    * dimensions, within-cell drop of any vector whose lower-id cell-mate
+    * has cosine >= 0.9 (the paper's upper-triangular rule). The corpus has
+    * no semantic near-dups, so the fixture plants them: vec_id < 20 gets a
+    * LOWER-id x2-scaled clone (the original drops), vec_id in [20,40) a
+    * higher-id one (the clone drops) — power-of-two scaling is FP-exact,
+    * so clone cosine is exactly 1.0 on both engines and both drop
+    * directions are exercised. The oracle re-derives cell assignment, the
+    * fixture, and the EXISTS drop rule over all within-cell pairs. */
+  private val d15 = QueryDef("d15_semantic_dedup",
+    (s, d) => {
+      val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val clones = base.filter(col("vec_id") < 40).select(
+        when(col("vec_id") < 20, col("vec_id") - 10000)
+          .otherwise(col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.semanticDedup(
+          base.unionByName(clones), cellBits = 4, threshold = 0.9)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"), col("kept"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                          FROM embeddings),
+             v AS (SELECT vec_id, e FROM raw
+                   UNION ALL
+                   SELECT CASE WHEN vec_id < 20 THEN vec_id - 10000
+                               ELSE vec_id + 10000 END,
+                          list_transform(e, x -> x * 2)
+                   FROM raw WHERE vec_id < 40),
+             c AS (SELECT vec_id, e,
+                     (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END) +
+                     (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END) +
+                     (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END) +
+                     (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END) AS cell FROM v)
+             SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+               NOT EXISTS (SELECT 1 FROM c b
+                 WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                   AND ROUND($duckCosine, 4) >= 0.9) AS kept
+             FROM c a
+             ORDER BY vec_id"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -1192,6 +1233,70 @@ object Catalog {
                    FROM tf JOIN df USING (word) JOIN st ON st.doc_id = tf.doc_id)
             SELECT doc_id, ROUND(SUM(s), 4) AS bm25
             FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
+  /** CCNet-style LM quality scoring (TextAnalysis.ngramLmScore): a
+    * Stupid-Backoff bigram LM trained on the doc_id % 5 = 0 slice scores
+    * every document's cross-entropy. The oracle re-derives tokenization,
+    * both count tables, the backoff arithmetic, and the scaled-BIGINT
+    * log-prob summation — a hash match certifies the LM's probabilities
+    * and the scoring joins bit-for-bit (the d14 exact-integer regime). */
+  private val t20 = QueryDef("t20_lm_perplexity",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.TextAnalysis.ngramLmScore(
+          docs, docs.filter(col("doc_id") % 5 === 0))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM documents),
+            rt AS (SELECT UNNEST(w) AS t FROM w WHERE doc_id % 5 = 0),
+            uni AS (SELECT t, COUNT(*) AS c FROM rt GROUP BY t),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS tv
+                    FROM uni),
+            rb AS (SELECT UNNEST(list_transform(range(1, len(w)),
+                     i -> {'w1': w[i], 'w2': w[i+1]})) AS bg
+                   FROM w WHERE doc_id % 5 = 0 AND len(w) >= 2),
+            big AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c12
+                    FROM rb GROUP BY 1, 2),
+            db AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+                     i -> {'w1': w[i], 'w2': w[i+1]})) AS bg
+                   FROM w WHERE len(w) >= 2),
+            dbc AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS cnt
+                    FROM db GROUP BY 1, 2, 3),
+            sc AS (SELECT doc_id, cnt,
+                     CAST(FLOOR(LN(CASE WHEN c12 IS NOT NULL
+                         THEN c12 * 1.0 / u1.c
+                         ELSE CAST(0.4 AS DOUBLE) * (COALESCE(u2.c, 0) + 1)
+                              / (SELECT tv FROM tot) END) * 10000 + 0.5)
+                       AS BIGINT) AS lp
+                   FROM dbc LEFT JOIN big USING (w1, w2)
+                   LEFT JOIN uni u1 ON dbc.w1 = u1.t
+                   LEFT JOIN uni u2 ON dbc.w2 = u2.t)
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+              FLOOR(-SUM(lp * cnt) * 1.0 / SUM(cnt) + 0.5) / 10000 AS cross_entropy
+            FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Overlapping token-window chunking (TextAnalysis.chunkDocs, the RAG
+    * segmentation step): 32-token windows every 24 tokens. The oracle
+    * re-derives window starts, slicing, clipping, and reassembly; a hash
+    * match certifies offsets and chunk text exactly. */
+  private val t21 = QueryDef("t21_chunking",
+    (s, d) => graft.operators.TextAnalysis.chunkDocs(
+        Tables.documents(s, d), chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM documents),
+            c AS (SELECT doc_id, UNNEST(list_transform(
+                    range(0, ((len(w) - 1) // 24) + 1),
+                    k -> {'k': k, 'ch': w[k*24+1 : k*24+32]})) AS u
+                  FROM w WHERE len(w) > 0)
+            SELECT doc_id, CAST(u.k AS INT) AS chunk_idx,
+              CAST(u.k * 24 AS INT) AS start_tok,
+              CAST(len(u.ch) AS INT) AS n_tokens,
+              array_to_string(u.ch, ' ') AS chunk
+            FROM c ORDER BY doc_id, chunk_idx"""))
 
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
@@ -2190,10 +2295,10 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     x01, x02, x03, x04, x05, x06,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, q50,
+    t17, t18, t19, t20, t21, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09) ++ MoreQueries.all ++ FunctionSuites.all

@@ -309,6 +309,60 @@ object MoreQueries {
               CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** MERGE / upsert (RelationalOps.mergeUpsert): the pre-cutoff event
+    * history is the target snapshot, post-cutoff events are the change
+    * batch; matched users take the latest source row, unmatched source
+    * users insert, unmatched target users survive. The oracle derives the
+    * merged state independently — one window preferring (is-source, ts,
+    * event_id) — so a hash match certifies the reduce-both-sides +
+    * full-outer-join + source-wins composition end-to-end. */
+  private val q60 = QueryDef("q60_merge_upsert",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select("user_id", "ts", "value", "event_id")
+      val cutoff = "2024-01-20 00:00:00"
+      graft.operators.RelationalOps.mergeUpsert(
+          ev.filter(col("ts") < lit(cutoff)),
+          ev.filter(col("ts") >= lit(cutoff)),
+          "user_id", Seq(col("ts").desc, col("event_id").desc))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, ts, value, event_id FROM (
+              SELECT user_id, ts, value, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY (CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                            THEN 1 ELSE 0 END) DESC, ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1 ORDER BY user_id"""))
+
+  /** SCD type 2 (RelationalOps.scd2): the per-user event_type history
+    * compressed into validity intervals [valid_from, valid_to), open runs
+    * ending null. The oracle re-derives change detection (lag), run
+    * numbering (running sum), and interval bounds (min + lead)
+    * independently. */
+  private val q61 = QueryDef("q61_scd2",
+    (s, d) => graft.operators.RelationalOps.scd2(
+        Tables.events(s, d), "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "valid_from"),
+    Some("""WITH e AS (SELECT user_id, ts, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev,
+                event_id
+              FROM events),
+            r AS (SELECT user_id, ts, event_type,
+                SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+              FROM e),
+            g AS (SELECT user_id, run, MIN(event_type) AS event_type,
+                MIN(ts) AS valid_from
+              FROM r GROUP BY user_id, run)
+            SELECT user_id, event_type, valid_from,
+              LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+                AS valid_to
+            FROM g ORDER BY user_id, valid_from"""))
+
   val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q54, q55, q56, q57, q58, q59)
+    q39, q40, q54, q55, q56, q57, q58, q59, q60, q61)
 }

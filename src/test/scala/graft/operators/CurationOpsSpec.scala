@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-6 curation operators — LM cross-entropy scoring,
+  * RAG chunking, SemDeDup, MERGE/upsert, SCD2 — on fixtures where every
+  * expected value is hand-derivable. */
+class CurationOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ngramLmScore: seen bigrams score c12/c1, unseen back off, exact sums") {
+    // reference "a b a b a": uni a:3 b:2, T=5 V=2; bigrams (a,b):2 (b,a):2
+    val ref = Seq((100L, "a b a b a")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "a b a"), // (a,b): ln(2/3); (b,a): ln(2/2)=0
+      (1L, "c d"),   // unseen w1 -> backoff 0.4*(0+1)/7
+      (2L, "a")      // < 2 tokens: no row
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramLmScore(docs, ref).orderBy("doc_id").collect()
+    assert(r.length === 2)
+    def lp(s: Double): Long = math.floor(math.log(s) * 10000 + 0.5).toLong
+    def ce(lps: Seq[Long]): Double =
+      math.floor(-lps.sum.toDouble / lps.size + 0.5) / 10000
+    assert(r(0).getLong(1) === 2L)
+    assert(r(0).getDouble(2) === ce(Seq(lp(2.0 / 3), lp(1.0))))
+    assert(r(1).getLong(1) === 1L)
+    assert(r(1).getDouble(2) === ce(Seq(lp(0.4 * 1 / 7))))
+    // the backoff doc is further from the reference LM than the seen doc
+    assert(r(1).getDouble(2) > r(0).getDouble(2))
+  }
+
+  test("chunkDocs: stride windows, clipped tail, exact offsets") {
+    val docs = Seq((0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkDocs(docs, chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+    assert(r.map(_.getString(4)).toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(r.map(_.getInt(2)).toSeq === Seq(0, 3, 6, 9))
+    assert(r.map(_.getInt(3)).toSeq === Seq(4, 4, 4, 1))
+  }
+
+  test("semanticDedup: within-cell lower-id duplicate drops, cross-cell kept") {
+    // ids 1,2 are parallel vectors (cosine exactly 1.0) in the same sign
+    // cell; id 3 lands in another cell and survives untouched
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(emb, cellBits = 2, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    // cells: [1,0] -> bits (1>=0, 0>=0) = 3; [-1,0.5] -> (no, yes) = 2
+    assert(r.map(x => (x.getLong(0), x.getInt(1), x.getBoolean(2))).toSeq ===
+      Seq((1L, 3, true), (2L, 3, false), (3L, 2, true)))
+  }
+
+  test("mergeUpsert: source wins on match, both sides' unmatched survive") {
+    val target = Seq(
+      (1L, 10L, 1.0), (1L, 5L, 9.9), // key 1: ts 10 wins within target
+      (2L, 10L, 2.0)
+    ).toDF("user_id", "ts", "value")
+    val source = Seq(
+      (2L, 20L, 9.0), (2L, 15L, 8.8), // key 2: ts 20 wins within source
+      (3L, 1L, 3.0)                   // insert (older ts than target rows!)
+    ).toDF("user_id", "ts", "value")
+    val r = RelationalOps.mergeUpsert(target, source, "user_id",
+        Seq(col("ts").desc))
+      .orderBy("user_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq ===
+      Seq((1L, 10L, 1.0), (2L, 20L, 9.0), (3L, 1L, 3.0)))
+  }
+
+  test("scd2: equal-value runs compress to intervals, open run ends null") {
+    val ev = Seq(
+      (1L, 10L, "A", 1L), (1L, 20L, "A", 2L), (1L, 30L, "B", 3L),
+      (1L, 40L, "A", 4L),
+      (2L, 10L, "X", 5L)
+    ).toDF("user_id", "ts", "state", "event_id")
+    val r = RelationalOps.scd2(ev, "user_id", "ts", "state", "event_id")
+      .orderBy("user_id", "valid_from").collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toSeq ===
+      Seq((1L, "A", 10L, 30L), (1L, "B", 30L, 40L), (1L, "A", 40L, -1L),
+        (2L, "X", 10L, -1L)))
+  }
+}
