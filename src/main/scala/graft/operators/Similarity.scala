@@ -80,6 +80,61 @@ object Similarity {
       .select("vec_id", "nn_id", "sim", "rank")
   }
 
+  /** Max-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998): after
+    * retrieval, greedily select `k` of each query's candidates maximizing
+    * lambda * rel(c) - (1 - lambda) * max sim(c, already-selected) — the
+    * standard diversity re-rank between ANN search and context assembly.
+    *
+    * EXACT-INTEGER regime (the d14 trick): cosines are floor-scaled to
+    * BIGINT once, lambda is scaled to lamS/10000, and every greedy score is
+    * integer arithmetic with ties on candidate id — so the selection is
+    * bit-reproducible across engines and partitionings, which float MMR
+    * cannot be.
+    *
+    * Scale shape: candidates arrive pre-bounded (the ANN stage's top-N per
+    * query), so per-query work is O(k*N); every join and shuffle is keyed
+    * on qid (+cid) — round r joins the remaining candidates to the <= r
+    * selected rows per query, never across queries. k greedy rounds are k
+    * composed joins in ONE lazy plan.
+    *
+    * @return (qid, cid, rnk, rel) — rel is the scaled-BIGINT cosine
+    */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame, k: Int,
+                lambda: Double = 0.5, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1,
+      s"mmrRerank: need k >= 1, lambda in [0,1]; got $k, $lambda")
+    val lamS = math.round(lambda * 10000)
+    def simS(a: Column, b: Column): Column =
+      floor(VectorFns.cosine(a, b) * 10000 + 0.5).cast("long")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("__cv"))
+    val rel = q.join(c)
+      .withColumn("rel", simS(col("__qv"), col("__cv")))
+      .select("qid", "cid", "__cv", "rel")
+    def pick(scored: DataFrame, r: Int): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(col("__score").desc, col("cid"))
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("qid"), col("cid"), col("__cv"), col("rel"),
+          lit(r).as("rnk"))
+    }
+    var selected = pick(rel.withColumn("__score", col("rel")), 1)
+    for (r <- 2 to k) {
+      val remaining = rel.join(selected.select("qid", "cid"),
+        Seq("qid", "cid"), "left_anti")
+      val maxsim = remaining.as("c")
+        .join(selected.as("s"), col("c.qid") === col("s.qid"))
+        .withColumn("__s", simS(col("c.__cv"), col("s.__cv")))
+        .groupBy(col("c.qid").as("qid"), col("c.cid").as("cid"))
+        .agg(max(col("__s")).as("__ms"))
+      val scored = remaining.join(maxsim, Seq("qid", "cid"))
+        .withColumn("__score",
+          lit(lamS) * col("rel") - lit(10000 - lamS) * col("__ms"))
+      selected = selected.unionByName(pick(scored, r))
+    }
+    selected.select("qid", "cid", "rnk", "rel")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     * semantic deduplication. Vectors are partitioned into cells, and within
     * each cell a vector is DROPPED when any lower-id cell-mate has rounded

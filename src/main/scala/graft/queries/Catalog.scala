@@ -854,6 +854,59 @@ object Catalog {
     },
     None)
 
+  /** MMR diversity re-ranking (Similarity.mmrRerank, lambda=0.5, k=3) of 50
+    * candidates per query. The oracle unrolls all three greedy rounds in
+    * SQL over the same scaled-BIGINT cosines — a hash match certifies the
+    * greedy argmax, the max-sim-to-selected aggregation, and the tie-breaks
+    * of every round exactly (the d14 exact-integer regime). */
+  private val x07 = QueryDef("x07_mmr_rerank",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") >= 8 && col("vec_id") < 58),
+          k = 3, lambda = 0.5)
+        .orderBy("qid", "rnk")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT vec_id AS qid, e FROM v WHERE vec_id < 8),
+            c AS (SELECT vec_id AS cid, e FROM v WHERE vec_id >= 8 AND vec_id < 58),
+            rel AS (SELECT qid, cid,
+                      CAST(FLOOR(list_dot_product(q.e, c.e) /
+                        (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+                        * 10000 + 0.5) AS BIGINT) AS rel
+                    FROM q, c),
+            cs AS (SELECT a.cid AS ca, b.cid AS cb,
+                     CAST(FLOOR(list_dot_product(a.e, b.e) /
+                       (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                       * 10000 + 0.5) AS BIGINT) AS s
+                   FROM c a JOIN c b ON a.cid <> b.cid),
+            r1 AS (SELECT qid, cid, rel FROM (
+                     SELECT qid, cid, rel, ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+                     FROM rel) t WHERE rn = 1),
+            p2 AS (SELECT rel.qid, rel.cid, rel.rel, cs.s AS ms
+                   FROM rel JOIN r1 ON rel.qid = r1.qid AND rel.cid <> r1.cid
+                   JOIN cs ON cs.ca = rel.cid AND cs.cb = r1.cid),
+            r2 AS (SELECT qid, cid, rel FROM (
+                     SELECT qid, cid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY 5000*rel - 5000*ms DESC, cid) AS rn FROM p2) t
+                   WHERE rn = 1),
+            p3 AS (SELECT rel.qid, rel.cid, rel.rel, GREATEST(s1.s, s2.s) AS ms
+                   FROM rel
+                   JOIN r1 ON rel.qid = r1.qid
+                   JOIN r2 ON rel.qid = r2.qid
+                   JOIN cs s1 ON s1.ca = rel.cid AND s1.cb = r1.cid
+                   JOIN cs s2 ON s2.ca = rel.cid AND s2.cb = r2.cid
+                   WHERE rel.cid <> r1.cid AND rel.cid <> r2.cid),
+            r3 AS (SELECT qid, cid, rel FROM (
+                     SELECT qid, cid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY 5000*rel - 5000*ms DESC, cid) AS rn FROM p3) t
+                   WHERE rn = 1)
+            SELECT qid, cid, CAST(1 AS INT) AS rnk, rel FROM r1
+            UNION ALL SELECT qid, cid, CAST(2 AS INT), rel FROM r2
+            UNION ALL SELECT qid, cid, CAST(3 AS INT), rel FROM r3
+            ORDER BY qid, rnk"""))
+
   // ------------------------------------------------------------- text [EXT]
 
   private val t01 = QueryDef("t01_text_stats",
@@ -2296,7 +2349,7 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
-    x01, x02, x03, x04, x05, x06,
+    x01, x02, x03, x04, x05, x06, x07,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,

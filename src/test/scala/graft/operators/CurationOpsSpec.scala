@@ -56,6 +56,23 @@ class CurationOpsSpec extends SparkSpec {
       Seq((1L, 3, true), (2L, 3, false), (3L, 2, true)))
   }
 
+  test("mmrRerank: diversity penalty overrides raw relevance greedily") {
+    // query [1, 0.2]; c11 is most relevant, c10 nearly duplicates c11, c12
+    // is orthogonal-ish: pure top-2 = (c11, c10) but MMR picks (c11, c12)
+    val q = Seq((1L, Seq(1.0f, 0.2f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (10L, Seq(1.0f, 0.0f)),
+      (11L, Seq(0.95f, 0.05f)),
+      (12L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.mmrRerank(q, c, k = 2, lambda = 0.5)
+      .orderBy("rnk").collect()
+    assert(r.map(x => (x.getInt(2), x.getLong(1))).toSeq ===
+      Seq((1, 11L), (2, 12L)))
+    // rank-1 is the pure-relevance argmax by construction
+    assert(r(0).getLong(3) > r(1).getLong(3))
+  }
+
   test("mergeUpsert: source wins on match, both sides' unmatched survive") {
     val target = Seq(
       (1L, 10L, 1.0), (1L, 5L, 9.9), // key 1: ts 10 wins within target
