@@ -243,6 +243,64 @@ object ArrayExprs {
 
   def portable_sin(c: Column): Column =
     Bridge.column(PortableSin(Bridge.expression(c)))
+
+  /** Byte-Pair-Encoding merge application over one whitespace-split text
+    * (Sennrich et al. 2016; the GPT-2 bpe() loop): each word starts as its
+    * code-point tokens, then the lowest-rank adjacent pair PRESENT is
+    * merged across the word (all occurrences) until no ranked pair
+    * remains; per-word token lists concatenate in order. `ranks` maps
+    * "x\u0000y" (NUL-joined) to rank. Merges require x != y, which makes simultaneous
+    * and left-to-right occurrence merging provably identical (two
+    * occurrences of (x, y) cannot share a token) — the property that lets
+    * a set-based SQL oracle certify the loop. */
+  def bpeCompute(text: UTF8String,
+                 ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    val words = text.toString.split("\\s+")
+    var wi = 0
+    while (wi < words.length) {
+      val word = words(wi)
+      if (word.nonEmpty) {
+        var toks = word.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        var done = false
+        while (!done && toks.length > 1) {
+          // lowest-rank adjacent pair present in this word
+          var best = Int.MaxValue
+          var i = 0
+          while (i < toks.length - 1) {
+            val r = ranks.get(toks(i) + "\u0000" + toks(i + 1))
+            if (r != null && r < best) best = r
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            // merge every occurrence (x != y => occurrences are disjoint)
+            val merged = scala.collection.mutable.ArrayBuffer[String]()
+            var j = 0
+            while (j < toks.length) {
+              val r = if (j < toks.length - 1)
+                ranks.get(toks(j) + "\u0000" + toks(j + 1)) else null
+              if (r != null && r == best) {
+                merged += toks(j) + toks(j + 1)
+                j += 2
+              } else {
+                merged += toks(j)
+                j += 1
+              }
+            }
+            toks = merged.toArray
+          }
+        }
+        toks.foreach(t => out += UTF8String.fromString(t))
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(text), merges))
 }
 
 /** Reduced-range sine with a fully specified operation order
@@ -374,5 +432,42 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.minhashCompute($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** BPE merge application (ArrayExprs.bpeCompute) as a native expression:
+  * the ranked-merge table is prebuilt ONCE into a hash map carried as a
+  * codegen reference object — per row the compiled code pays one helper
+  * call, no per-row table construction, no UDF serialization. Merge pairs
+  * must satisfy x != y (asserted), which makes all-occurrence merging
+  * order-independent and therefore SQL-oracle-able. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty && merges.forall { case (a, b) => a != b },
+    "bpe_encode: merges must be non-empty with x != y in every pair")
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + "\u0000" + b, i)
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires string, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.bpeCompute(v.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, Integer>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayExprs.bpeCompute($c, $ranksRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
 }

@@ -60,19 +60,8 @@ case class MisraGriesAgg(
   override def update(buffer: mutable.HashMap[String, Long],
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val item = v.asInstanceOf[UTF8String].toString
-      buffer.get(item) match {
-        case Some(c) => buffer(item) = c + 1
-        case None if buffer.size < k => buffer(item) = 1L
-        case None =>
-          // decrement-all; O(k) only on the no-free-counter path
-          val dead = mutable.ArrayBuffer[String]()
-          buffer.mapValuesInPlace((_, c) => c - 1)
-          buffer.foreach { case (i, c) => if (c <= 0) dead += i }
-          dead.foreach(buffer.remove)
-      }
-    }
+    if (v != null)
+      MisraGriesAgg.updateOne(buffer, v.asInstanceOf[UTF8String].toString, k)
     buffer
   }
 
@@ -101,27 +90,10 @@ case class MisraGriesAgg(
     })
   }
 
-  override def serialize(buffer: mutable.HashMap[String, Long]): Array[Byte] = {
-    val entries = buffer.toSeq.map { case (i, c) =>
-      (i.getBytes(StandardCharsets.UTF_8), c) }
-    val bb = ByteBuffer.allocate(4 + entries.map(_._1.length + 12).sum)
-    bb.putInt(entries.size)
-    entries.foreach { case (b, c) =>
-      bb.putInt(b.length); bb.put(b); bb.putLong(c)
-    }
-    bb.array()
-  }
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val m = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach { _ =>
-      val b = new Array[Byte](bb.getInt)
-      bb.get(b)
-      m(new String(b, StandardCharsets.UTF_8)) = bb.getLong
-    }
-    m
-  }
+  override def serialize(buffer: mutable.HashMap[String, Long]): Array[Byte] =
+    MisraGriesAgg.serializeSketch(buffer)
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    MisraGriesAgg.deserializeSketch(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -136,4 +108,44 @@ object MisraGriesAgg {
     * array<struct<item, cnt>> (count desc, item asc). */
   def approx_topk(item: Column, k: Int): Column =
     Bridge.column(MisraGriesAgg(Bridge.expression(item), k).toAggregateExpression())
+
+  /** Core MG counter update — shared by the batch aggregate above and the
+    * streaming sketch (streaming/StatefulOps.MgTopKProcessor), so batch
+    * and stream provably run the same arithmetic. */
+  def updateOne(buffer: mutable.HashMap[String, Long], item: String, k: Int): Unit =
+    buffer.get(item) match {
+      case Some(c) => buffer(item) = c + 1
+      case None if buffer.size < k => buffer(item) = 1L
+      case None =>
+        // decrement-all; O(k) only on the no-free-counter path
+        val dead = mutable.ArrayBuffer[String]()
+        buffer.mapValuesInPlace((_, c) => c - 1)
+        buffer.foreach { case (i, c) => if (c <= 0) dead += i }
+        dead.foreach(buffer.remove)
+    }
+
+  /** Compact length-prefixed sketch codec — the aggregate's shuffle format
+    * and the streaming processor's RocksDB ValueState format. */
+  def serializeSketch(buffer: mutable.HashMap[String, Long]): Array[Byte] = {
+    val entries = buffer.toSeq.map { case (i, c) =>
+      (i.getBytes(StandardCharsets.UTF_8), c) }
+    val bb = ByteBuffer.allocate(4 + entries.map(_._1.length + 12).sum)
+    bb.putInt(entries.size)
+    entries.foreach { case (b, c) =>
+      bb.putInt(b.length); bb.put(b); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  def deserializeSketch(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = mutable.HashMap.empty[String, Long]
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](bb.getInt)
+      bb.get(b)
+      m(new String(b, StandardCharsets.UTF_8)) = bb.getLong
+    }
+    m
+  }
 }

@@ -333,6 +333,33 @@ object TextAnalysis {
         concat_ws(" ", col("__w")).as("chunk"))
   }
 
+  /** Dictionary-based BPE tokenization (Sennrich et al. 2016): the ranked
+    * merge table is applied per DISTINCT word by the native BpeEncode
+    * expression, then joined back to the occurrence stream and reassembled
+    * per document in original order — at 100 TB the BPE loop runs once per
+    * vocabulary entry, not once per token occurrence, and the join-back is
+    * a plain equi join on word (vocabulary-sized side, AQE picks the
+    * strategy; never collected).
+    *
+    * @return (doc_id, n_bpe, toks) — total BPE token count and the
+    *         space-joined token stream; empty docs yield no row
+    */
+  def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)],
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(TextFns.words(col(textCol))).as(Seq("pos", "word")))
+    val dict = words.select("word").distinct()
+      .withColumn("toks",
+        graft.functions.ArrayExprs.bpe_encode(col("word"), merges))
+    words.join(dict, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(size(col("toks"))).cast("long").as("n_bpe"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("toks")))),
+          s => s.getField("toks"))), " ").as("toks"))
+  }
+
   /** Corpus-level word frequency: explode + hash aggregate (one shuffle on
     * word; the classic map-side-combine friendly shape). */
   def wordFrequency(docs: DataFrame, textCol: String = "text",

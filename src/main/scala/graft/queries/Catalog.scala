@@ -1351,6 +1351,63 @@ object Catalog {
               array_to_string(u.ch, ' ') AS chunk
             FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** BPE tokenization (TextAnalysis.bpeTokenize through the native
+    * BpeEncode expression) with an 8-entry ranked merge table that
+    * exercises rank priority and CHAINED merges (a+r -> ar, ar+k -> ark;
+    * t+h -> th, th+e -> the). The oracle replays the whole merge loop as a
+    * recursive CTE — min-rank pair selection, all-occurrence merging,
+    * termination — per distinct word, then re-derives the per-doc
+    * reassembly; a hash match certifies the BPE loop, the dictionary
+    * join-back, and ordered reassembly exactly. */
+  private val t22 = QueryDef("t22_bpe_tokenize",
+    (s, d) => graft.operators.TextAnalysis.bpeTokenize(
+        Tables.documents(s, d),
+        Seq("a" -> "r", "t" -> "h", "ar" -> "k", "s" -> "p",
+          "e" -> "r", "o" -> "w", "q" -> "u", "th" -> "e"))
+      .orderBy("doc_id"),
+    Some("""WITH RECURSIVE
+            w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM documents),
+            wp AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+                     SELECT doc_id, UNNEST(list_transform(range(1, len(w)+1),
+                       i -> {'pos': i, 'word': w[i]})) AS u FROM w) t),
+            dict AS (SELECT DISTINCT word FROM wp),
+            bpe AS (
+              SELECT word,
+                list_transform(range(1, length(word)+1), i -> word[i:i]) AS t
+              FROM dict
+              UNION ALL
+              SELECT word,
+                list_transform(list_filter(list_transform(range(1, len(t)+1),
+                  i -> {'v': CASE WHEN i < len(t) AND COALESCE(list_position(
+                           ['a|r','t|h','ar|k','s|p','e|r','o|w','q|u','th|e'],
+                           t[i] || '|' || t[i+1]) = m, FALSE)
+                         THEN t[i] || t[i+1] ELSE t[i] END,
+                       'skip': COALESCE(i > 1 AND list_position(
+                           ['a|r','t|h','ar|k','s|p','e|r','o|w','q|u','th|e'],
+                           t[i-1] || '|' || t[i]) = m, FALSE)}),
+                  s -> NOT s.skip), s -> s.v) AS t
+              FROM (SELECT word, t,
+                      list_min(list_filter(list_transform(range(1, len(t)),
+                        i -> list_position(
+                          ['a|r','t|h','ar|k','s|p','e|r','o|w','q|u','th|e'],
+                          t[i] || '|' || t[i+1])), p -> COALESCE(p, 0) > 0)) AS m
+                    FROM bpe) q
+              WHERE m IS NOT NULL),
+            done AS (SELECT word, t FROM (
+                       SELECT word, t,
+                         list_min(list_filter(list_transform(range(1, len(t)),
+                           i -> list_position(
+                             ['a|r','t|h','ar|k','s|p','e|r','o|w','q|u','th|e'],
+                             t[i] || '|' || t[i+1])), p -> COALESCE(p, 0) > 0)) AS m
+                       FROM bpe) q WHERE m IS NULL)
+            SELECT wp.doc_id,
+              CAST(SUM(len(d.t)) AS BIGINT) AS n_bpe,
+              string_agg(array_to_string(d.t, ' '), ' ' ORDER BY wp.pos) AS toks
+            FROM wp JOIN done d USING (word)
+            GROUP BY wp.doc_id ORDER BY doc_id"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -2342,6 +2399,63 @@ object Catalog {
                   % 1000 < 100
             ORDER BY doc_id"""))
 
+  /** STREAMING Misra-Gries heavy hitters (StatefulOps.MgTopKProcessor):
+    * the corpus token stream replayed as 4 micro-batches, one bounded MG
+    * sketch per hash bucket in RocksDB state running the BATCH aggregate's
+    * exact counter arithmetic (shared MisraGriesAgg core), emitted at
+    * per-bucket completeness. Buckets are hash-disjoint so their
+    * summaries union to the global answer; with capacity >= per-bucket
+    * vocabulary the sketch is exact — s10 shares t13's oracle, so stream
+    * micro-batching must not change a single count. */
+  private val s10 = QueryDef("s10_stream_topk",
+    (s, d) => {
+      import graft.functions.TextFns
+      val nBuckets = 4
+      val words = Tables.documents(s, d)
+        .select(explode(TextFns.words(col("text"))).as("item"))
+        .select(pmod(xxhash64(col("item")), lit(nBuckets.toLong)).as("bucket"),
+          col("item"))
+      // close-out signal: per-bucket expected occurrence counts (the s06
+      // known-shape pattern; metadata-scale driver state, not data-scale)
+      val expected = words.groupBy("bucket").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dir = java.nio.file.Files.createTempDirectory("graft_s10_").toString
+      words.repartition(4).write.mode("overwrite").parquet(dir)
+      val conf = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val stream = s.readStream.schema("bucket BIGINT, item STRING")
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+          .as[graft.streaming.StatefulOps.BucketItem]
+        val sketches = graft.streaming.StatefulOps
+          .mgTopKStream(stream, k = 256, expected).toDF()
+        val out = graft.streaming.EventStreams
+          .runToBatch(s, sketches, outputMode = "append")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("item"))
+        out.withColumn("pos", row_number().over(w) - 1)
+          .filter(col("pos") < 20)
+          .select(col("pos").cast("int").as("pos"), col("item").as("word"),
+            col("cnt"))
+          .orderBy("pos")
+      } finally prev match {
+        case Some(p) => s.conf.set(conf, p)
+        case None => s.conf.unset(conf)
+      }
+    },
+    Some("""WITH w AS (SELECT UNNEST(list_filter(
+                regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                x -> x <> '')) AS word FROM documents),
+            c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+            r AS (SELECT word, cnt,
+                    ROW_NUMBER() OVER (ORDER BY cnt DESC, word) - 1 AS pos
+                  FROM c)
+            SELECT CAST(pos AS INT) AS pos, word, CAST(cnt AS BIGINT) AS cnt
+            FROM r WHERE pos < 20 ORDER BY pos"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -2351,10 +2465,11 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     x01, x02, x03, x04, x05, x06, x07,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20, t21, q50,
+    t17, t18, t19, t20, t21, t22, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
-    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09) ++ MoreQueries.all ++ FunctionSuites.all
+    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
+    s10) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -173,4 +173,64 @@ object StatefulOps {
       .transformWithState(new MatchFilterTimerProcessor(cfg, closeOutMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  final case class BucketItem(bucket: Long, item: String)
+  final case class BucketItemCount(bucket: Long, item: String, cnt: Long)
+
+  /** STREAMING Misra-Gries heavy hitters: one bounded MG sketch per hash
+    * bucket, held in RocksDB ValueState as the SAME length-prefixed codec
+    * and updated by the SAME counter arithmetic as the batch aggregate
+    * (functions.MisraGriesAgg.updateOne/serializeSketch) — batch and
+    * stream provably share the algorithm, which is what lets the streaming
+    * query ride the batch oracle in the exact regime (s10).
+    *
+    * Buckets are hash-disjoint, so the per-bucket summaries union to the
+    * global answer without a merge step, and the sketch bound is
+    * k x nBuckets counters TOTAL regardless of stream length — the 100 TB
+    * posture: state is O(k) per bucket, each micro-batch does
+    * O(batch + sketch) work, and emission happens once per bucket at
+    * completeness (`expected` occurrences seen — the s06 close-out
+    * pattern; an event-time timer variant would close by silence instead,
+    * as MatchFilterTimerProcessor does). */
+  class MgTopKProcessor(k: Int, expected: Map[Long, Long])
+      extends StatefulProcessor[Long, BucketItem, BucketItemCount] {
+    import graft.functions.MisraGriesAgg
+    @transient private var sketch: ValueState[Array[Byte]] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sketch = getHandle.getValueState[Array[Byte]]("sketch",
+        Encoders.BINARY, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[BucketItem],
+        timers: TimerValues): Iterator[BucketItemCount] = {
+      val m = if (sketch.exists()) MisraGriesAgg.deserializeSketch(sketch.get())
+        else scala.collection.mutable.HashMap.empty[String, Long]
+      var added = 0L
+      rows.foreach { r => MisraGriesAgg.updateOne(m, r.item, k); added += 1 }
+      val n = (if (seen.exists()) seen.get() else 0L) + added
+      if (n >= expected.getOrElse(key, Long.MaxValue)) {
+        sketch.clear(); seen.clear()
+        m.toSeq.sortBy { case (i, c) => (-c, i) }
+          .map { case (i, c) => BucketItemCount(key, i, c) }.iterator
+      } else {
+        sketch.update(MisraGriesAgg.serializeSketch(m))
+        seen.update(n)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Wire the streaming MG sketch over (bucket, item) rows; `expected` is
+    * the per-bucket close-out occurrence count. */
+  def mgTopKStream(items: Dataset[BucketItem], k: Int,
+                   expected: Map[Long, Long]): Dataset[BucketItemCount] = {
+    import items.sparkSession.implicits._
+    items.groupByKey(_.bucket)
+      .transformWithState(new MgTopKProcessor(k, expected),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

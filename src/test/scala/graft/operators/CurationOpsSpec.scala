@@ -56,6 +56,37 @@ class CurationOpsSpec extends SparkSpec {
       Seq((1L, 3, true), (2L, 3, false), (3L, 2, true)))
   }
 
+  test("bpeEncode: rank priority, chained merges, all-occurrence merging") {
+    import graft.functions.ArrayExprs
+    val merges = Seq("a" -> "r", "t" -> "h", "ar" -> "k", "s" -> "p",
+      "e" -> "r", "o" -> "w", "q" -> "u", "th" -> "e")
+    val df = Seq(
+      (0L, "spark"),      // a+r first (rank 0), ar+k (rank 2), s+p (rank 3)
+      (1L, "the"),        // t+h then th+e: chained to one token
+      (2L, "ararar xx"),  // all three (a,r) occurrences merge in one pass
+      (3L, "hash")        // no merge applies
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        ArrayExprs.bpe_encode(col("text"), merges).as("t"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getSeq[String](1) === Seq("sp", "ark"))
+    assert(r(1).getSeq[String](1) === Seq("the"))
+    assert(r(2).getSeq[String](1) === Seq("ar", "ar", "ar", "x", "x"))
+    assert(r(3).getSeq[String](1) === Seq("h", "a", "s", "h"))
+    intercept[IllegalArgumentException] {
+      ArrayExprs.bpe_encode(col("text"), Seq("a" -> "a"))
+    }
+  }
+
+  test("bpeTokenize: dictionary encode + ordered per-doc reassembly") {
+    val merges = Seq("a" -> "r", "s" -> "p", "ar" -> "k")
+    val docs = Seq((7L, "spark spark ark")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokenize(docs, merges).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 5L) // [sp ark] [sp ark] [ark]
+    assert(r(0).getString(2) === "sp ark sp ark ark")
+  }
+
   test("mmrRerank: diversity penalty overrides raw relevance greedily") {
     // query [1, 0.2]; c11 is most relevant, c10 nearly duplicates c11, c12
     // is orthogonal-ish: pure top-2 = (c11, c10) but MMR picks (c11, c12)
