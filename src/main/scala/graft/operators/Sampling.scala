@@ -69,6 +69,41 @@ object Sampling {
       .drop("__p")
   }
 
+  /** Domain-mixture quota sampling: draw the LARGEST corpus subset whose
+    * domain proportions match integer `parts` (the DoReMi/Pile-style
+    * mixture knob, e.g. en:5 de:2 ...). The binding domain m minimizes
+    * n_d / w_d; every domain's quota is then w_d * n_m / w_m (integer
+    * division — exact, oracle-portable), and each domain keeps its first
+    * `quota` rows in the stable md5-hash order (ties on the key), so the
+    * subset is deterministic under re-partitioning and certified row-set
+    * by the oracle.
+    *
+    * Scale shape: domain counts are ONE metadata-scale aggregate (domains
+    * number dozens, not rows — the only driver-side state); selection is
+    * one window over a shuffle on the domain column. */
+  def mixtureSample(df: DataFrame, domainCol: String, key: Column,
+                    parts: Map[String, Int]): DataFrame = {
+    require(parts.nonEmpty && parts.values.forall(_ > 0),
+      "mixtureSample: parts must be positive")
+    val counts = df.groupBy(domainCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = parts.keySet.diff(counts.keySet)
+    require(missing.isEmpty, s"mixtureSample: empty domains $missing")
+    // binding domain: min n/w, ties on domain name (kept deterministic)
+    val (_, (nm, wm)) = parts.toSeq.sortBy { case (d, w) =>
+      (counts(d).toDouble / w, d)
+    }.map { case (d, w) => d -> (counts(d), w) }.head
+    val quotas = parts.map { case (d, w) => d -> (w.toLong * nm) / wm }
+    val quotaCol = parts.keys.toSeq.sorted.foldLeft(when(lit(false), lit(0L))) {
+      (acc, d) => acc.when(col(domainCol) === d, lit(quotas(d)))
+    }.otherwise(lit(0L))
+    val w = Window.partitionBy(col(domainCol)).orderBy(keyHash(key), key)
+    df.filter(col(domainCol).isin(parts.keys.toSeq: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quotaCol)
+      .drop("__rn")
+  }
+
   /** Sequence packing: assign each document to a training sequence (bin)
     * of ~`budget` tokens. Documents are first sharded by key hash (so the
     * cumulative sum parallelizes — a single global running sum would move

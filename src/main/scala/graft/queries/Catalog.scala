@@ -731,7 +731,62 @@ object Catalog {
                  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
                    AND ROUND($duckCosine, 4) >= 0.9) AS kept
              FROM c a
-             ORDER BY vec_id"""))
+             ORDER BY vec_id"""),
+    bench = true)
+
+  /** Round-6 corpus-hygiene pipeline, composed end-to-end: plant synthetic
+    * PII -> redact (t17's regexes) -> Gopher repetition filter on the
+    * REDACTED text (top_word_frac < 0.15 drops the templated tail) -> RAG
+    * chunking of the survivors. Every stage is re-derived independently by
+    * the oracle, so one hash match certifies the chain composes — stage
+    * outputs feed the next stage's exact semantics (d11 is the dedup-side
+    * flagship; this is its hygiene-side sibling). */
+  private val d16 = QueryDef("d16_curate2",
+    (s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com or call "),
+          (col("doc_id") * 7919 + 1000000).cast("string")).as("text"))
+      val red = graft.operators.TextAnalysis.piiRedact(planted)
+        .select(col("doc_id"), col("redacted").as("text"))
+      val rep = graft.operators.TextAnalysis.repetitionScores(red)
+      val kept = red.join(
+        rep.filter(col("top_word_frac") < 0.15).select("doc_id"),
+        Seq("doc_id"))
+      graft.operators.TextAnalysis.chunkDocs(kept, chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call '
+                  || CAST(doc_id * 7919 + 1000000 AS VARCHAR) AS text
+              FROM documents),
+            red AS (SELECT doc_id,
+                regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{6,}', '<NUM>', 'g') AS text
+              FROM f),
+            w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM red),
+            rep AS (SELECT doc_id,
+                CASE WHEN len(w) <= 0 THEN 0.0 ELSE
+                  FLOOR(list_max(list_transform(list_distinct(w),
+                      d -> len(list_filter(w, x -> x = d)))) * 1.0 / len(w)
+                    * 10000 + 0.5) / 10000 END AS twf
+              FROM w),
+            kept AS (SELECT w.doc_id, w.w FROM w JOIN rep USING (doc_id)
+                     WHERE twf < CAST(0.15 AS DOUBLE)),
+            c AS (SELECT doc_id, UNNEST(list_transform(
+                    range(0, ((len(w) - 1) // 24) + 1),
+                    k -> {'k': k, 'ch': w[k*24+1 : k*24+32]})) AS u
+                  FROM kept WHERE len(w) > 0)
+            SELECT doc_id, CAST(u.k AS INT) AS chunk_idx,
+              CAST(u.k * 24 AS INT) AS start_tok,
+              CAST(len(u.ch) AS INT) AS n_tokens,
+              array_to_string(u.ch, ' ') AS chunk
+            FROM c ORDER BY doc_id, chunk_idx"""),
+    bench = true)
 
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
@@ -1328,7 +1383,8 @@ object Catalog {
                    LEFT JOIN uni u2 ON dbc.w2 = u2.t)
             SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
               FLOOR(-SUM(lp * cnt) * 1.0 / SUM(cnt) + 0.5) / 10000 AS cross_entropy
-            FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+            FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
 
   /** Overlapping token-window chunking (TextAnalysis.chunkDocs, the RAG
     * segmentation step): 32-token windows every 24 tokens. The oracle
@@ -1406,7 +1462,35 @@ object Catalog {
               CAST(SUM(len(d.t)) AS BIGINT) AS n_bpe,
               string_agg(array_to_string(d.t, ' '), ' ' ORDER BY wp.pos) AS toks
             FROM wp JOIN done d USING (word)
-            GROUP BY wp.doc_id ORDER BY doc_id"""))
+            GROUP BY wp.doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  /** Domain-mixture quota sampling (Sampling.mixtureSample): the largest
+    * subset matching the en:5 de:2 es:2 fr:1 zh:2 mixture over the
+    * naturally skewed lang distribution. The oracle independently derives
+    * the binding domain, the integer-division quotas, and the md5-order
+    * row selection — the full row SET is certified, not just counts. */
+  private val t23 = QueryDef("t23_mixture_sample",
+    (s, d) => graft.operators.Sampling.mixtureSample(
+        Tables.documents(s, d), "lang", col("doc_id"),
+        Map("en" -> 5, "de" -> 2, "es" -> 2, "fr" -> 1, "zh" -> 2))
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            wt(lang, w) AS (VALUES ('en', 5), ('de', 2), ('es', 2),
+                                   ('fr', 1), ('zh', 2)),
+            j AS (SELECT lang, n, w FROM cnt JOIN wt USING (lang)),
+            m AS (SELECT n AS nm, w AS wm FROM j
+                  ORDER BY CAST(n AS DOUBLE)/w, lang LIMIT 1),
+            q AS (SELECT lang, (w * (SELECT nm FROM m)) // (SELECT wm FROM m)
+                    AS quota FROM j),
+            r AS (SELECT doc_id, lang,
+                    ROW_NUMBER() OVER (PARTITION BY lang
+                      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15),
+                               doc_id) AS rk
+                  FROM documents)
+            SELECT doc_id, lang FROM r JOIN q USING (lang)
+            WHERE rk <= quota ORDER BY doc_id"""))
 
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
@@ -2462,10 +2546,10 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     x01, x02, x03, x04, x05, x06, x07,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20, t21, t22, q50,
+    t17, t18, t19, t20, t21, t22, t23, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,

@@ -143,4 +143,36 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     val p = plan("t14_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), s"top-n must not full-sort:\n$p")
   }
+
+  test("q61: scd2 runs all three windows + the run agg over ONE hash exchange") {
+    // lag/running-sum windows, the (key, run) aggregate, and the lead
+    // window all cluster on user_id: hashpartitioning(user_id) satisfies
+    // every downstream requirement, so the only other exchange is the
+    // final orderBy's range partitioning
+    val p = plan("q61_scd2")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("t20/d15/d16/x07: curation operators never plan a cartesian product") {
+    for (q <- Seq("t20_lm_perplexity", "d15_semantic_dedup", "d16_curate2",
+        "x07_mmr_rerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("t21/d16: chunking stays shuffle-free up to the explode") {
+    // chunkDocs is per-row expressions + posexplode: the only exchange in
+    // the standalone query is the final orderBy
+    val p = plan("t21_chunking")
+    assert(!p.contains("Exchange hashpartitioning"), s"t21 must not shuffle:\n$p")
+  }
+
+  test("t22: BPE join-back is equi on word; scan prunes to (doc_id, text)") {
+    val p = plan("t22_bpe_tokenize")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("n_chars"), s"scan must prune unused columns:\n$p")
+  }
 }
