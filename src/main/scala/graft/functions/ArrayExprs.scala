@@ -301,6 +301,49 @@ object ArrayExprs {
 
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncode(Bridge.expression(text), merges))
+
+  /** Fused Gopher repetition signals in ONE tokenization pass —
+    * bit-identical to the HOF formulation in TextAnalysis.repetitionScores
+    * (same tokens, same integer ratios, same floor(x*1e4+0.5)/1e4
+    * arithmetic), minus three interpreted lambda chains and two n-gram
+    * array materializations per row. */
+  def repetitionCompute(text: UTF8String): InternalRow = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    val n = words.length
+    def dupFrac(k: Int): Double = {
+      val total = n - k + 1
+      if (n < k || total <= 0) 0.0
+      else {
+        val seen = new java.util.HashSet[String](total * 2)
+        var i = 0
+        while (i <= n - k) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        math.floor((total - seen.size).toDouble / total.toDouble * 10000 + 0.5) / 10000
+      }
+    }
+    val twf =
+      if (n <= 0) 0.0
+      else {
+        val counts = new java.util.HashMap[String, Integer](n * 2)
+        var mx = 0
+        var i = 0
+        while (i < n) {
+          val c = counts.merge(words(i), 1, (a: Integer, b: Integer) => a + b)
+          if (c > mx) mx = c
+          i += 1
+        }
+        math.floor(mx.toDouble / n.toDouble * 10000 + 0.5) / 10000
+      }
+    new GenericInternalRow(Array[Any](dupFrac(2), dupFrac(3), twf))
+  }
+
+  def repetition_stats(text: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(text)))
 }
 
 /** Reduced-range sine with a fully specified operation order
@@ -469,5 +512,27 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       s"graft.functions.ArrayExprs.bpeCompute($c, $ranksRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** Gopher repetition signals (ArrayExprs.repetitionCompute) as one fused
+  * expression: struct<dup_bigram, dup_trigram, top_word_frac>, one
+  * tokenization and one hash pass per row instead of three interpreted
+  * HOF lambda chains. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires string, got ${t.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_bigram", DoubleType, nullable = false),
+    StructField("dup_trigram", DoubleType, nullable = false),
+    StructField("top_word_frac", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.repetitionCompute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.repetitionCompute($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }

@@ -206,6 +206,20 @@ object RelationalOps {
       .select(col(key) +: picked: _*)
   }
 
+  /** Order-independent MERGE: union both sides and keep the first row per
+    * key under `order` — unlike [[mergeUpsert]] (source wins), the winner
+    * is determined purely by the ordering columns, so folding ANY batch
+    * sequence through this merge converges to the same state regardless
+    * of arrival order. That associativity/commutativity is what makes it
+    * the correct kernel for incremental CDC apply over an unordered
+    * stream (streaming/s11). One shuffle on the key. */
+  def mergeLatest(target: DataFrame, source: DataFrame, key: String,
+                  order: Seq[Column]): DataFrame = {
+    require(source.columns.toSeq == target.columns.toSeq,
+      s"mergeLatest: column mismatch ${source.columns.toSeq} vs ${target.columns.toSeq}")
+    dedupFirst(target.unionByName(source), Seq(col(key)), order)
+  }
+
   /** Slowly-changing-dimension type 2: compress a keyed event history into
     * validity intervals — one row per (key, consecutive run of equal
     * values) with [valid_from, valid_to) bounds, open runs ending null.

@@ -53,30 +53,15 @@ object TextAnalysis {
     * high and get filtered before training. Ratios use the midpoint-safe
     * floor(x*1e4+0.5)/1e4 idiom (see textStats). */
   def repetitionScores(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    import graft.functions.Fn.bind
-    def ngrams(w: org.apache.spark.sql.Column, n: Int) =
-      when(size(w) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-    def dupFrac(w: org.apache.spark.sql.Column, n: Int) =
-      bind(ngrams(w, n)) { g =>
-        when(size(g) <= 0, 0.0).otherwise(
-          floor((size(g) - size(array_distinct(g))).cast("double") /
-            size(g).cast("double") * 10000 + 0.5) / 10000)
-      }
-    docs.select(col(idCol), bind(TextFns.words(col(textCol))) { w =>
-      struct(
-        dupFrac(w, 2).as("dup_bigram"),
-        dupFrac(w, 3).as("dup_trigram"),
-        when(size(w) <= 0, 0.0).otherwise(
-          floor(array_max(transform(array_distinct(w),
-            d => size(filter(w, x => x === d)))).cast("double") /
-            size(w).cast("double") * 10000 + 0.5) / 10000).as("top_word_frac"))
-    }.as("__r"))
+                       textCol: String = "text"): DataFrame =
+    // one fused tokenization+hash pass per row (ArrayExprs.RepetitionStats)
+    // — bit-identical to the HOF formulation this replaced (t15's oracle
+    // and CurationOpsSpec's parity test pin that), without materializing the
+    // bigram/trigram arrays or running the O(distinct x n) count lambda
+    docs.select(col(idCol),
+        graft.functions.ArrayExprs.repetition_stats(col(textCol)).as("__r"))
       .select(col(idCol), col("__r.dup_bigram"), col("__r.dup_trigram"),
         col("__r.top_word_frac"))
-  }
 
   /** Benchmark decontamination: for every corpus document, the number of
     * distinct word n-gram shingles it shares with a benchmark (eval-set)

@@ -2540,6 +2540,52 @@ object Catalog {
             SELECT CAST(pos AS INT) AS pos, word, CAST(cnt AS BIGINT) AS cnt
             FROM r WHERE pos < 20 ORDER BY pos"""))
 
+  /** STREAMING incremental CDC upsert through foreachBatch: the event
+    * stream (4 unordered micro-batches) folds into a keyed current-state
+    * table via RelationalOps.mergeLatest — the order-independent merge,
+    * so the fold converges to per-user-latest no matter how files batch.
+    * The state table lives as parquet swapped per batch (the no-lakehouse
+    * upsert sink); the oracle derives the final state in one window. */
+  private val s11 = QueryDef("s11_stream_upsert",
+    (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s11_")
+      val (src, state) = (s"$base/src", s"$base/state")
+      val ev = Tables.events(s, d).select("user_id", "ts", "value", "event_id")
+      ev.repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val ord = Seq(col("ts").desc, col("event_id").desc)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cur =
+            if (new java.io.File(state).exists)
+              batch.sparkSession.read.parquet(state)
+            else batch.sparkSession.emptyDataFrame
+              .select(batch.columns.map(c => lit(null).cast(
+                batch.schema(c).dataType).as(c)).toIndexedSeq: _*).limit(0)
+          val merged = graft.operators.RelationalOps
+            .mergeLatest(cur, batch, "user_id", ord)
+          // swap, don't overwrite-in-place: the read above is lazy and
+          // would race its own output
+          val tmp = s"$state.next"
+          merged.write.mode("overwrite").parquet(tmp)
+          val st = new java.io.File(state)
+          if (st.exists) org.apache.commons.io.FileUtils.deleteDirectory(st)
+          new java.io.File(tmp).renameTo(st)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(state).orderBy("user_id")
+    },
+    Some("""SELECT user_id, ts, value, event_id FROM (
+              SELECT user_id, ts, value, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1 ORDER BY user_id"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -2553,7 +2599,7 @@ object Catalog {
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10) ++ MoreQueries.all ++ FunctionSuites.all
+    s10, s11) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -87,6 +87,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(r(0).getString(2) === "sp ark sp ark ark")
   }
 
+  test("repetition_stats: fused expression is bit-identical to the HOF form") {
+    import graft.functions.{ArrayExprs, TextFns, Fn}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((90001L, ""), (90002L, "  x  "), (90003L, "a a a b"),
+        (90004L, "one two")).toDF("doc_id", "text"))
+    def ngrams(w: org.apache.spark.sql.Column, n: Int) =
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+    def dupFrac(w: org.apache.spark.sql.Column, n: Int) =
+      Fn.bind(ngrams(w, n)) { g =>
+        when(size(g) <= 0, 0.0).otherwise(
+          floor((size(g) - size(array_distinct(g))).cast("double") /
+            size(g).cast("double") * 10000 + 0.5) / 10000)
+      }
+    val hof = docs.select(col("doc_id"), Fn.bind(TextFns.words(col("text"))) { w =>
+      struct(
+        dupFrac(w, 2).as("dup_bigram"),
+        dupFrac(w, 3).as("dup_trigram"),
+        when(size(w) <= 0, 0.0).otherwise(
+          floor(array_max(transform(array_distinct(w),
+            d => size(filter(w, x => x === d)))).cast("double") /
+            size(w).cast("double") * 10000 + 0.5) / 10000).as("top_word_frac"))
+    }.as("r"))
+    val fused = docs.select(col("doc_id"),
+      ArrayExprs.repetition_stats(col("text")).as("r"))
+    assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty)
+  }
+
   test("mmrRerank: diversity penalty overrides raw relevance greedily") {
     // query [1, 0.2]; c11 is most relevant, c10 nearly duplicates c11, c12
     // is orthogonal-ish: pure top-2 = (c11, c10) but MMR picks (c11, c12)
