@@ -57,4 +57,39 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact per-vertex triangle counts with DEGREE-ORDERED orientation
+    * (Cohen 2009 / Schank–Wagner): each undirected edge is directed from
+    * its (degree, id)-smaller endpoint, wedges are built only from
+    * out-neighbors, and a wedge closes against the undirected edge set.
+    * Every triangle is generated exactly once — at its minimum-(degree,id)
+    * vertex — and the orientation caps wedge fan-out at O(sqrt(m)) per
+    * vertex on any graph, which is what keeps the self-join from exploding
+    * on hubs at 100 TB (an unoriented wedge join is quadratic in the max
+    * degree; the oriented one is quadratic only in the SMALLER degree).
+    * Shapes: two node-table joins (degree), one wedge self-join keyed on
+    * the pivot, one closing equi join — all equi, no cartesian.
+    *
+    * @param edges undirected (idA, idB), idA < idB, distinct
+    * @return (id, n_tri) — vertices in no triangle yield no row
+    */
+  def triangleCounts(edges: DataFrame, idA: String = "id_a",
+                     idB: String = "id_b"): DataFrame = {
+    val e = edges.select(col(idA).as("a"), col(idB).as("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
+    val ori = sym
+      .join(deg, Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("db")), Seq("b"))
+      .filter(col("d") < col("db") || (col("d") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+    val wedges = ori.as("e1").join(ori.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    // the closing edge is undirected; (y, z) is already id-ordered
+    val tri = wedges.join(e.select(col("a").as("y"), col("b").as("z")),
+      Seq("y", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -788,6 +788,42 @@ object Catalog {
             FROM c ORDER BY doc_id, chunk_idx"""),
     bench = true)
 
+  /** Exact per-vertex triangle counts (Graph.triangleCounts,
+    * degree-ordered orientation) over the symmetrized 3-NN graph of the
+    * first 100 embeddings. The oracle re-derives the k-NN edge set, the
+    * (degree, id) orientation, wedge generation, and closure — certifying
+    * that the oriented algorithm counts each triangle exactly once. */
+  private val d17 = QueryDef("d17_triangles",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      val knn = Similarity.bruteForceKnn(emb, emb, 3)
+      val edges = knn.select(least(col("vec_id"), col("nn_id")).as("id_a"),
+          greatest(col("vec_id"), col("nn_id")).as("id_b"))
+        .distinct()
+      graft.operators.Graph.triangleCounts(edges).orderBy("id")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                        FROM embeddings WHERE vec_id < 100),
+             s AS (SELECT a.vec_id, b.vec_id AS nn_id, ROUND($duckCosine, 4) AS sim
+                   FROM v a JOIN v b ON b.vec_id <> a.vec_id),
+             r AS (SELECT vec_id, nn_id FROM (
+                     SELECT vec_id, nn_id, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
+                     FROM s) t WHERE rn <= 3),
+             e AS (SELECT DISTINCT LEAST(vec_id, nn_id) AS a,
+                     GREATEST(vec_id, nn_id) AS b FROM r),
+             sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+             ori AS (SELECT s.a AS u, s.b AS v FROM sym s
+                     JOIN deg d1 ON s.a = d1.a JOIN deg d2 ON s.b = d2.a
+                     WHERE d1.d < d2.d OR (d1.d = d2.d AND s.a < s.b)),
+             w AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM ori e1
+                   JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v),
+             tri AS (SELECT x, y, z FROM w JOIN e ON e.a = w.y AND e.b = w.z)
+             SELECT id, COUNT(*) AS n_tri FROM (
+               SELECT UNNEST([x, y, z]) AS id FROM tri) t
+             GROUP BY id ORDER BY id"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -2592,7 +2628,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
     x01, x02, x03, x04, x05, x06, x07,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, q50,

@@ -42,4 +42,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(row => (row.getLong(0), row.getLong(1))).toMap
     assert(r(9L) > r(1L) && r(1L) === r(2L) && r(2L) === r(3L) && r(3L) === r(4L))
   }
+
+  test("triangleCounts: K4 counts 3 per vertex; pendant path counts none") {
+    // K4 on {0,1,2,3} = 4 triangles, each vertex in exactly 3; the pendant
+    // chain 3-7-8 adds degree without closing anything
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 7L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Graph.triangleCounts(edges)
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r === Array((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+  }
+
+  test("triangleCounts: each triangle generated exactly once under ties") {
+    // single triangle with equal degrees everywhere: the (degree, id)
+    // tie-break alone must orient acyclically
+    val tri = Seq((5L, 6L), (6L, 7L), (5L, 7L)).toDF("id_a", "id_b")
+    val r = Graph.triangleCounts(tri).orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r === Array((5L, 1L), (6L, 1L), (7L, 1L)))
+  }
 }
