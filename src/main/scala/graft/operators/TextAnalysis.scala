@@ -345,6 +345,54 @@ object TextAnalysis {
           s => s.getField("toks"))), " ").as("toks"))
   }
 
+  /** Multi-query BM25 retrieval: [[bm25]] generalized to a query TABLE —
+    * the retrieval join a search/RAG pipeline runs per batch of queries.
+    * One corpus scan builds tf over the union of all query terms; df/dl/
+    * avgdl follow t19's exact arithmetic (per-term rounding before the
+    * per-(query, doc) sum); the query-term table is tiny and broadcast;
+    * ranking is a top-k window per query with ties on doc id.
+    *
+    * Scale shape: the corpus token stream is filtered to the union term
+    * set AT THE SCAN, so tf's shuffle carries only matching tokens; the
+    * per-query fan-out joins tf to the broadcast query-term table — rows
+    * scale with (matching tokens x queries containing the term), never
+    * with the corpus.
+    *
+    * @return (query_id, doc_id, bm25, rnk) top-`topK` per query
+    */
+  def bm25Retrieve(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                   topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = broadcast(
+      queries.flatMap { case (q, ws) => ws.map(q -> _) }.toDF("query_id", "word"))
+    val terms = queries.flatMap(_._2).distinct
+    val stats = docs.select(col(idCol),
+      size(TextFns.words(col(textCol))).cast("double").as("dl"))
+    val g = stats.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl")).head()
+    val (nDocs, avgdl) = (g.getDouble(0), g.getDouble(1))
+    val tf = docs.select(col(idCol),
+        explode(TextFns.words(col(textCol))).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfT, Seq("word")).join(stats, Seq(idCol))
+      .join(qt, Seq("word"))
+      .withColumn("s", round(
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))), 4))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("s")), 4).as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("bm25").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col(idCol), col("bm25"), col("rnk").cast("int").as("rnk"))
+  }
+
   /** Corpus-level word frequency: explode + hash aggregate (one shuffle on
     * word; the classic map-side-combine friendly shape). */
   def wordFrequency(docs: DataFrame, textCol: String = "text",

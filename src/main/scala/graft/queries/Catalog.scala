@@ -998,6 +998,49 @@ object Catalog {
             UNION ALL SELECT qid, cid, CAST(3 AS INT), rel FROM r3
             ORDER BY qid, rnk"""))
 
+  /** Multi-query BM25 retrieval join (TextAnalysis.bm25Retrieve): three
+    * queries ranked against the corpus in one pass, top-5 each. The
+    * oracle re-derives the shared tf/df tables over the union term set,
+    * the per-(query, doc, term) Lucene-idf scores, and the per-query
+    * ranking — certifying the retrieval JOIN shape, not just one query's
+    * scoring (t19 is the single-query case). */
+  private val x08 = QueryDef("x08_bm25_retrieve",
+    (s, d) => graft.operators.TextAnalysis.bm25Retrieve(
+        Tables.documents(s, d),
+        Seq("q1" -> Seq("spark", "join"), "q2" -> Seq("hash", "table"),
+          "q3" -> Seq("stream", "window", "fast")))
+      .orderBy("query_id", "rnk"),
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+              FROM documents),
+            st AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM w),
+            c AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+                         (SELECT AVG(dl) FROM st) AS avgdl),
+            qt(query_id, word) AS (VALUES
+              ('q1', 'spark'), ('q1', 'join'),
+              ('q2', 'hash'), ('q2', 'table'),
+              ('q3', 'stream'), ('q3', 'window'), ('q3', 'fast')),
+            tok AS (SELECT doc_id, UNNEST(w) AS word FROM w),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+                   WHERE word IN (SELECT DISTINCT word FROM qt)
+                   GROUP BY doc_id, word),
+            df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            sc AS (SELECT qt.query_id, tf.doc_id,
+                     ROUND(LN(1 + ((SELECT n FROM c) - df + 0.5) / (df + 0.5)) *
+                       (tf * (1.2 + 1.0)) /
+                       (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM c))), 4) AS s
+                   FROM tf JOIN df USING (word)
+                   JOIN st ON st.doc_id = tf.doc_id
+                   JOIN qt ON qt.word = tf.word),
+            agg AS (SELECT query_id, doc_id, ROUND(SUM(s), 4) AS bm25
+                    FROM sc GROUP BY query_id, doc_id),
+            r AS (SELECT query_id, doc_id, bm25,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id) AS rnk
+                  FROM agg)
+            SELECT query_id, doc_id, bm25, CAST(rnk AS INT) AS rnk
+            FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   // ------------------------------------------------------------- text [EXT]
 
   private val t01 = QueryDef("t01_text_stats",
@@ -2629,7 +2672,7 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
-    x01, x02, x03, x04, x05, x06, x07,
+    x01, x02, x03, x04, x05, x06, x07, x08,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,

@@ -363,6 +363,41 @@ object MoreQueries {
                 AS valid_to
             FROM g ORDER BY user_id, valid_from"""))
 
+  /** Burst deduplication — the BATCH analog of s05's watermarked streaming
+    * dedup: within each (user, event_type) key, keep only the first event
+    * of every >30-minute-separated burst (sessionize -> first per
+    * session). Composes RelationalOps.sessionize + dedupFirst, so the
+    * first-per-session step rides the GroupTopK rewrite. The oracle
+    * re-derives gaps, session numbering, and the survivor rule. */
+  private val q62 = QueryDef("q62_burst_dedup",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("__k", concat_ws("|", col("user_id"), col("event_type")))
+      val sess = graft.operators.RelationalOps.sessionize(
+        ev, "__k", "ts", gapSeconds = 1800, Seq(col("ts"), col("event_id")))
+      graft.operators.RelationalOps.dedupFirst(sess,
+          Seq(col("__k"), col("session_id")), Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "event_type", "ts", "event_id")
+    },
+    Some("""WITH g AS (SELECT user_id, event_type, ts, event_id,
+                DATE_DIFF('second', LAG(ts) OVER (
+                  PARTITION BY user_id, event_type ORDER BY ts, event_id),
+                  ts) AS gap
+              FROM events),
+            se AS (SELECT user_id, event_type, ts, event_id,
+                SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g),
+            f AS (SELECT user_id, event_type, ts, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type, sess
+                  ORDER BY ts, event_id) AS rn
+              FROM se)
+            SELECT user_id, event_type, ts, event_id FROM f WHERE rn = 1
+            ORDER BY user_id, event_type, ts, event_id"""))
+
   val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q54, q55, q56, q57, q58, q59, q60, q61)
+    q39, q40, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }
