@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -391,6 +391,45 @@ object TextAnalysis {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col(idCol), col("bm25"), col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Count-Min sketch frequency estimates (Cormode & Muthukrishnan 2005)
+    * in the RELATIONAL formulation: the sketch IS a (depth x width)
+    * counters table — counter(i, b) = total occurrences of tokens hashing
+    * to bucket b at depth i — and est(w) = min over depths of the counter
+    * at w's bucket. Bucket hashes are md5-derived (the t10 portable-hash
+    * contract), so the WHOLE sketch — including its collision
+    * overcounts — is deterministic and independently re-derivable by the
+    * SQL oracle: est >= true always, equality exactly when some depth is
+    * collision-free for that word.
+    *
+    * Scale shape: one token-stream agg keyed on (depth, bucket) — the
+    * shuffle domain is bounded by depth x width REGARDLESS of corpus
+    * size or vocabulary (the sketch property); the estimate join touches
+    * only queried words' buckets.
+    *
+    * @return (word, est, cnt) for the corpus vocabulary — est the CMS
+    *         estimate, cnt the true count
+    */
+  def countMinEstimates(docs: DataFrame, depth: Int = 3, width: Int = 64,
+                        textCol: String = "text"): DataFrame = {
+    def bucket(i: Int, c: Column): Column =
+      pmod(conv(substring(md5(concat(lit(i.toString), lit(":"), c)
+        .cast("binary")), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+    val tokens = docs.select(explode(TextFns.words(col(textCol))).as("word"))
+    val truth = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val rows = tokens.select(col("word"),
+      explode(array((0 until depth).map(i =>
+        struct(lit(i).as("i"), bucket(i, col("word")).as("b"))): _*)).as("h"))
+    val counters = rows.groupBy(col("h.i").as("i"), col("h.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probes = truth.select(col("word"), col("cnt"),
+      explode(array((0 until depth).map(i =>
+        struct(lit(i).as("i"), bucket(i, col("word")).as("b"))): _*)).as("h"))
+    probes.join(counters, col("h.i") === col("i") && col("h.b") === col("b"))
+      .groupBy(col("word"), col("cnt"))
+      .agg(min(col("c")).as("est"))
+      .select(col("word"), col("est"), col("cnt"))
   }
 
   /** Corpus-level word frequency: explode + hash aggregate (one shuffle on

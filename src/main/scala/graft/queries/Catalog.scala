@@ -1571,6 +1571,31 @@ object Catalog {
             SELECT doc_id, lang FROM r JOIN q USING (lang)
             WHERE rk <= quota ORDER BY doc_id"""))
 
+  /** Count-Min sketch estimates (TextAnalysis.countMinEstimates, depth 3,
+    * width 64) for the whole corpus vocabulary. md5-derived bucket hashes
+    * make the sketch — including collision overcounts — portable: the
+    * oracle rebuilds the counters table and min-probe from scratch, so a
+    * hash match certifies the sketch arithmetic exactly, not just its
+    * error bound (est >= cnt by construction). */
+  private val t24 = QueryDef("t24_countmin",
+    (s, d) => graft.operators.TextAnalysis.countMinEstimates(
+        Tables.documents(s, d), depth = 3, width = 64)
+      .orderBy("word"),
+    Some("""WITH tok AS (SELECT UNNEST(list_filter(
+                regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS word
+              FROM documents),
+            truth AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+            h AS (SELECT word, d.range AS i,
+                    ('0x' || substring(md5(CAST(d.range AS VARCHAR) || ':' || word), 1, 15))::BIGINT
+                      % 64 AS b
+                  FROM tok, range(3) d),
+            counters AS (SELECT i, b, COUNT(*) AS c FROM h GROUP BY i, b),
+            probes AS (SELECT DISTINCT word, i, b FROM h)
+            SELECT t.word, MIN(c.c) AS est, t.cnt
+            FROM truth t JOIN probes p ON p.word = t.word
+            JOIN counters c ON c.i = p.i AND c.b = p.b
+            GROUP BY t.word, t.cnt ORDER BY t.word"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -2674,7 +2699,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
     x01, x02, x03, x04, x05, x06, x07, x08,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20, t21, t22, t23, q50,
+    t17, t18, t19, t20, t21, t22, t23, t24, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,

@@ -90,6 +90,37 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming MG sketch equals exact counts under adversarial batching") {
+    // one bucket gets its items spread across 3 lopsided batches (1 item /
+    // many / rest); in the exact regime (k >= per-bucket vocabulary) the
+    // emitted summary must equal the true counts regardless of batching
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val items = Seq.tabulate(500)(i => StatefulOps.BucketItem(i % 2, s"w${i % 7}"))
+      val expected = items.groupBy(_.bucket).map { case (b, xs) => b -> xs.size.toLong }
+      val mem = MemoryStream[StatefulOps.BucketItem]
+      val q = StatefulOps.mgTopKStream(mem.toDS(), k = 64, expected).toDF()
+        .writeStream.format("memory").queryName("mg_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(items.take(1))
+        q.processAllAvailable()
+        mem.addData(items.slice(1, 400))
+        q.processAllAvailable()
+        mem.addData(items.drop(400))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("mg_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val truth = items.groupBy(i => (i.bucket, i.item))
+        .map { case (k, xs) => k -> xs.size.toLong }
+      assert(got === truth)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming match filter equals batch MatchFilter under any batching") {
     import graft.mwa._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
