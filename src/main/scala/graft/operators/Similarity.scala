@@ -163,6 +163,33 @@ object Similarity {
       when(element_at(col(vecCol), i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), cell.as("cell"))
+    semDedupDropRule(v, threshold, roundTo, idCol)
+  }
+
+  /** [[semanticDedup]] with the paper's actual clustering step: cells are
+    * k-means assignments (Ivf.fitCentroids — deterministic init, L2
+    * argmin), so cell sizes track data density instead of sign-bit
+    * geometry. Same upper-triangular drop rule, same output shape. The
+    * k-means cells have no portable SQL twin (x09 is rows-only by
+    * design); SemanticDedupSpec pins the drop semantics on planted exact
+    * duplicates instead, and d15 oracles the rule itself bit-for-bit
+    * through the sign-grid cells. */
+  def semanticDedupKmeans(df: DataFrame, nCells: Int = 8, iters: Int = 3,
+                          threshold: Double = 0.9, idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          roundTo: Int = 4): DataFrame = {
+    val cents = Ivf.fitCentroids(df, nCells, iters, idCol, vecCol)
+    val v = Ivf.assign(df.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v")), cents)
+      .select(col("__id").as("id"), col("__v").as("v"), col("cell"))
+    semDedupDropRule(v, threshold, roundTo, idCol)
+  }
+
+  /** Shared SemDeDup drop rule: within a cell, a vector is dropped when
+    * any lower-id cell-mate has rounded cosine >= threshold (one equi
+    * self-join on cell + a left join marking drops). */
+  private def semDedupDropRule(v: DataFrame, threshold: Double, roundTo: Int,
+                               idCol: String): DataFrame = {
     val dropped = v.as("x").join(v.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .filter(round(VectorFns.cosine(col("x.v"), col("y.v")), roundTo) >= threshold)

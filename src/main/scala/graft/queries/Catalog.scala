@@ -1041,6 +1041,23 @@ object Catalog {
             SELECT query_id, doc_id, bm25, CAST(rnk AS INT) AS rnk
             FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** SemDeDup with the paper's k-means clustering step
+    * (Similarity.semanticDedupKmeans): deterministic-init k-means cells,
+    * same oracled drop rule as d15. Rows-only by design — k-means cells
+    * have no portable SQL twin; the drop semantics are pinned by
+    * CurationOpsSpec on planted exact duplicates and the rule itself is
+    * bit-exact-oracled through d15's sign-grid cells. */
+  private val x09 = QueryDef("x09_semdedup_kmeans",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Similarity.semanticDedupKmeans(emb.unionByName(clones),
+          nCells = 8, iters = 3, threshold = 0.9)
+        .orderBy("vec_id")
+    },
+    None)
+
   // ------------------------------------------------------------- text [EXT]
 
   private val t01 = QueryDef("t01_text_stats",
@@ -2697,7 +2714,7 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
-    x01, x02, x03, x04, x05, x06, x07, x08,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,

@@ -117,6 +117,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty)
   }
 
+  test("semanticDedupKmeans: exact duplicates drop, everything else survives") {
+    // planted exact duplicates share their source's k-means cell by
+    // construction (identical vectors, L2 argmin) and have cosine exactly
+    // 1.0; the corpus' max natural pairwise cosine is 0.449, so at 0.9
+    // the drop set must be EXACTLY the 30 clones
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val clones = emb.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val r = Similarity.semanticDedupKmeans(emb.unionByName(clones),
+        nCells = 8, iters = 3, threshold = 0.9)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r.size === 230)
+    assert((0L until 30L).forall(i => !r(i + 10000)), "every clone drops")
+    assert(r.count(!_._2) === 30, "nothing but the clones drops")
+  }
+
   test("mmrRerank: diversity penalty overrides raw relevance greedily") {
     // query [1, 0.2]; c11 is most relevant, c10 nearly duplicates c11, c12
     // is orthogonal-ish: pure top-2 = (c11, c10) but MMR picks (c11, c12)
