@@ -348,4 +348,29 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Normalized Levenshtein similarity in [0, 1]: 1 - dist/max(len), the
+    * midpoint-safe floor idiom on the integer ratio. Edit distance is the
+    * unit-cost Wagner-Fischer both here and in the oracle — exact integers,
+    * so the similarity is bit-deterministic cross-engine. */
+  def editSimilarity(a: Column, b: Column): Column =
+    floor((lit(1.0) - levenshtein(a, b).cast("double") /
+      greatest(length(a), length(b), lit(1)).cast("double")) * 10000 + 0.5) / 10000
+
+  /** Character-level verification of candidate near-dup pairs: joins each
+    * (id_a, id_b) back to its texts and scores normalized edit similarity —
+    * the strict verifier applied AFTER cheap candidate generation
+    * (MinHash-LSH banding at scale; all-pairs only on bounded slices).
+    * O(|a|*|b|) per pair, which is why it never runs corpus x corpus:
+    * the candidate set bounds the quadratic term, the two joins are equi
+    * on the ids. */
+  def editDistanceVerify(candidates: DataFrame, docs: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    candidates
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .withColumn("edit_sim", editSimilarity(col("__ta"), col("__tb")))
+      .drop("__ta", "__tb")
+      .select(col("id_a"), col("id_b"), col("edit_sim"))
 }

@@ -824,6 +824,41 @@ object Catalog {
                SELECT UNNEST([x, y, z]) AS id FROM tri) t
              GROUP BY id ORDER BY id"""))
 
+  /** Edit-distance near-dup verification (Dedup.editDistanceVerify): ten
+    * suffix-modified copies are planted (ids 10000+), all pairs of the
+    * <60 slice + clones are scored by normalized Levenshtein, top-50 by
+    * (sim desc, ids). The oracle recomputes every distance with its own
+    * Wagner-Fischer — a hash match certifies Spark's levenshtein and the
+    * normalization bit-for-bit (planted pairs land ~0.93, the natural
+    * ceiling is 0.41). */
+  private val d18 = QueryDef("d18_edit_neardup",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select("doc_id", "text").filter(col("doc_id") < 60)
+      val planted = base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" tail edit marker")).as("text"))
+      val docs = base.unionByName(planted)
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.editDistanceVerify(pairs, docs)
+        .orderBy(col("edit_sim").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    },
+    Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+            pl AS (SELECT doc_id + 10000 AS doc_id,
+                     text || ' tail edit marker' AS text
+                   FROM base WHERE doc_id < 10),
+            d AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    FLOOR((1 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+                      GREATEST(LENGTH(a.text), LENGTH(b.text), 1))
+                      * 10000 + 0.5) / 10000 AS edit_sim
+                  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, edit_sim FROM p
+            ORDER BY edit_sim DESC, id_a, id_b LIMIT 50"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -2713,7 +2748,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, q50,
