@@ -506,8 +506,11 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def nullSafeEval(v: Any): Any =
     ArrayExprs.bpeCompute(v.asInstanceOf[UTF8String], ranks)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
-      "java.util.HashMap<String, Integer>")
+    // raw type, not "HashMap<String, Integer>": Janino compiles the cast
+    // addReferenceObj emits, and generic casts are not guaranteed across
+    // Janino versions — a rejected cast silently falls back to interpreted
+    // eval. Generics are erased anyway; bpeCompute takes the raw map.
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.ArrayExprs.bpeCompute($c, $ranksRef)")
   }

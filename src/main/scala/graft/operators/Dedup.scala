@@ -30,22 +30,24 @@ object Dedup {
   /** Buckets whose id list exceeds this expand through the join fallback
     * in [[bucketPairs]] instead of a single-row pair array. 512 ids is
     * ~131k pairs (~4 MB of longs) per bucket row — comfortably in-task. */
-  private val hotBucketCap = 512
+  private[graft] val hotBucketCap = 512
 
   /** Candidate (id_a < id_b) pairs from (band, digest, ids) LSH buckets.
-    * Buckets up to [[hotBucketCap]] ids expand in place via the
-    * `pair_combos` generator (one narrow array per bucket row). Hotter
-    * buckets — degenerate pileups of templated near-identical text —
-    * would concentrate O(n^2) pair memory in ONE task's single row, so
-    * they fall back to a bucket-keyed self equi-join, which streams the
-    * same pairs spread across tasks. The union is the identical pair set
-    * either way; only the memory shape differs. */
-  private def bucketPairs(buckets: DataFrame): DataFrame = {
-    val inPlace = buckets.filter(size(col("ids")) <= hotBucketCap)
+    * Buckets up to `cap` ids expand in place via the `pair_combos`
+    * generator (one narrow array per bucket row). Hotter buckets —
+    * degenerate pileups of templated near-identical text — would
+    * concentrate O(n^2) pair memory in ONE task's single row, so they
+    * fall back to a bucket-keyed self equi-join, which streams the same
+    * pairs spread across tasks (each task holds a bounded slice of the
+    * bucket, never the full pair array). The union is the identical pair
+    * set either way; only the memory shape differs. */
+  private[graft] def bucketPairs(buckets: DataFrame,
+                                 cap: Int = hotBucketCap): DataFrame = {
+    val inPlace = buckets.filter(size(col("ids")) <= cap)
       .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
       .select(least(col("p.x"), col("p.y")).as("id_a"),
         greatest(col("p.x"), col("p.y")).as("id_b"))
-    val hotIds = buckets.filter(size(col("ids")) > hotBucketCap)
+    val hotIds = buckets.filter(size(col("ids")) > cap)
       .select(col("band"), col("digest"), explode(col("ids")).as("id"))
     val joined = hotIds.as("x").join(hotIds.as("y"),
         col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&

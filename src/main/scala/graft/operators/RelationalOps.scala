@@ -195,13 +195,19 @@ object RelationalOps {
     require(source.columns.toSeq == cols,
       s"mergeUpsert: column mismatch ${source.columns.toSeq} vs $cols")
     val t = dedupFirst(target, Seq(col(key)), order)
+    // non-null presence marker: "did the source side match" must be read
+    // off join mechanics, not off data columns — a legitimate NULL in the
+    // source's winning row is an UPDATE TO NULL under SQL MERGE semantics,
+    // which per-column coalesce would silently revert to the stale target
+    // value
     val s = dedupFirst(source, Seq(col(key)), order)
+      .withColumn("__sm", lit(1))
     val picked = cols.filterNot(_ == key).map { c =>
-      coalesce(col(s"__s.$c"), col(s"__t.$c")).as(c)
+      when(col("__sm").isNotNull, col(s"__s.$c"))
+        .otherwise(col(s"__t.$c")).as(c)
     }
-    // join on the key column only; source wins per column via coalesce
-    // (source rows are complete here — per-column coalesce keeps the shape
-    // general if a caller projects nulls for "no change")
+    // join on the key column only; a matched key takes the WHOLE source
+    // row (nulls included)
     t.as("__t").join(s.as("__s"), Seq(key), "full_outer")
       .select(col(key) +: picked: _*)
   }

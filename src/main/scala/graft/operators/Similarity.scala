@@ -91,17 +91,28 @@ object Similarity {
     * bit-reproducible across engines and partitionings, which float MMR
     * cannot be.
     *
-    * Scale shape: candidates arrive pre-bounded (the ANN stage's top-N per
-    * query), so per-query work is O(k*N); every join and shuffle is keyed
-    * on qid (+cid) — round r joins the remaining candidates to the <= r
-    * selected rows per query, never across queries. k greedy rounds are k
-    * composed joins in ONE lazy plan.
+    * Scale shape: the greedy rounds are all keyed on qid (+cid) — round r
+    * joins the remaining candidates to the <= r selected rows per query,
+    * never across queries; k greedy rounds are k composed joins in ONE
+    * lazy plan. The INITIAL relevance matrix has two modes:
+    *  - `candidatePairs = Some(pairs)` — the 100 TB path: `pairs` is the
+    *    ANN stage's (qid, cid) output, and rel is built by two equi joins
+    *    (pairs -> query vectors on qid, -> candidate vectors on cid), so
+    *    each query scores ONLY its own retrieved candidates.
+    *  - `candidatePairs = None` — every query scores the full shared
+    *    candidate pool (query x pool product); only for a bounded pool
+    *    shared by construction (e.g. one retrieval slate re-ranked for a
+    *    handful of personas).
     *
+    * @param candidatePairs optional (qid, cid) pairs restricting which
+    *        candidates each query considers; column names must be
+    *        `qid`/`cid`
     * @return (qid, cid, rnk, rel) — rel is the scaled-BIGINT cosine
     */
   def mmrRerank(queries: DataFrame, candidates: DataFrame, k: Int,
                 lambda: Double = 0.5, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                candidatePairs: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && lambda >= 0 && lambda <= 1,
       s"mmrRerank: need k >= 1, lambda in [0,1]; got $k, $lambda")
     val lamS = math.round(lambda * 10000)
@@ -109,7 +120,12 @@ object Similarity {
       floor(VectorFns.cosine(a, b) * 10000 + 0.5).cast("long")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("__cv"))
-    val rel = q.join(c)
+    val paired = candidatePairs match {
+      case Some(p) => p.select(col("qid"), col("cid"))
+        .join(q, Seq("qid")).join(c, Seq("cid"))
+      case None => q.join(c)
+    }
+    val rel = paired
       .withColumn("rel", simS(col("__qv"), col("__cv")))
       .select("qid", "cid", "__cv", "rel")
     def pick(scored: DataFrame, r: Int): DataFrame = {

@@ -2659,6 +2659,17 @@ object Catalog {
       // known-shape pattern; metadata-scale driver state, not data-scale)
       val expected = words.groupBy("bucket").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // exact-regime guard (t13's documented <=k-vocabulary assumption,
+      // asserted): Misra-Gries at k=256 counts exactly only while each
+      // bucket's vocabulary fits the sketch — a fixture change that
+      // outgrows it must fail HERE, not surface as an oracle hash
+      // mismatch from a silently-approximate sketch
+      val maxVocab = words.groupBy("bucket")
+        .agg(countDistinct(col("item")).as("__v"))
+        .agg(max(col("__v"))).head().getLong(0)
+      require(maxVocab <= 256,
+        s"s10 exact-MG regime violated: $maxVocab distinct words in one " +
+          "bucket > k=256; raise k or re-bucket the fixture")
       val dir = java.nio.file.Files.createTempDirectory("graft_s10_").toString
       words.repartition(4).write.mode("overwrite").parquet(dir)
       val conf = "spark.sql.streaming.stateStore.providerClass"
@@ -2728,7 +2739,12 @@ object Catalog {
           merged.write.mode("overwrite").parquet(tmp)
           val st = new java.io.File(state)
           if (st.exists) org.apache.commons.io.FileUtils.deleteDirectory(st)
-          new java.io.File(tmp).renameTo(st)
+          // Files.move, not File.renameTo: renameTo reports failure only
+          // via its boolean, and a swallowed failed swap would silently
+          // drop this batch's state update — the batch must fail loudly
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp), st.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           ()
         }
         .start()

@@ -29,6 +29,41 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Message-bus-shaped stream source: the built-in `rate` connector
+    * (an unbounded generator of (timestamp, value) rows — the offset/
+    * partition mechanics of a real bus without a broker in the loop),
+    * adapted to the events schema. Every derived column is a pure
+    * function of the rate source's monotonic `value`, so ANY ingested
+    * prefix 0..n-1 can be recomputed exactly in batch from
+    * `spark.range(n)` — that determinism is what lets a connector test
+    * certify operator results without controlling the connector's
+    * timing. The event-time column is synthetic (value-derived), NOT the
+    * rate source's wall-clock timestamp, for the same reason.
+    *
+    * Operators downstream see the exact schema the file/memory streams
+    * produce — swapping connectors is this one readStream call, which is
+    * the source-agnosticism contract of Structured Streaming. */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int = 5000,
+                 partitions: Int = 4): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .option("numPartitions", partitions.toLong)
+      .load()
+      .select(eventColumnsOf(col("value")): _*)
+
+  /** The rate->events column mapping, shared by the streaming source and
+    * its batch-recompute twin (pure functions of the monotonic value). */
+  def eventColumnsOf(value: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = Seq(
+    value.as("event_id"),
+    pmod(value * 2654435761L, lit(997L)).as("user_id"),
+    element_at(array(lit("view"), lit("click"), lit("purchase"), lit("signup")),
+      (pmod(value, lit(4L)) + 1).cast("int")).as("event_type"),
+    // one synthetic event every 3 seconds from a fixed epoch: a few
+    // thousand rows span multiple hourly windows
+    timestamp_seconds(lit(1700000000L) + value * 3).as("ts"),
+    (pmod(value * 31L, lit(10000L)).cast("double") / 100.0).as("value"))
+
   /** Tumbling hourly aggregation — the streaming twin of q24_hourly. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

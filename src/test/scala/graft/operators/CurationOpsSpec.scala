@@ -151,6 +151,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(r(0).getLong(3) > r(1).getLong(3))
   }
 
+  test("mmrRerank: per-query candidate pairs keep each query inside its own pool") {
+    // two queries with DISJOINT retrieved candidate lists; a shared-pool
+    // run would happily hand q1 the candidate that only q2 retrieved
+    // (c20 is more relevant to q1 than anything in q1's own list)
+    val q = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val c = Seq(
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.1f, 0.9f)), // q1's retrieval
+      (20L, Seq(1.0f, 0.0f)), (21L, Seq(0.5f, 0.5f))  // q2's retrieval
+    ).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "cid")
+    val r = Similarity.mmrRerank(q, c, k = 2, lambda = 0.5,
+        candidatePairs = Some(pairs))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // every query selects exactly (and only) from its own candidate list —
+    // no cross-pool pair is ever scored, so q1 cannot see c20
+    assert(r === Set((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)))
+
+    // and the restricted run matches running each query alone on its pool
+    val solo1 = Similarity.mmrRerank(q.filter(col("vec_id") === 1L),
+      c.filter(col("vec_id") < 20L), k = 2, lambda = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val both = Similarity.mmrRerank(q, c, k = 2, lambda = 0.5,
+        candidatePairs = Some(pairs))
+      .filter(col("qid") === 1L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(both === solo1)
+  }
+
   test("mergeUpsert: source wins on match, both sides' unmatched survive") {
     val target = Seq(
       (1L, 10L, 1.0), (1L, 5L, 9.9), // key 1: ts 10 wins within target
