@@ -18,7 +18,17 @@ import org.apache.spark.sql.functions._
   * 9 others and dedup candidate pairs grow quadratically instead of
   * linearly, which is a different (skew) experiment, not a scale trend.
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> <factor>
+  * A 4th argument `hot=<N>` plants a degenerate template cluster: N
+  * byte-identical copies of one templated document (doc_ids in a reserved
+  * 9e7 range), the worst case of a template-heavy corpus for the LSH
+  * banding path — every band maps the whole cluster into ONE bucket, so
+  * the hot-bucket join fallback (Dedup.bucketPairs) is exercised at its
+  * design limit instead of assumed. Off by default because it is a skew
+  * experiment, not a scale trend: candidate pairs grow as N^2 by
+  * CONSTRUCTION (those near-dup pairs really exist), which would swamp
+  * the linear-slope signal the plain sweep measures.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> <factor> [hot=<N>]
   */
 object ScaleUp {
 
@@ -29,8 +39,12 @@ object ScaleUp {
     alphabet.drop(i % alphabet.length) + alphabet.take(i % alphabet.length)
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcDir> <dstDir> <factor> [hot=<N>]")
     val (src, dst, n) = (args(0), args(1), args(2).toInt)
+    val hot = args.drop(3).headOption
+      .map { a => require(a.startsWith("hot="), s"bad arg $a"); a.drop(4).toInt }
+      .getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,9 +81,27 @@ object ScaleUp {
       bump("l_orderkey", i)(bump("l_partkey", i)(bump("l_suppkey", i)(df))))
     copies("events")((df, i) =>
       bump("event_id", i)(bump("user_id", i)(df)))
-    copies("documents")((df, i) =>
-      bump("doc_id", i)(df)
-        .withColumn("text", translate(col("text"), alphabet, perm(i))))
+    locally {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val scaled = (0 until n).map(i =>
+        bump("doc_id", i)(base)
+          .withColumn("text", translate(col("text"), alphabet, perm(i))))
+        .reduce(_ unionAll _)
+      val out = if (hot == 0) scaled else {
+        val template = "breaking news update please subscribe to our newsletter " +
+          "for the latest breaking news update delivered daily to your inbox"
+        val cluster = spark.range(hot.toLong)
+          .select((col("id") + 90000000L).as("doc_id"),
+            lit(template).as("text"),
+            lit("en").as("lang"),
+            concat(lit("template-"), (col("id") % 5)).as("source"),
+            lit(template.length.toLong).as("n_chars"))
+        scaled.unionByName(cluster)
+      }
+      out.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      System.err.println(s"[scaleup] documents x$n written" +
+        (if (hot > 0) s" + $hot-copy hot template cluster" else ""))
+    }
     copies("embeddings")((df, i) => bump("vec_id", i)(df))
 
     spark.stop()

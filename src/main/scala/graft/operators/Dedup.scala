@@ -141,6 +141,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Near-duplicate CLUSTERING with exact-duplicate pre-collapse — the
+    * template-pileup-proof composition of the dedup family. A
+    * template-heavy corpus (the 100 TB norm: boilerplate pages, licence
+    * headers, mirrored articles) piles thousands of byte-identical docs
+    * into every LSH band bucket, where pair expansion is O(n^2) BY
+    * CONSTRUCTION — no candidate mechanism can avoid emitting pairs that
+    * really are duplicates, and [[bucketPairs]]'s join fallback only fixes
+    * the memory shape, not the volume. The fix is semantic: downstream
+    * dedup wants duplicate CLUSTERS, not the intra-group pair list, and a
+    * group's members connect through their representative with n-1 edges
+    * instead of n(n-1)/2 pairs — identical connected components, linear
+    * in the pileup.
+    *
+    * Stages: (1) collapse byte-identical texts by md5 digest — one hash
+    * agg + one digest-keyed join-back; (2) MinHash+LSH near-dup pairs
+    * ([[minhashLsh]]) over the DISTINCT texts only, so every band bucket
+    * shrinks to its distinct members and a 10^4-copy template contributes
+    * ONE row to banding; (3) union the (rep -> member) exact edges;
+    * (4) min-label connected components ([[duplicateClusters]]).
+    *
+    * @return (id, cluster_id): one row per document with at least one
+    *         exact or near duplicate; cluster_id = min doc id of its
+    *         duplicate cluster — same contract as [[duplicateClusters]].
+    */
+  def minhashLshClusters(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                         threshold: Double = 0.7): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(textCol).as("__text"),
+      md5(col(textCol).cast("binary")).as("__h"))
+    val reps = t.groupBy("__h").agg(min(col("id")).as("__rep"))
+    val tagged = t.join(reps, Seq("__h"))
+    val repDocs = tagged.filter(col("id") === col("__rep"))
+      .select(col("id").as("doc_id"), col("__text").as("text"))
+    val nearPairs = minhashLsh(repDocs, "doc_id", "text",
+        shingleN, k, bands, threshold)
+      .select("id_a", "id_b")
+    val exactEdges = tagged.filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    duplicateClusters(nearPairs.unionByName(exactEdges))
+  }
+
   /** Top-N most similar pairs by MinHash estimate (no threshold) — useful
     * as a bounded-output diagnostic over corpora with no true near-dups. */
   def minhashTopPairs(df: DataFrame, idCol: String, textCol: String,

@@ -859,6 +859,56 @@ object Catalog {
             SELECT id_a, id_b, edit_sim FROM p
             ORDER BY edit_sim DESC, id_a, id_b LIMIT 50"""))
 
+  /** Template-collapse near-dup clustering (Dedup.minhashLshClusters):
+    * exact duplicates collapse to their min-id representative BEFORE LSH
+    * banding (planted 3-copy template groups prove it), near-dup pairs
+    * run over distinct texts only, and members rejoin the cluster through
+    * (rep -> member) edges — the linear-in-pileup composition a
+    * template-heavy corpus needs. The oracle re-derives every stage
+    * independently: digest groups via GROUP BY text, near pairs via
+    * all-pairs exact shingle Jaccard over the representatives (recall-1
+    * regime, as certified for d06), the closure via a recursive CTE — so
+    * a hash match certifies collapse, banding, edge union AND clustering
+    * end to end. */
+  private val d19 = QueryDef("d19_collapse_clusters",
+    (s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 150)
+      val clones = (20000 to 30000 by 10000).map(off =>
+        base.filter(col("doc_id") < 5)
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
+      val docs = clones.foldLeft(base)(_ unionByName _)
+      graft.operators.Dedup.minhashLshClusters(docs, "doc_id", "text",
+          shingleN = 3, k = 128, bands = 32, threshold = 0.7)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+            base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+            d AS (SELECT doc_id, text FROM base
+                  UNION ALL SELECT doc_id + 20000, text FROM base WHERE doc_id < 5
+                  UNION ALL SELECT doc_id + 30000, text FROM base WHERE doc_id < 5),
+            r AS (SELECT text, MIN(doc_id) AS rep FROM d GROUP BY text),
+            w AS (SELECT rep AS doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
+                  FROM r),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                    range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            np AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM g a JOIN g b ON a.doc_id < b.doc_id
+                   WHERE len(list_intersect(a.sh, b.sh)) /
+                         len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+            ex AS (SELECT r.rep AS id_a, d.doc_id AS id_b
+                   FROM d JOIN r ON d.text = r.text WHERE d.doc_id <> r.rep),
+            p AS (SELECT id_a, id_b FROM np UNION ALL SELECT id_a, id_b FROM ex),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (SELECT a, b FROM e
+                            UNION
+                            SELECT r2.a, e2.b FROM reach r2 JOIN e e2 ON r2.b = e2.a)
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id"""))
+
   private val d05 = QueryDef("d05_embed_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), -1.0)
@@ -2764,7 +2814,7 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, q50,

@@ -121,10 +121,46 @@ class VisScanBuilder(spec: Spec, slice: Int, path: Option[String] = None)
       new UvfitsVisScan(p, slice, required, pushed)
     case Some(p) if Uvh5VisScan.hasUvh5(p) =>
       new Uvh5VisScan(p, slice, required, pushed)
+    case Some(p) if MsFormat.hasMs(p) => throw MsFormat.unsupported(p)
     case Some(p) => new FitsVisScan(p, slice, required, pushed)
     case None => new VisScan(spec, slice, required, pushed)
   }
 }
+
+/** CASA MeasurementSet: typed + validated as an input family
+  * (`mwa/FileSet.scala`, `mwa/Validation.scala` — the reference accepts
+  * `ms` through pyuvdata, `configurators.py:43-48`) but DELIBERATELY not
+  * decoded. The deciding difference from the uvfits/uvh5 decoders: FITS
+  * and HDF5 are publicly SPECIFIED, self-describing container formats
+  * (NASA FITS standard; the HDF5 file-format spec), so a from-scratch
+  * decoder can be written to the spec and certified by round-trip. The
+  * CASA Table Data System's on-disk layout (AipsIO object streams +
+  * StandardStMan bucket files across a directory of tables) is defined
+  * only by the casacore implementation — no byte-level spec exists to
+  * build against, and with no casacore available there are no
+  * reference-written bytes to certify a decoder against. A decoder that
+  * merely round-trips its own guess at that layout would CLAIM
+  * casacore compatibility without evidence; failing loudly with the
+  * conversion path (every MS exports losslessly to uvfits/uvh5, both
+  * decoded natively here) is the honest contract. */
+object MsFormat {
+  def listMs(path: String): Seq[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.endsWith(".ms"))
+      .sortBy(_.getName).map(_.getPath).toSeq
+  def hasMs(path: String): Boolean = listMs(path).nonEmpty
+  def unsupported(path: String): MsNotSupportedException =
+    new MsNotSupportedException(
+      s"CASA MeasurementSet input is typed and validated but not decoded " +
+        s"(found: ${listMs(path).mkString(", ")}). The CASA Table Data " +
+        "System has no public byte-level specification to decode against " +
+        "(its layout is defined by the casacore implementation only). " +
+        "Convert to uvfits or uvh5 — both are decoded natively by this " +
+        "source (e.g. pyuvdata: UVData.from_file(ms).write_uvh5(...)).")
+}
+
+class MsNotSupportedException(msg: String)
+    extends UnsupportedOperationException(msg)
 
 object VisScan {
   private val axes = Set("time_idx", "coarse_chan")

@@ -80,4 +80,22 @@ class HotBucketSpec extends SparkSpec {
     assert(agg.getLong(0) === n.toLong * (n - 1) / 2)
     assert(agg.getDouble(1) === 1.0 && agg.getDouble(2) === 1.0)
   }
+
+  test("minhashLshClusters collapses a 10^4-copy template before banding") {
+    // the SEMANTIC fix for template pileups: 10^4 byte-identical docs must
+    // contribute ONE row to LSH banding and come back as one cluster via
+    // n-1 representative edges — linear, where the pair-list contract is
+    // quadratic by construction. Wall-clock is the proof: this runs in
+    // seconds because no stage ever sees the 5*10^7 intra-group pairs.
+    val n = 10000
+    val docs = spark.range(n.toLong).select(
+      col("id").as("doc_id"),
+      lit("all work and no play makes a dull corpus of templated boilerplate text").as("text"))
+    val clusters = Dedup.minhashLshClusters(docs, "doc_id", "text")
+    val agg = clusters.agg(count(lit(1)), countDistinct(col("cluster_id")),
+      min(col("cluster_id")), max(col("cluster_id"))).head()
+    assert(agg.getLong(0) === n.toLong, "every copy is in the cluster")
+    assert(agg.getLong(1) === 1L, "exactly one cluster")
+    assert(agg.getLong(2) === 0L && agg.getLong(3) === 0L, "labelled by min id")
+  }
 }
