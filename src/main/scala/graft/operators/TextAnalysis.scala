@@ -507,4 +507,35 @@ object TextAnalysis {
         (floor(col("ni") / (col("sza") + col("szb") - col("ni")) * 10000 + 0.5) / 10000)
           .as("jaccard"))
   }
+
+  /** Linear text-classifier INFERENCE, fasttext-shaped (Joulin et al.
+    * 2016, arXiv:1607.01759 — bag of hashed word features against a
+    * weight vector): each word hashes into one of `dim` feature buckets
+    * via the md5-portable 60-bit hash, the (bucket, weight) table is
+    * BROADCAST-joined (a classifier fits in memory by definition — dim
+    * counts in the millions are still megabytes), and the document score
+    * is the per-doc weight sum. The whole pass is one explode, one
+    * broadcast hash join, one hash agg keyed by doc id: scan-side
+    * inference whose only shuffle carries (doc_id, partial sum) — the
+    * shape a quality-filter pass over 100 TB needs.
+    *
+    * Weights are INTEGER (quantized — standard for shipped linear
+    * models), so the score is bit-exact cross-engine and thresholding
+    * needs no float comparison; the linear score is monotone in the
+    * sigmoid probability, so `keep = score_sum >= threshold` IS the
+    * probability cutoff.
+    *
+    * @param weights (bucket: long, weight: long), one row per bucket
+    * @return (idCol, score_sum, n_words, keep)
+    */
+  def linearClassify(docs: DataFrame, weights: DataFrame, dim: Int,
+                     threshold: Long = 0L, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(TextFns.words(col(textCol))).as("__w"))
+      .withColumn("bucket", pmod(Sampling.keyHash(col("__w")), lit(dim.toLong)))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("weight")).as("score_sum"),
+        count(lit(1)).as("n_words"))
+      .withColumn("keep", col("score_sum") >= threshold)
 }

@@ -1698,6 +1698,33 @@ object Catalog {
             JOIN counters c ON c.i = p.i AND c.b = p.b
             GROUP BY t.word, t.cnt ORDER BY t.word"""))
 
+  /** Linear classifier inference (TextAnalysis.linearClassify): hashed
+    * bag-of-words against a broadcast integer weight table — the
+    * quality-filter pass shape. The demo weight table is a deterministic
+    * formula over buckets so the oracle can rebuild it with range();
+    * scores are integer sums — bit-exact, no float dot product. */
+  private val t25 = QueryDef("t25_quality_classifier",
+    (s, d) => {
+      val dim = 1024
+      val weights = s.range(dim.toLong).select(col("id").as("bucket"),
+        ((col("id") * 37) % 201 - 100).as("weight"))
+      graft.operators.TextAnalysis.linearClassify(
+          Tables.documents(s, d), weights, dim)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, UNNEST(list_filter(
+                regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                x -> x <> '')) AS word FROM documents),
+            b AS (SELECT doc_id,
+                ('0x' || substring(md5(word), 1, 15))::BIGINT % 1024 AS bucket
+              FROM w),
+            wt AS (SELECT range AS bucket, (range * 37) % 201 - 100 AS weight
+                   FROM range(1024))
+            SELECT doc_id, SUM(weight) AS score_sum,
+              COUNT(*) AS n_words, (SUM(weight) >= 0) AS keep
+            FROM b JOIN wt USING (bucket)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -2817,7 +2844,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20, t21, t22, t23, t24, q50,
+    t17, t18, t19, t20, t21, t22, t23, t24, t25, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,

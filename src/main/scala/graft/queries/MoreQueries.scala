@@ -398,6 +398,43 @@ object MoreQueries {
             SELECT user_id, event_type, ts, event_id FROM f WHERE rn = 1
             ORDER BY user_id, event_type, ts, event_id"""))
 
+  /** MERGE update-to-NULL semantics (RelationalOps.mergeUpsert's
+    * whole-row pick): a matched key takes the ENTIRE source row, so a
+    * planted NULL in the source's winning row must land in the output as
+    * NULL — not silently revert to the stale target value (the
+    * per-column-coalesce bug class). The oracle emulates SQL MERGE with a
+    * FULL OUTER JOIN and an explicit source-matched marker, so a hash
+    * match certifies the null-overwrite path specifically. */
+  private val q63 = QueryDef("q63_merge_null",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "ts", "value", "event_id")
+      val target = ev.filter(col("event_id") % 2 === 0)
+      val source = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value", when(col("user_id") % 5 === 0,
+          lit(null).cast("double")).otherwise(col("value")))
+      graft.operators.RelationalOps.mergeUpsert(target, source, "user_id",
+          Seq(col("ts").desc, col("event_id").desc))
+        .orderBy("user_id")
+    },
+    Some("""WITH t0 AS (SELECT user_id, ts, value, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 2 = 0),
+            t1 AS (SELECT user_id, ts, value, event_id FROM t0 WHERE rn = 1),
+            s0 AS (SELECT user_id, ts,
+                CASE WHEN user_id % 5 = 0 THEN NULL ELSE value END AS value,
+                event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 2 = 1),
+            s1 AS (SELECT user_id, ts, value, event_id FROM s0 WHERE rn = 1)
+            SELECT COALESCE(s1.user_id, t1.user_id) AS user_id,
+              CASE WHEN s1.user_id IS NOT NULL THEN s1.ts ELSE t1.ts END AS ts,
+              CASE WHEN s1.user_id IS NOT NULL THEN s1.value ELSE t1.value END AS value,
+              CASE WHEN s1.user_id IS NOT NULL THEN s1.event_id ELSE t1.event_id END AS event_id
+            FROM t1 FULL OUTER JOIN s1 ON t1.user_id = s1.user_id
+            ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q39, q40, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 }

@@ -25,6 +25,27 @@ class TextHygieneSpec extends SparkSpec {
     assert(r(2).getLong(2) === 0L && r(2).getDouble(3) === 0.0)
   }
 
+  test("linearClassify: scores are the exact bucket-weight sums, keep thresholds them") {
+    // weight table: every bucket weighs +1 except word "bad"'s bucket,
+    // which weighs enough negative to sink any doc containing it
+    val dim = 64
+    val badBucket = Sampling.keyHash(lit("bad")).cast("long")
+    val docs = Seq(
+      (0L, "good words only here"),
+      (1L, "some bad words here"),
+      (2L, "bad bad bad")
+    ).toDF("doc_id", "text")
+    val weights = spark.range(dim.toLong).select(col("id").as("bucket"),
+      when(col("id") === pmod(badBucket, lit(dim.toLong)), lit(-100L))
+        .otherwise(lit(1L)).as("weight"))
+    val r = TextAnalysis.linearClassify(docs, weights, dim)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 4L && r(0).getLong(2) === 4L && r(0).getBoolean(3))
+    // doc 1: 3 good words (+3), one "bad" (-100) = -97 -> dropped
+    assert(r(1).getLong(1) === -97L && !r(1).getBoolean(3))
+    assert(r(2).getLong(1) === -300L && !r(2).getBoolean(3))
+  }
+
   test("crossDocNgramDup: partial overlap counts occurrences, not grams") {
     // doc 0 repeats a shared 2-gram twice: both OCCURRENCES count as dup
     val docs = Seq(
