@@ -508,6 +508,42 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Single-scan curation-funnel report: per-stage kept/dropped accounting
+    * for a sequential hygiene pipeline — the audit artifact of a corpus
+    * curation run ("what did each filter drop?"). Every stage predicate
+    * is evaluated as a flag column in ONE corpus pass; the funnel
+    * semantics (a doc reaches stage i only by passing stages 1..i-1) is a
+    * cumulative AND over the flags inside a single tiny aggregation — so
+    * the report costs one scan REGARDLESS of stage count, where the naive
+    * per-stage `.count()` loop rescans the corpus S times. NULL
+    * predicates count as failed (dropped), never silently pass.
+    *
+    * @param stages (name, predicate) in pipeline order
+    * @return (stage_idx, stage, rows_in, rows_kept, rows_dropped), one
+    *         row per stage; rows_in of stage i+1 = rows_kept of stage i
+    */
+  def curationFunnel(docs: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "curationFunnel: need at least one stage")
+    val flagged = docs.select(stages.zipWithIndex.map { case ((_, p), i) =>
+      coalesce(p.cast("boolean"), lit(false)).as(s"__p$i")
+    }: _*)
+    def reach(i: Int): Column =
+      if (i == 0) lit(true)
+      else (0 until i).map(j => col(s"__p$j")).reduce(_ && _)
+    val aggs = stages.indices.flatMap { i =>
+      Seq(sum(when(reach(i), 1L).otherwise(0L)).as(s"__in$i"),
+        sum(when(reach(i) && col(s"__p$i"), 1L).otherwise(0L)).as(s"__kept$i"))
+    }
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(stages.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(i).as("stage_idx"), lit(name).as("stage"),
+          coalesce(col(s"__in$i"), lit(0L)).as("rows_in"),
+          coalesce(col(s"__kept$i"), lit(0L)).as("rows_kept"),
+          coalesce(col(s"__in$i") - col(s"__kept$i"), lit(0L)).as("rows_dropped"))
+      }: _*)).as("__s"))
+      .select(col("__s.*"))
+  }
+
   /** Linear text-classifier INFERENCE, fasttext-shaped (Joulin et al.
     * 2016, arXiv:1607.01759 — bag of hashed word features against a
     * weight vector): each word hashes into one of `dim` feature buckets

@@ -1725,6 +1725,55 @@ object Catalog {
             FROM b JOIN wt USING (bucket)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Curation-funnel audit (TextAnalysis.curationFunnel): four hygiene
+    * stages — language gate, minimum length, repetition cap (the fused
+    * RepetitionStats expression, t15-certified), alphabetic ratio — as a
+    * single-scan kept/dropped report. The oracle recomputes every stage
+    * flag and the cumulative-reach sums independently; funnel arithmetic
+    * (rows_in of stage i+1 = rows_kept of stage i) is part of the hash. */
+  private val t26 = QueryDef("t26_curation_funnel",
+    (s, d) => {
+      import graft.functions.{ArrayExprs, TextFns}
+      graft.operators.TextAnalysis.curationFunnel(Tables.documents(s, d), Seq(
+        "lang_en" -> (col("lang") === "en"),
+        "min_30_tokens" -> (size(TextFns.words(col("text"))) >= 30),
+        "low_repetition" ->
+          (ArrayExprs.repetition_stats(col("text")).getField("dup_bigram") <= 0.3),
+        "alpha_ratio" ->
+          ((length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).cast("double") /
+            greatest(length(col("text")), lit(1)).cast("double")) >= 0.55)))
+        .orderBy("stage_idx")
+    },
+    Some("""WITH n AS (SELECT lang, text,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                  x -> x <> '') AS w
+              FROM documents),
+            g AS (SELECT lang, text, w,
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2
+              FROM n),
+            f AS (SELECT
+                (lang = 'en') AS p0,
+                (len(w) >= 30) AS p1,
+                (CASE WHEN len(g2) <= 0 THEN 0.0 ELSE
+                   FLOOR((len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)
+                     * 10000 + 0.5) / 10000 END <= 0.3) AS p2,
+                (LENGTH(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 /
+                   GREATEST(LENGTH(text), 1) >= 0.55) AS p3
+              FROM g),
+            a AS (SELECT
+                COUNT(*) AS in0,
+                CAST(SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+                CAST(SUM(CASE WHEN p0 AND p1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                CAST(SUM(CASE WHEN p0 AND p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+                CAST(SUM(CASE WHEN p0 AND p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS k3
+              FROM f)
+            SELECT 0 AS stage_idx, 'lang_en' AS stage, in0 AS rows_in,
+              k0 AS rows_kept, in0 - k0 AS rows_dropped FROM a
+            UNION ALL SELECT 1, 'min_30_tokens', k0, k1, k0 - k1 FROM a
+            UNION ALL SELECT 2, 'low_repetition', k1, k2, k1 - k2 FROM a
+            UNION ALL SELECT 3, 'alpha_ratio', k2, k3, k2 - k3 FROM a
+            ORDER BY stage_idx"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -2844,7 +2893,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20, t21, t22, t23, t24, t25, q50,
+    t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,

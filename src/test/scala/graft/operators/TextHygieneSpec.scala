@@ -91,6 +91,30 @@ class TextHygieneSpec extends SparkSpec {
     assert(r(3).getInt(2) === 0 && r(3).getString(3) === "solo words only here")
   }
 
+  test("curationFunnel: funnel arithmetic exact, NULL predicates fail closed") {
+    val docs = Seq(
+      (0L, Some("en"), 10),  // passes both stages
+      (1L, Some("en"), 3),   // fails stage 2
+      (2L, Some("de"), 10),  // fails stage 1 -> never reaches stage 2
+      (3L, None, 10)         // NULL lang: stage-1 predicate is NULL -> dropped
+    ).toDF("doc_id", "lang", "n")
+    val r = TextAnalysis.curationFunnel(docs, Seq(
+      "lang_en" -> (col("lang") === "en"),
+      "min_5" -> (col("n") >= 5))).orderBy("stage_idx").collect()
+    assert(r.length === 2)
+    assert(r(0).getLong(2) === 4L && r(0).getLong(3) === 2L && r(0).getLong(4) === 2L)
+    // rows_in of stage 2 = rows_kept of stage 1; doc 2 was NOT re-tested
+    assert(r(1).getLong(2) === 2L && r(1).getLong(3) === 1L && r(1).getLong(4) === 1L)
+  }
+
+  test("curationFunnel: empty input yields all-zero stage rows") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    val r = TextAnalysis.curationFunnel(docs,
+      Seq("gate" -> (col("lang") === "en"))).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(2) === 0L && r(0).getLong(3) === 0L && r(0).getLong(4) === 0L)
+  }
+
   test("removeBoilerplateChunks: fully-boilerplate doc reassembles to ''") {
     val docs = Seq(
       (0L, "x y"), (1L, "x y"), (2L, "x y")
