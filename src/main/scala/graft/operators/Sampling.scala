@@ -104,6 +104,44 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Fractional-epoch mixture upsampling: repeat each document
+    * `epochs(domain)` times, where epochs is fractional — the standard
+    * multi-epoch mixture knob ("wiki 2.5 epochs, web 0.7") for training
+    * corpora. Every doc gets floor(e) full copies; the fractional
+    * remainder is a deterministic hash gate (one EXTRA copy iff the
+    * doc's 60-bit md5 hash bucket < frac(e)·1000), so the realized
+    * corpus hits the requested epoch count in expectation with ZERO
+    * coordination — membership is a pure row function, reproducible
+    * under re-partitioning and certifiable by an external oracle.
+    * epochs < 1 degenerates to hash-gate downsampling; the gate hashes
+    * key||"#epoch" so it is independent of hashSample's gate on the
+    * same key.
+    *
+    * Scan-side: one filter + one bounded explode, no shuffle at all.
+    * Epochs are integer PERMILLE (2500 = 2.5 epochs) — never a double,
+    * so the gate threshold is exact on every engine.
+    *
+    * @return input rows with an `epoch_idx` column (1..copies); rows
+    *         whose domain draws zero copies are dropped
+    */
+  def epochUpsample(df: DataFrame, domainCol: String, key: Column,
+                    epochsPermille: Map[String, Int]): DataFrame = {
+    require(epochsPermille.nonEmpty && epochsPermille.values.forall(_ > 0),
+      "epochUpsample: epochsPermille must be positive")
+    def byDomain(f: Int => Long): Column =
+      epochsPermille.keys.toSeq.sorted.foldLeft(when(lit(false), lit(0L))) {
+        (acc, d) => acc.when(col(domainCol) === d, lit(f(epochsPermille(d))))
+      }.otherwise(lit(0L))
+    val gate = pmod(keyHash(concat(key.cast("string"), lit("#epoch"))),
+      lit(1000L)) < byDomain(_ % 1000L)
+    val copies = byDomain(_ / 1000L) + when(gate, lit(1L)).otherwise(lit(0L))
+    df.filter(col(domainCol).isin(epochsPermille.keys.toSeq: _*))
+      .withColumn("__copies", copies)
+      .filter(col("__copies") >= 1)
+      .withColumn("epoch_idx", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Sequence packing: assign each document to a training sequence (bin)
     * of ~`budget` tokens. Documents are first sharded by key hash (so the
     * cumulative sum parallelizes — a single global running sum would move

@@ -291,6 +291,59 @@ object TextAnalysis {
           sum("cnt").cast("double") + 0.5) / 10000).as("cross_entropy"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much more likely its hashed-bigram
+    * features are under a TARGET slice of the corpus than under the raw
+    * corpus. log w(doc) = Σ_b count_doc(b)·[ln p̂_t(b) − ln p̂_r(b)] with
+    * add-1 smoothing over `buckets` hashed feature buckets; resampling
+    * by these weights tilts a web-scale corpus toward the target domain.
+    *
+    * Scale shape: ONE gram scan feeds both distributions (the target is
+    * a flag, not a second pass); bucket log-ratios live in a table of at
+    * most `buckets` rows — broadcast to the per-document join regardless
+    * of corpus size; the only corpus-scale shuffles are the two hash
+    * aggs on (bucket) and (doc, bucket). Totals are a driver scalar
+    * (metadata-scale, as in ngramLmScore). Per-bucket ratios take two
+    * separate ln()s of double divisions — never an integer cross-product
+    * numerator, which would overflow Long once ct·R passes 2^63 (real at
+    * corpus scale). Log terms are scaled-BIGINT (floor(x·1e4+0.5)) so
+    * the per-document sum is order-independent and oracle-exact.
+    *
+    * @param isTarget boolean column marking the target-domain rows
+    * @return (doc_id, n_feats, log_w) — log_w is the scaled-BIGINT log
+    *         importance weight; docs with <2 words have no features and
+    *         yield no row (as in ngramLmScore)
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "dsirWeights: buckets must be positive")
+    import graft.functions.Fn.bind
+    val grams = docs.select(col(idCol), isTarget.as("__t"),
+        explode(bind(TextFns.words(col(textCol))) { w =>
+          when(size(w) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(w) - 2),
+              i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        }).as("__g"))
+      .select(col(idCol), col("__t"),
+        pmod(Sampling.keyHash(col("__g")), lit(buckets.toLong)).as("__b"))
+    val bucketCounts = grams.groupBy("__b").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("__ct"))
+    val totals = bucketCounts
+      .agg(coalesce(sum("__cr"), lit(0L)), coalesce(sum("__ct"), lit(0L))).head()
+    val (rTot, tTot) = (totals.getLong(0), totals.getLong(1))
+    val lw = bucketCounts.select(col("__b"),
+      floor((log((col("__ct") + 1L).cast("double") / lit((tTot + buckets).toDouble)) -
+             log((col("__cr") + 1L).cast("double") / lit((rTot + buckets).toDouble)))
+        * 10000 + 0.5).cast("long").as("__lw"))
+    grams.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(lw), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum("__cnt").cast("long").as("n_feats"),
+        sum(col("__cnt") * col("__lw")).cast("long").as("log_w"))
+  }
+
   /** Overlapping token-window chunking — the RAG / context-packing
     * segmentation step: windows of `chunkTokens` tokens starting every
     * `chunkTokens - overlap` tokens (every start k*stride < n_tokens; the

@@ -1774,6 +1774,61 @@ object Catalog {
             UNION ALL SELECT 3, 'alpha_ratio', k2, k3, k2 - k3 FROM a
             ORDER BY stage_idx"""))
 
+  /** DSIR importance weights (TextAnalysis.dsirWeights): hashed-bigram
+    * log-likelihood ratios of an English target slice vs the raw corpus,
+    * 1024 buckets. The oracle re-derives the bigram stream, the md5
+    * bucket hash, both smoothed distributions and the scaled-BIGINT log
+    * terms; the per-document integer sums are hash-compared exactly. */
+  private val t27 = QueryDef("t27_dsir_weights",
+    (s, d) => graft.operators.TextAnalysis.dsirWeights(
+        Tables.documents(s, d), col("lang") === "en", buckets = 1024)
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, (lang = 'en') AS tgt,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                  x -> x <> '') AS w
+              FROM documents),
+            g AS (SELECT doc_id, tgt,
+                UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+              FROM w WHERE len(w) >= 2),
+            b AS (SELECT doc_id, tgt,
+                ('0x' || substring(md5(g), 1, 15))::BIGINT % 1024 AS b
+              FROM g),
+            bc AS (SELECT b, COUNT(*) AS cr,
+                CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+              FROM b GROUP BY b),
+            tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r,
+                CAST(SUM(ct) AS BIGINT) AS t FROM bc),
+            lw AS (SELECT b,
+                CAST(FLOOR((LN(CAST(ct + 1 AS DOUBLE) / CAST(t + 1024 AS DOUBLE)) -
+                            LN(CAST(cr + 1 AS DOUBLE) / CAST(r + 1024 AS DOUBLE)))
+                  * 10000 + 0.5) AS BIGINT) AS lw
+              FROM bc, tot),
+            db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+              CAST(SUM(cnt * lw) AS BIGINT) AS log_w
+            FROM db JOIN lw USING (b)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Fractional-epoch upsampling (Sampling.epochUpsample): per-language
+    * epoch factors spanning >1 (repeat), <1 (hash-gate downsample) and
+    * exactly 1. The oracle replays the integer-permille split and the
+    * md5(key||"#epoch") gate; the row MULTISET (each copy's epoch_idx)
+    * is part of the hash. */
+  private val t28 = QueryDef("t28_epoch_upsample",
+    (s, d) => graft.operators.Sampling.epochUpsample(
+        Tables.documents(s, d), "lang", col("doc_id"),
+        Map("en" -> 1500, "de" -> 2250, "es" -> 700, "fr" -> 3000, "zh" -> 1000))
+      .select("doc_id", "lang", "epoch_idx")
+      .orderBy("doc_id", "epoch_idx"),
+    Some("""WITH ep(lang, pm) AS (VALUES ('en', 1500), ('de', 2250), ('es', 700),
+                                         ('fr', 3000), ('zh', 1000)),
+            c AS (SELECT doc_id, lang, pm // 1000 +
+                (CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#epoch'),
+                     1, 15))::BIGINT % 1000 < pm % 1000 THEN 1 ELSE 0 END) AS copies
+              FROM documents JOIN ep USING (lang))
+            SELECT doc_id, lang, UNNEST(range(1, copies + 1)) AS epoch_idx
+            FROM c WHERE copies >= 1 ORDER BY doc_id, epoch_idx"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -2893,7 +2948,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, q50,
+    t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
