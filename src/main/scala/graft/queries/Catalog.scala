@@ -2939,6 +2939,36 @@ object Catalog {
               FROM events) t
             WHERE rn = 1 ORDER BY user_id"""))
 
+  /** REAL stream-stream LEFT OUTER interval join (append mode). The
+    * streaming semantics differ from a batch left join in exactly one
+    * documented way: a NULL-extended row is emitted only once the final
+    * watermark proves no matching signup can arrive. The oracle replays
+    * that horizon — min of the two sides' max event time (watermark
+    * stats are millisecond-truncated) minus the 1-hour delay — so the
+    * boundary behavior itself is certified, not just the matched rows. */
+  private val s12 = QueryDef("s12_stream_leftjoin",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s, purchaseSignupLeftJoin(eventsStream(s, d)), outputMode = "append")
+        .orderBy("purchase_id", "signup_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'purchase'),
+                 s AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'signup'),
+                 wm AS (SELECT LEAST((SELECT epoch_us(MAX(ts)) // 1000 FROM p),
+                                     (SELECT epoch_us(MAX(ts)) // 1000 FROM s))
+                          - 3600000 AS w),
+                 m AS (SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+                         FROM p JOIN s ON p.user_id = s.user_id
+                          AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY)
+            SELECT purchase_id, signup_id FROM m
+            UNION ALL
+            SELECT p.event_id, CAST(NULL AS BIGINT) FROM p, wm
+             WHERE epoch_us(p.ts) // 1000 < wm.w
+               AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.event_id)
+            ORDER BY purchase_id, signup_id NULLS FIRST"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -2952,7 +2982,7 @@ object Catalog {
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11) ++ MoreQueries.all ++ FunctionSuites.all
+    s10, s11, s12) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -111,6 +111,34 @@ object EventStreams {
       .select("purchase_id", "signup_id")
   }
 
+  /** LEFT OUTER variant of [[purchaseSignupJoin]]: every purchase, joined
+    * to its preceding-7-day signups, with a NULL signup row for purchases
+    * the engine can PROVE unmatched — emitted only once the watermark
+    * passes the purchase's own event time, because until then a late
+    * signup (up to 1 hour behind the stream head) could still match.
+    * That proof obligation is the semantic difference between a batch
+    * left join and a streaming one: the streaming result is the batch
+    * result MINUS null-rows for purchases still inside the final
+    * watermark horizon. The horizon is deterministic for a given input
+    * (min over the two sides of max-event-time, ms-truncated, minus the
+    * 1-hour delay), which is what makes this certifiable by a batch
+    * oracle. State stays finite exactly as in the inner variant: the
+    * two-sided time bound lets both sides evict. */
+  def purchaseSignupLeftJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val s = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    p.join(s, col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"), "left_outer")
+      .select("purchase_id", "signup_id")
+  }
+
   /** Watermarked streaming dedup on (user_id, event_type). */
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
