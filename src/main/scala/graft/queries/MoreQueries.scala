@@ -435,6 +435,73 @@ object MoreQueries {
             FROM t1 FULL OUTER JOIN s1 ON t1.user_id = s1.user_id
             ORDER BY user_id"""))
 
+  /** Z-order layout audit (Layout.zorderAudit): Morton-interleave
+    * (user_id, floor(value)) into a 32-bit key, bucket by its 6 high
+    * bits, and report each bucket's row count and 2-D bounding box — the
+    * min/max statistics file skipping would consult after a Z-ordered
+    * write. The oracle replays the 4-step magic-number bit dilation with
+    * plain integer ops, so the bucketing is certified bit-for-bit. */
+  private val q64 = QueryDef("q64_zorder_layout",
+    // keyBits = 22: user_id < 2^11 and floor(value) < 2^10 at every SF,
+    // so the occupied Z-key width is 2*11 bits
+    (s, d) => graft.operators.Layout.zorderAudit(Tables.events(s, d),
+        col("user_id"), floor(col("value")), bucketBits = 6, keyBits = 22)
+      .orderBy("bucket"),
+    Some("""WITH b AS (SELECT user_id AS x,
+                CAST(FLOOR(value) AS BIGINT) AS y FROM events),
+            s1 AS (SELECT x, y, x & 65535 AS xa, y & 65535 AS ya FROM b),
+            s2 AS (SELECT x, y, (xa | (xa << 8)) & 16711935 AS xb,
+                                (ya | (ya << 8)) & 16711935 AS yb FROM s1),
+            s3 AS (SELECT x, y, (xb | (xb << 4)) & 252645135 AS xc,
+                                (yb | (yb << 4)) & 252645135 AS yc FROM s2),
+            s4 AS (SELECT x, y, (xc | (xc << 2)) & 858993459 AS xd,
+                                (yc | (yc << 2)) & 858993459 AS yd FROM s3),
+            s5 AS (SELECT x, y, (xd | (xd << 1)) & 1431655765 AS xe,
+                                (yd | (yd << 1)) & 1431655765 AS ye FROM s4)
+            SELECT (xe | (ye << 1)) >> 16 AS bucket, COUNT(*) AS n,
+              MIN(x) AS min_x, MAX(x) AS max_x,
+              MIN(y) AS min_y, MAX(y) AS max_y
+            FROM s5 GROUP BY bucket ORDER BY bucket"""))
+
+  /** Bloom-filter join pruning (Layout.bloomPrefilter): prefilter orders
+    * by an 8192-bit / 3-hash Bloom filter over the BUILDING-segment
+    * customer keys — the runtime-filter pattern that shrinks the fact
+    * shuffle to matches + collisions. `is_match` separates true matches
+    * from Bloom collisions, and the oracle replays every md5 hash
+    * position, so the EXACT collision set is certified (as in t24's
+    * Count-Min), not just the happy path. */
+  private val q65 = QueryDef("q65_bloom_prefilter",
+    (s, d) => {
+      val build = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      graft.operators.Layout.bloomPrefilter(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("o_custkey"), build, col("c_custkey"))
+        // no broadcast hint: customer scales with SF (AQE may still
+        // choose broadcast at small scale)
+        .join(build.select(col("c_custkey").as("__k")).distinct
+            .withColumn("__m", lit(true)),
+          col("o_custkey") === col("__k"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("bloom_pass"),
+          coalesce(col("__m"), lit(false)).as("is_match"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH bk AS (SELECT DISTINCT c_custkey AS key FROM customer
+                         WHERE c_mktsegment = 'BUILDING'),
+            pos AS (SELECT DISTINCT
+                ('0x' || substring(md5(CAST(key AS VARCHAR) || '#' ||
+                   CAST(j AS VARCHAR)), 1, 15))::BIGINT % 8192 AS p
+              FROM bk, range(3) r(j)),
+            pass AS (SELECT o_orderkey, o_custkey
+              FROM orders, range(3) r(j)
+              WHERE ('0x' || substring(md5(CAST(o_custkey AS VARCHAR) || '#' ||
+                       CAST(j AS VARCHAR)), 1, 15))::BIGINT % 8192
+                    IN (SELECT p FROM pos)
+              GROUP BY o_orderkey, o_custkey HAVING COUNT(*) = 3)
+            SELECT o_orderkey, o_custkey, TRUE AS bloom_pass,
+              (o_custkey IN (SELECT key FROM bk)) AS is_match
+            FROM pass ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q39, q40, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }
