@@ -400,6 +400,60 @@ object Dedup {
     floor((lit(1.0) - levenshtein(a, b).cast("double") /
       greatest(length(a), length(b), lit(1)).cast("double")) * 10000 + 0.5) / 10000
 
+  /** Span-level exact-substring deduplication (the ExactSubstr step of
+    * Lee et al. 2022, arXiv:2107.06499 — "Deduplicating Training Data
+    * Makes Language Models Better"): excise from every document each
+    * `n`-token window whose exact text occurs anywhere else in the
+    * corpus, keeping only the corpus-wide canonical occurrence (the one
+    * with the smallest (doc_id, pos)). Tokens covered by at least one
+    * excised window are dropped; the survivors are rejoined. Unlike
+    * [[crossDocNgramDup]] (which only SCORES overlap) this rewrites the
+    * text — the form a training pipeline actually ships.
+    *
+    * Scale shape: one explode to (doc, pos, window-digest), ONE shuffle
+    * on the digest for (count, canonical) — digests are md5, so the
+    * aggregation is uniform regardless of text skew — then one
+    * per-document aggregation of removable starts and an equi join back
+    * to the docs. Coverage expansion is array-local per row (bounded by
+    * document length), never a shuffle. The canonical pick is an integer
+    * min over doc_id*1e6+pos — portable, no struct-ordering semantics.
+    *
+    * @return (doc_id, n_tokens, n_removed, text_dedup)
+    */
+  def spanDedup(docs: DataFrame, n: Int = 10, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(n >= 2, "spanDedup: n must be >= 2")
+    val toks = docs.select(col(idCol), TextFns.words(col(textCol)).as("__w"))
+    val grams = toks.select(col(idCol),
+        explode(when(size(col("__w")) < n,
+            array().cast("array<struct<pos:int,dig:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("__w")) - (n - 1)),
+            i => struct(i.cast("int").as("pos"),
+              md5(concat_ws(" ", slice(col("__w"), i, lit(n))).cast("binary"))
+                .as("dig"))))).as("__g"))
+      .select(col(idCol), col("__g.pos").as("__pos"), col("__g.dig").as("__dig"),
+        (col(idCol) * 1000000L + col("__g.pos")).as("__packed"))
+    val stats = grams.groupBy("__dig").agg(count(lit(1)).as("__cnt"),
+      min("__packed").as("__canon"))
+    val starts = grams.join(stats, Seq("__dig"))
+      .filter(col("__cnt") > 1 && col("__packed") =!= col("__canon"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__s"))
+    toks.join(starts, Seq(idCol), "left")
+      .select(col(idCol), size(col("__w")).cast("long").as("n_tokens"),
+        coalesce(col("__s"), array().cast("array<int>")).as("__s"), col("__w"))
+      // sequence(1, 0) would count DOWN; guard the empty-document case
+      .withColumn("__keep", when(size(col("__w")) === 0,
+          array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(1), size(col("__w"))),
+          i => !exists(col("__s"), s => s <= i && i < s + n))))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__keep"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("__keep"), i => element_at(col("__w"), i)))
+          .as("text_dedup"))
+  }
+
   /** Character-level verification of candidate near-dup pairs: joins each
     * (id_a, id_b) back to its texts and scores normalized edit similarity —
     * the strict verifier applied AFTER cheap candidate generation

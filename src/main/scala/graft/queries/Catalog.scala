@@ -950,6 +950,45 @@ object Catalog {
                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
               FROM documents) t WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Span-level exact-substring dedup (Dedup.spanDedup): every 10-token
+    * window that occurs more than once in the corpus is excised except at
+    * its canonical (smallest doc_id*1e6+pos) occurrence; covered tokens
+    * drop and the text is rebuilt. The oracle replays the window digests,
+    * the canonical pick and the coverage expansion, so the REWRITTEN TEXT
+    * itself is hash-compared — not just the overlap statistics. */
+  private val d20 = QueryDef("d20_span_dedup",
+    (s, d) => graft.operators.Dedup.spanDedup(Tables.documents(s, d), n = 10)
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                  x -> x <> '') AS w
+              FROM documents),
+            g0 AS (SELECT doc_id,
+                UNNEST(list_transform(range(1, len(w) - 8),
+                  i -> {'pos': i,
+                        'dig': md5(array_to_string(list_slice(w, i, i + 9), ' '))}))
+                  AS g
+              FROM w WHERE len(w) >= 10),
+            g AS (SELECT doc_id, g.pos AS pos, g.dig AS dig,
+                doc_id * 1000000 + g.pos AS packed FROM g0),
+            sc AS (SELECT dig, COUNT(*) AS cnt, MIN(packed) AS canon
+                   FROM g GROUP BY dig),
+            rem AS (SELECT g.doc_id, g.pos FROM g JOIN sc USING (dig)
+                    WHERE sc.cnt > 1 AND g.packed <> sc.canon),
+            ss AS (SELECT doc_id, list_sort(list(pos)) AS s
+                   FROM rem GROUP BY doc_id),
+            k AS (SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+                list_filter(range(1, len(w.w) + 1),
+                  i -> len(list_filter(COALESCE(ss.s, []),
+                         x -> x <= i AND i < x + 10)) = 0) AS keep,
+                w.w AS w
+              FROM w LEFT JOIN ss USING (doc_id))
+            SELECT doc_id, n_tokens,
+              CAST(n_tokens - len(keep) AS BIGINT) AS n_removed,
+              COALESCE(array_to_string(list_transform(keep, i -> w[i]), ' '), '')
+                AS text_dedup
+            FROM k ORDER BY doc_id"""))
+
   // ------------------------------------------------------- similarity [EXT]
 
   private val x01 = QueryDef("x01_knn5",
@@ -2969,20 +3008,41 @@ object Catalog {
                AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.event_id)
             ORDER BY purchase_id, signup_id NULLS FIRST"""))
 
+  /** REAL stream-static join (append mode): the streaming events enriched
+    * against the BATCH customer table — the standard dimension-enrichment
+    * pattern. Stream-static joins are stateless (the static side is
+    * simply available to every micro-batch), so unlike s03/s12 there is
+    * no watermark subtlety and the batch join is the exact oracle. The
+    * static side scales with SF, so no broadcast hint — AQE decides, as
+    * in q04. */
+  private val s13 = QueryDef("s13_stream_static",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s,
+        eventsStream(s, d)
+          .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+            col("user_id") === col("c_custkey"))
+          .select("event_id", "user_id", "c_mktsegment"),
+        outputMode = "append")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, c_mktsegment FROM events
+            JOIN customer ON user_id = c_custkey ORDER BY event_id"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12) ++ MoreQueries.all ++ FunctionSuites.all
+    s10, s11, s12, s13) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
