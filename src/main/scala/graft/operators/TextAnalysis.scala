@@ -302,9 +302,9 @@ object TextAnalysis {
     * Scale shape: ONE gram scan feeds both distributions (the target is
     * a flag, not a second pass); bucket log-ratios live in a table of at
     * most `buckets` rows — broadcast to the per-document join regardless
-    * of corpus size; the only corpus-scale shuffles are the two hash
-    * aggs on (bucket) and (doc, bucket). Totals are a driver scalar
-    * (metadata-scale, as in ngramLmScore). Per-bucket ratios take two
+    * of corpus size; the ONLY corpus-scale shuffle is the (doc, bucket)
+    * hash agg (bucket and corpus totals reduce from it in-plan; nothing
+    * touches the driver). Per-bucket ratios take two
     * separate ln()s of double divisions — never an integer cross-product
     * numerator, which would overflow Long once ct·R passes 2^63 (real at
     * corpus scale). Log terms are scaled-BIGINT (floor(x·1e4+0.5)) so
@@ -327,18 +327,27 @@ object TextAnalysis {
         }).as("__g"))
       .select(col(idCol), col("__t"),
         pmod(Sampling.keyHash(col("__g")), lit(buckets.toLong)).as("__b"))
-    val bucketCounts = grams.groupBy("__b").agg(
-      count(lit(1)).as("__cr"),
-      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("__ct"))
-    val totals = bucketCounts
-      .agg(coalesce(sum("__cr"), lit(0L)), coalesce(sum("__ct"), lit(0L))).head()
-    val (rTot, tTot) = (totals.getLong(0), totals.getLong(1))
-    val lw = bucketCounts.select(col("__b"),
-      floor((log((col("__ct") + 1L).cast("double") / lit((tTot + buckets).toDouble)) -
-             log((col("__cr") + 1L).cast("double") / lit((rTot + buckets).toDouble)))
+    // ONE corpus-scale shuffle: the (doc, bucket) counts. Bucket totals
+    // and corpus totals reduce FROM those (__t is constant per doc, so
+    // grouping by it is free), and both ride in the same plan as 1-row /
+    // <= buckets-row broadcasts — no driver collect, and ReuseExchange
+    // shares the docBucket exchange between the ratio table and the
+    // per-document side instead of re-running the gram scan.
+    val docBucket = grams.groupBy(col(idCol), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val bucketCounts = docBucket.groupBy("__b").agg(
+      sum("__cnt").as("__cr"),
+      sum(when(col("__t"), col("__cnt")).otherwise(lit(0L))).as("__ct"))
+    val totals = bucketCounts.agg(
+      coalesce(sum("__cr"), lit(0L)).as("__rt"),
+      coalesce(sum("__ct"), lit(0L)).as("__tt"))
+    val lw = bucketCounts.crossJoin(broadcast(totals)).select(col("__b"),
+      floor((log((col("__ct") + 1L).cast("double") /
+               (col("__tt") + buckets).cast("double")) -
+             log((col("__cr") + 1L).cast("double") /
+               (col("__rt") + buckets).cast("double")))
         * 10000 + 0.5).cast("long").as("__lw"))
-    grams.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
-      .join(broadcast(lw), Seq("__b"))
+    docBucket.join(broadcast(lw), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum("__cnt").cast("long").as("n_feats"),
         sum(col("__cnt") * col("__lw")).cast("long").as("log_w"))

@@ -175,4 +175,45 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("n_chars"), s"scan must prune unused columns:\n$p")
   }
+
+  test("q65: bloom prefilter applies as broadcast word lookups — probe never hash-shuffles") {
+    val probe = graft.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey")
+    val build = graft.Tables.customer(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+    val df = graft.operators.Layout.bloomPrefilter(probe,
+      org.apache.spark.sql.functions.col("o_custkey"),
+      build, org.apache.spark.sql.functions.col("c_custkey"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"word lookups must broadcast:\n$p")
+    // the only hash exchanges allowed are on the <=128-row words side
+    // (building the filter), never on the probe scan: every probe-side
+    // join is a BroadcastHashJoin, so a probe hash-shuffle would surface
+    // as a SortMergeJoin or ShuffledHashJoin
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"probe side must not shuffle:\n$p")
+  }
+
+  test("q64/d20: layout audit and span dedup never plan a cartesian product") {
+    for (q <- Seq("q64_zorder_layout", "d20_span_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("t28: epoch upsampling is scan-side — zero shuffles") {
+    val df = graft.operators.Sampling.epochUpsample(
+      graft.Tables.documents(spark, dir), "lang",
+      org.apache.spark.sql.functions.col("doc_id"),
+      Map("en" -> 1500, "de" -> 700))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"upsampling must not shuffle:\n$p")
+  }
+
+  test("t27: DSIR bucket ratios broadcast to the per-document join") {
+    val p = plan("t27_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket log-ratio table must broadcast:\n$p")
+  }
 }
