@@ -400,6 +400,62 @@ object Dedup {
     floor((lit(1.0) - levenshtein(a, b).cast("double") /
       greatest(length(a), length(b), lit(1)).cast("double")) * 10000 + 0.5) / 10000
 
+  /** Incremental deduplication of a NEW batch against an existing (already
+    * deduplicated) corpus — the production shape: a daily crawl must not
+    * re-dedup the world, so the corpus side is reduced to two small
+    * precomputable artifacts (in practice stored as tables and merely
+    * read): the md5 text-digest index and the (band, digest) LSH index.
+    * Per-batch cost is then proportional to the BATCH — its digests and
+    * bands, the band-collision candidates, and a Jaccard verification
+    * bounded by the candidate set — never to the corpus row count.
+    *
+    * Classification per batch doc, in precedence order: `exact` (its md5
+    * digest exists in the corpus), `near` (shares >= 1 LSH band bucket
+    * with a corpus doc AND word-shingle Jaccard >= `threshold` against
+    * it), else `new`. `match_id` is the smallest qualifying corpus id
+    * (NULL for `new`). All joins are equi on digests / (band, digest) /
+    * ids; the md5-portable signature path ([[lshCandidatesPortable]])
+    * makes every stage replayable by an external engine.
+    *
+    * @return (idCol, status, match_id) — one row per batch document
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    val cDig = corpus
+      .select(md5(col(textCol).cast("binary")).as("__dig"),
+        col(idCol).as("__cid"))
+      .groupBy("__dig").agg(min("__cid").as("__exact_id"))
+    def bandsOf(df: DataFrame, id: String) = df
+      .select(col(idCol).as(id),
+        TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(id), TextFns.minhashPortable(col("__sh"), k).as("__sig"))
+      .select(col(id),
+        explode(TextFns.lshBandsPortable(col("__sig"), k, bands)).as("__b"))
+      .select(col(id), col("__b.band").as("__band"), col("__b.digest").as("__bd"))
+    val cand = bandsOf(batch, "__id")
+      .join(bandsOf(corpus, "__cand_cid"), Seq("__band", "__bd"))
+      .select("__id", "__cand_cid").distinct()
+    val near = cand
+      .join(batch.select(col(idCol).as("__id"),
+        TextFns.wordShingles(col(textCol), shingleN).as("__sha")), Seq("__id"))
+      .join(corpus.select(col(idCol).as("__cand_cid"),
+        TextFns.wordShingles(col(textCol), shingleN).as("__shb")), Seq("__cand_cid"))
+      .filter(TextFns.jaccard(col("__sha"), col("__shb")) >= threshold)
+      .groupBy(col("__id")).agg(min(col("__cand_cid")).as("__near_id"))
+    batch.select(col(idCol).as("__id"),
+        md5(col(textCol).cast("binary")).as("__dig"))
+      .join(cDig, Seq("__dig"), "left")
+      .join(near, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        when(col("__exact_id").isNotNull, lit("exact"))
+          .when(col("__near_id").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("__exact_id"), col("__near_id")).as("match_id"))
+  }
+
   /** Span-level exact-substring deduplication (the ExactSubstr step of
     * Lee et al. 2022, arXiv:2107.06499 — "Deduplicating Training Data
     * Makes Language Models Better"): excise from every document each

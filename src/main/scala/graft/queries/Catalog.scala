@@ -987,7 +987,75 @@ object Catalog {
               CAST(n_tokens - len(keep) AS BIGINT) AS n_removed,
               COALESCE(array_to_string(list_transform(keep, i -> w[i]), ' '), '')
                 AS text_dedup
-            FROM k ORDER BY doc_id"""))
+            FROM k ORDER BY doc_id"""),
+    bench = true)
+
+  /** Incremental dedup of a new batch vs an existing corpus
+    * (Dedup.incrementalDedup): corpus = doc_id < 250, batch = the rest
+    * plus 5 planted exact clones of corpus docs (the fixture's natural
+    * clones sit on one side of the split, so the exact path needs
+    * planting — the 12 natural cross-boundary near-dups exercise the LSH
+    * path). The oracle replays the md5 digest index, the portable
+    * MinHash/banding (d12's certified idioms), the candidate collisions
+    * AND the Jaccard verification, so each batch doc's
+    * exact/near/new status and its matched corpus id are hash-compared. */
+  private val d21 = QueryDef("d21_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+        .unionByName(corpus.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+      graft.operators.Dedup.incrementalDedup(corpus, batch)
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+            b AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+                  UNION ALL
+                  SELECT doc_id + 90000, text FROM documents WHERE doc_id < 5),
+            cdig AS (SELECT md5(text) AS dig, MIN(doc_id) AS eid
+                     FROM c GROUP BY 1),
+            allx AS (SELECT * FROM c UNION ALL SELECT * FROM b),
+            w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                  x -> x <> '') AS w
+              FROM allx),
+            g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            ne AS (SELECT doc_id, sh FROM g WHERE len(sh) > 0),
+            sig AS (SELECT doc_id, list_transform(range(16), i ->
+                      list_min(list_transform(sh, s ->
+                        ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || s),
+                           1, 15))::BIGINT)))
+                      AS sig
+                    FROM ne),
+            bd AS (SELECT doc_id, CAST(r.range AS INT) AS band,
+                     md5(array_to_string(
+                       sig[CAST(r.range AS INT)*4+1 : CAST(r.range AS INT)*4+4], ','))
+                       AS digest
+                   FROM sig, range(4) r),
+            cand AS (SELECT DISTINCT bb.doc_id AS id, cb.doc_id AS cid
+                     FROM bd bb JOIN bd cb
+                       ON bb.band = cb.band AND bb.digest = cb.digest
+                     WHERE bb.doc_id >= 250 AND cb.doc_id < 250),
+            ver AS (SELECT cand.id, MIN(cand.cid) AS nid
+                    FROM cand
+                    JOIN ne s1 ON s1.doc_id = cand.id
+                    JOIN ne s2 ON s2.doc_id = cand.cid
+                    WHERE len(list_intersect(s1.sh, s2.sh)) * 1.0 /
+                          len(list_distinct(list_concat(s1.sh, s2.sh)))
+                          >= CAST(0.5 AS DOUBLE)
+                    GROUP BY cand.id),
+            ex AS (SELECT b.doc_id, cdig.eid FROM b
+                   JOIN cdig ON md5(b.text) = cdig.dig)
+            SELECT b.doc_id,
+              CASE WHEN ex.eid IS NOT NULL THEN 'exact'
+                   WHEN ver.nid IS NOT NULL THEN 'near'
+                   ELSE 'new' END AS status,
+              COALESCE(ex.eid, ver.nid) AS match_id
+            FROM b LEFT JOIN ex USING (doc_id)
+                   LEFT JOIN ver ON ver.id = b.doc_id
+            ORDER BY doc_id"""))
 
   // ------------------------------------------------------- similarity [EXT]
 
@@ -1846,7 +1914,8 @@ object Catalog {
             SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
               CAST(SUM(cnt * lw) AS BIGINT) AS log_w
             FROM db JOIN lw USING (b)
-            GROUP BY doc_id ORDER BY doc_id"""))
+            GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
 
   /** Fractional-epoch upsampling (Sampling.epochUpsample): per-language
     * epoch factors spanning >1 (repeat), <1 (hash-gate downsample) and
@@ -3029,20 +3098,53 @@ object Catalog {
     Some("""SELECT event_id, user_id, c_mktsegment FROM events
             JOIN customer ON user_id = c_custkey ORDER BY event_id"""))
 
+  /** REAL append-mode session windows (s02's complete-mode twin, run the
+    * way production would): only sessions the watermark has CLOSED are
+    * emitted. The oracle replays q26's gaps-and-islands sessionization
+    * plus the final watermark horizon (max event time, ms-truncated,
+    * minus the 1-hour delay) — a session row appears iff its end
+    * (last event + 30 min) is strictly below the horizon, certifying
+    * the emission rule itself, not just the session arithmetic. */
+  private val s14 = QueryDef("s14_stream_sessions_append",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s, userSessionsAppend(eventsStream(s, d)), outputMode = "append")
+        .orderBy("user_id", "s_start")
+    },
+    Some("""WITH wm AS (SELECT epoch_us(MAX(ts)) // 1000 - 3600000 AS w
+                        FROM events),
+            g AS (SELECT user_id, ts, event_id,
+                DATE_DIFF('second', LAG(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+              FROM events),
+            se AS (SELECT user_id, ts,
+                SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g),
+            s AS (SELECT user_id, sess,
+                CAST(MIN(ts) AS TIMESTAMP) AS s_start,
+                CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS s_end,
+                COUNT(*) AS n_events
+              FROM se GROUP BY user_id, sess)
+            SELECT s_start, s_end, user_id, n_events FROM s, wm
+            WHERE epoch_us(s_end) // 1000 < wm.w
+            ORDER BY user_id, s_start"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13) ++ MoreQueries.all ++ FunctionSuites.all
+    s10, s11, s12, s13, s14) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -91,6 +91,23 @@ object EventStreams {
       .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** APPEND-mode session windows (the production form of [[userSessions]],
+    * which runs complete-mode): with a watermark, a session row is
+    * emitted exactly once — when the watermark passes its end (last
+    * event + gap) and the session provably cannot extend. State is
+    * therefore bounded by OPEN sessions only, which is what makes
+    * session aggregation viable on an unbounded stream. The sessions
+    * still inside the final watermark horizon are withheld, and the
+    * batch oracle replays that horizon — the same certification
+    * technique as the s12 left-outer join. */
+  def userSessionsAppend(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sess.start").cast("timestamp_ntz").as("s_start"),
+        col("sess.end").cast("timestamp_ntz").as("s_end"),
+        col("user_id"), col("n_events"))
+
   /** Stream-stream interval self-join: each purchase joined to the same
     * user's signups in the preceding 7 days. Both sides are watermarked and
     * the time range is bounded on both ends, so Spark can expire join state
