@@ -407,6 +407,71 @@ object TextAnalysis {
           s => s.getField("toks"))), " ").as("toks"))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — the learning half of
+    * [[bpeTokenize]]: `rounds` merge rounds, each choosing the most
+    * frequent adjacent token pair (ties broken lexicographically) over
+    * the corpus word-frequency table and merging every occurrence. Pairs
+    * with left == right are excluded — the same x != y contract
+    * [[graft.functions.ArrayExprs.BpeEncode]] asserts, which makes every
+    * occurrence of the chosen pair disjoint BY CONSTRUCTION (an
+    * occurrence at i would need toks(i)=b=a at i-1 to overlap), so merge
+    * application is a position-independent map, not a left-to-right
+    * fold — the property that lets an external engine replay training
+    * bit-for-bit and lets the learned table feed BpeEncode unchanged.
+    *
+    * Scale shape: ONE corpus scan builds (word, freq); every round after
+    * that runs on the DISTINCT-WORD table (vocabulary-scale, like
+    * [[bpeTokenize]]'s application loop). The chosen pair is a 1-row
+    * broadcast, never driver state; each round's state is
+    * localCheckpoint'ed so lineage stays flat across rounds.
+    *
+    * @return (merge_rank, lhs, rhs, pair_count) — the learned merge table
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int,
+               textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, "bpeTrain: rounds must be >= 1")
+    val toksOf = (w: Column) => filter(split(w, ""), t => t =!= "")
+    val s0 = docs
+      .select(explode(TextFns.words(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__freq"))
+      .select(col("__w"), col("__freq"), toksOf(col("__w")).as("__toks"))
+      .localCheckpoint(true)
+    val (_, merges) = (1 to rounds).foldLeft((s0, Seq.empty[DataFrame])) {
+      case ((state, acc), r) =>
+        val best = state
+          .select(col("__freq"),
+            explode(when(size(col("__toks")) < 2,
+                array().cast("array<struct<a:string,b:string>>"))
+              .otherwise(transform(sequence(lit(1), size(col("__toks")) - 1),
+                i => struct(element_at(col("__toks"), i).as("a"),
+                  element_at(col("__toks"), i + 1).as("b"))))).as("__p"))
+          .filter(col("__p.a") =!= col("__p.b"))
+          .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+          .agg(sum("__freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .localCheckpoint(true)
+        val next = state.crossJoin(broadcast(best))
+          .select(col("__w"), col("__freq"),
+            filter(transform(sequence(lit(1), size(col("__toks"))), i =>
+              when(i < size(col("__toks")) &&
+                   element_at(col("__toks"), i) === col("a") &&
+                   element_at(col("__toks"), i + 1) === col("b"),
+                concat(element_at(col("__toks"), i),
+                  element_at(col("__toks"), i + 1)))
+              .when(i > lit(1) &&
+                   element_at(col("__toks"), i) === col("b") &&
+                   element_at(col("__toks"), i - 1) === col("a"),
+                lit(null).cast("string"))
+              .otherwise(element_at(col("__toks"), i))),
+              t => t.isNotNull).as("__toks"))
+          .localCheckpoint(true)
+        (next, acc :+ best.select(lit(r).as("merge_rank"),
+          col("a").as("lhs"), col("b").as("rhs"),
+          col("cnt").cast("long").as("pair_count")))
+    }
+    merges.reduce(_ unionByName _)
+  }
+
   /** Multi-query BM25 retrieval: [[bm25]] generalized to a query TABLE —
     * the retrieval join a search/RAG pipeline runs per batch of queries.
     * One corpus scan builds tf over the union of all query terms; df/dl/

@@ -1937,6 +1937,44 @@ object Catalog {
             SELECT doc_id, lang, UNNEST(range(1, copies + 1)) AS epoch_idx
             FROM c WHERE copies >= 1 ORDER BY doc_id, epoch_idx"""))
 
+  /** BPE tokenizer training (TextAnalysis.bpeTrain): 6 merge rounds over
+    * the corpus word-frequency table. The oracle UNROLLS the training
+    * loop — per round the pair counting, the (count desc, pair asc)
+    * argmax and the all-occurrence merge application are re-derived in
+    * SQL — so the learned merge table is certified bit-for-bit, the same
+    * way t22 certifies merge APPLICATION. */
+  private def t29RoundCte(r: Int): String = s""",
+            p${r}0 AS (SELECT freq, UNNEST(list_transform(range(1, len(toks)),
+                        i -> {'a': toks[i], 'b': toks[i+1]})) AS pr FROM s${r - 1}),
+            p$r AS (SELECT pr.a AS a, pr.b AS b, SUM(freq) AS cnt FROM p${r}0
+                    WHERE pr.a <> pr.b GROUP BY 1, 2),
+            b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+            s$r AS (SELECT word, freq,
+                list_filter(list_transform(range(1, len(toks) + 1), i ->
+                  CASE WHEN i < len(toks) AND toks[i] = b.a AND toks[i+1] = b.b
+                         THEN toks[i] || toks[i+1]
+                       WHEN i > 1 AND toks[i] = b.b AND toks[i-1] = b.a THEN NULL
+                       ELSE toks[i] END), x -> x IS NOT NULL) AS toks
+                FROM s${r - 1}, b$r b)"""
+
+  private val t29 = QueryDef("t29_bpe_train",
+    (s, d) => graft.operators.TextAnalysis.bpeTrain(
+        Tables.documents(s, d), rounds = 6)
+      .orderBy("merge_rank"),
+    Some("""WITH w AS (SELECT UNNEST(list_filter(
+                regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                x -> x <> '')) AS word FROM documents),
+            t0 AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+            s0 AS (SELECT word, freq,
+                list_transform(range(1, length(word) + 1), i -> word[i]) AS toks
+              FROM t0)""" +
+      (1 to 6).map(t29RoundCte).mkString +
+      "\nSELECT * FROM (" +
+      (1 to 6).map(r =>
+        s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b$r")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY merge_rank"))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -3140,7 +3178,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, q50,
+    t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
