@@ -267,4 +267,35 @@ object RelationalOps {
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new")
   }
+
+  /** Interval coalescing (merge overlapping-or-touching intervals per
+    * key) — the coverage-union operator behind "total active time",
+    * downtime merging and span consolidation. [[sessionize]]'s
+    * gaps-and-islands generalized to VARIABLE-length intervals: a new
+    * span starts where an interval's start exceeds the running max of
+    * all previous ends (a later interval can be swallowed by an earlier
+    * longer one, which a fixed-gap rule cannot express). Touching
+    * intervals (start == previous end) merge.
+    *
+    * One shuffle on the key: the running-max window, the span-id window
+    * and the final per-span aggregation all ride the same (key)
+    * partitioning — the scd2 single-exchange pattern.
+    *
+    * @return one row per merged span: key, span_start, span_end, n_iv
+    */
+  def mergeIntervals(df: DataFrame, key: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1).otherwise(0))
+      .withColumn("__span", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("__span"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_iv"))
+      .drop("__span")
+  }
 }

@@ -327,17 +327,21 @@ object TextAnalysis {
         }).as("__g"))
       .select(col(idCol), col("__t"),
         pmod(Sampling.keyHash(col("__g")), lit(buckets.toLong)).as("__b"))
-    // ONE corpus-scale shuffle: the (doc, bucket) counts. Bucket totals
-    // and corpus totals reduce FROM those (__t is constant per doc, so
-    // grouping by it is free), and both ride in the same plan as 1-row /
-    // <= buckets-row broadcasts — no driver collect, and ReuseExchange
-    // shares the docBucket exchange between the ratio table and the
-    // per-document side instead of re-running the gram scan.
+    // ONE corpus-scale scan and shuffle: the (doc, bucket) counts,
+    // materialized (localCheckpoint) because BOTH the ratio table and
+    // the per-document side consume them — ReuseExchange does not fire
+    // across the broadcast boundary (measured: 3 scans without this),
+    // and re-running the gram explode is the expensive path at scale.
+    // Bucket totals and corpus totals reduce FROM the materialized
+    // counts (__t is constant per doc, so grouping by it is free) as
+    // <= buckets-row / 1-row broadcasts — nothing touches the driver.
     val docBucket = grams.groupBy(col(idCol), col("__t"), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
     val bucketCounts = docBucket.groupBy("__b").agg(
       sum("__cnt").as("__cr"),
       sum(when(col("__t"), col("__cnt")).otherwise(lit(0L))).as("__ct"))
+      .localCheckpoint(true)
     val totals = bucketCounts.agg(
       coalesce(sum("__cr"), lit(0L)).as("__rt"),
       coalesce(sum("__ct"), lit(0L)).as("__tt"))

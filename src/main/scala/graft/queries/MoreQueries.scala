@@ -502,6 +502,40 @@ object MoreQueries {
               (o_custkey IN (SELECT key FROM bk)) AS is_match
             FROM pass ORDER BY o_orderkey"""))
 
+  /** Interval coalescing (RelationalOps.mergeIntervals): each event
+    * extended to a 10-minute interval, overlapping-or-touching intervals
+    * merged per user. The oracle replays the running-max/gaps-and-islands
+    * derivation, certifying span boundaries, swallowed intervals and
+    * per-span counts exactly (timestamp arithmetic is integer-µs on both
+    * engines). */
+  private val q66 = QueryDef("q66_interval_merge",
+    (s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"),
+        col("ts").as("iv_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("iv_end"))
+      graft.operators.RelationalOps.mergeIntervals(iv, "user_id",
+          "iv_start", "iv_end")
+        .select(col("user_id"),
+          col("span_start").cast("timestamp_ntz").as("span_start"),
+          col("span_end").cast("timestamp_ntz").as("span_end"), col("n_iv"))
+        .orderBy("user_id", "span_start")
+    },
+    Some("""WITH iv AS (SELECT user_id, ts AS s,
+                ts + INTERVAL 10 MINUTE AS e FROM events),
+            m AS (SELECT user_id, s, e,
+                MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM iv),
+            sp AS (SELECT user_id, s, e,
+                SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS span
+              FROM m)
+            SELECT user_id, CAST(MIN(s) AS TIMESTAMP) AS span_start,
+              CAST(MAX(e) AS TIMESTAMP) AS span_end, COUNT(*) AS n_iv
+            FROM sp GROUP BY user_id, span
+            ORDER BY user_id, span_start"""))
+
   val all: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q39, q40, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }
