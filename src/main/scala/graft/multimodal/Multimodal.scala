@@ -104,6 +104,78 @@ object Multimodal {
     }
   }
 
+  /** High-entropy deterministic media table for the perceptual-dup path:
+    * payload byte j of id is the first byte of md5("id:j") — portable
+    * (the oracle re-derives every byte with the same md5) yet free of
+    * [[generate]]'s arithmetic periodicity, which would make EVERY pair
+    * a perceptual near-match and turn dup detection degenerate. Fixed
+    * 64-byte payloads (one aHash tile). */
+  def generateHashed(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // the raw digest byte IS the payload byte: its unsigned value (&0xFF
+      // in the hash kernel) equals the oracle's hex-pair integer directly
+      val bytes = Array.tabulate(64) { j =>
+        md.digest(s"$id:$j".getBytes("UTF-8"))(0)
+      }
+      MediaRow(id, Seq("image", "audio", "video")((id % 3).toInt), bytes,
+        MediaMeta("raw", 8, 8, 0, 1))
+    }
+  }
+
+  /** Perceptual average-hash (aHash) of the DECODED payload — the
+    * image-dedup primitive: 64 "pixels" (stub decode = the unsigned
+    * payload bytes; a real codec would downsample the decoded image to
+    * an 8x8 grayscale tile here), bit j set iff pixel j is strictly
+    * above the tile mean (compared as p*64 > sum — integer-exact, no
+    * division). Per-partition kernel like [[extractFeatures]]. */
+  def perceptualHashes(media: Dataset[MediaRow],
+                       codec: Codec = StubCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val px = r.bytes.take(64).map(_ & 0xFF)
+        val s = px.sum
+        var h = 0L
+        var j = 0
+        while (j < px.length) {
+          if (px(j).toLong * 64 > s) h |= (1L << j)
+          j += 1
+        }
+        (r.media_id, h)
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Perceptual near-duplicate pairs: SimHash-style pigeonhole on the
+    * four 16-bit chunks of the aHash (a pair within Hamming distance 3
+    * MUST agree on at least one chunk — candidates are an equi self-join
+    * on (chunk, value), never all-pairs) then exact `bit_count(xor)`
+    * verification. The d04/d08 composition applied to media columns.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming
+    */
+  def perceptualDupPairs(media: Dataset[MediaRow],
+                         maxHamming: Int = 8): DataFrame = {
+    val h = perceptualHashes(media)
+    val chunks = h.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        shiftright(col("ahash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
+        .as("ch"))
+      .select(col("media_id"), col("ahash"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash").as("__ha"), col("b.ahash").as("__hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Metadata-only analytics never touch the payload: column pruning keeps
     * `bytes` out of the scan entirely. */
   def modalityStats(media: Dataset[MediaRow]): DataFrame =

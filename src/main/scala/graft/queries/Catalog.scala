@@ -2665,6 +2665,62 @@ object Catalog {
                 AS DOUBLE), 4) AS f7
             FROM m ORDER BY media_id"""))
 
+  /** Perceptual-hash media near-dup (Multimodal.perceptualDupPairs):
+    * aHash over the stub-decoded payload, 16-bit-chunk pigeonhole
+    * candidates, exact Hamming verify. The fixture is the md5-payload
+    * generator plus planted exact re-uploads (ids+10000) and
+    * one-byte-perturbed re-encodes (ids+20000) — the oracle re-derives
+    * every payload byte, the mean-threshold bits, the chunk collisions
+    * and the Hamming distances, so the 24-pair result (clones at 0,
+    * re-encodes at 0-3 bits) is certified end to end. */
+  private val m03 = QueryDef("m03_media_neardup",
+    (s, d) => {
+      import graft.multimodal.Multimodal._
+      import s.implicits._
+      val base = generateHashed(s, 200)
+      val clones = base.filter(_.media_id < 8)
+        .map(r => r.copy(media_id = r.media_id + 10000))
+      val reenc = base.filter(_.media_id < 8).map { r =>
+        val b = r.bytes.clone()
+        b(0) = (((b(0) & 0xFF) + 200) % 256).toByte
+        r.copy(media_id = r.media_id + 20000, bytes = b)
+      }
+      perceptualDupPairs(base.union(clones).union(reenc))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (SELECT r.range AS id, r.range AS bid, 0 AS pert
+                         FROM range(200) r
+                         UNION ALL SELECT r.range + 10000, r.range, 0 FROM range(8) r
+                         UNION ALL SELECT r.range + 20000, r.range, 1 FROM range(8) r),
+            px AS (SELECT id, list_transform(range(64), j ->
+                     CASE WHEN pert = 1 AND j = 0
+                       THEN (('0x' || substring(md5(CAST(bid AS VARCHAR) || ':0'),
+                               1, 2))::INT + 200) % 256
+                       ELSE ('0x' || substring(md5(CAST(bid AS VARCHAR) || ':' ||
+                               CAST(j AS VARCHAR)), 1, 2))::INT
+                     END) AS p FROM ids),
+            hb AS (SELECT id, p, list_sum(p) AS s FROM px),
+            bits AS (SELECT id, list_transform(range(64),
+                       j -> CASE WHEN p[j+1]*64 > s THEN 1 ELSE 0 END) AS b
+                     FROM hb),
+            h AS (SELECT id, CAST(list_sum(list_transform(range(64),
+                    j -> CASE WHEN j = 63
+                           THEN b[64]::BIGINT * (-9223372036854775808)
+                         ELSE b[j+1]::BIGINT << CAST(j AS INT) END)) AS BIGINT)
+                    AS ah FROM bits),
+            ch AS (SELECT id, ah, c.range AS c,
+                    (ah >> (16*CAST(c.range AS INT))) & 65535 AS v
+                   FROM h, range(4) c),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM ch a JOIN ch b
+                       ON a.c = b.c AND a.v = b.v AND a.id < b.id)
+            SELECT cand.id_a, cand.id_b,
+              CAST(bit_count(xor(x.ah, y.ah)) AS INTEGER) AS hamming
+            FROM cand JOIN h x ON x.id = cand.id_a
+                      JOIN h y ON y.id = cand.id_b
+            WHERE bit_count(xor(x.ah, y.ah)) <= 8
+            ORDER BY id_a, id_b"""))
+
   // ------------------------------------------------- time display (C10/GPS)
 
   private val e01 = QueryDef("e01_time_display",
@@ -3181,7 +3237,7 @@ object Catalog {
     t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
-    m01, m02, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
+    m01, m02, m03, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
