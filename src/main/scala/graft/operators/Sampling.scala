@@ -142,6 +142,39 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Exact-quota train/val/test split with per-domain proportions: within
+    * each domain, rows are ranked by md5(key) (hash order — stable under
+    * re-partitioning and engine changes, and uncorrelated with any data
+    * column) and the first floor(n*trainPermille/1000) go to train, the
+    * next floor(n*valPermille/1000) to val, the remainder to test. Unlike
+    * [[hashSample]]'s gate (proportions hold only in expectation), the
+    * quotas here are EXACT per domain — the contract an eval set needs.
+    * The price is a rank: one shuffle and a per-domain sort. At 100 TB
+    * use this for the domains that need exact counts (eval/test sets are
+    * small) and the hash gate for the bulk split; both are deterministic
+    * so they compose.
+    *
+    * @return input rows plus a `split` column ('train'/'val'/'test')
+    */
+  def splitAssign(df: DataFrame, domainCol: String, key: Column,
+                  trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      "splitAssign: permille quotas must be non-negative and sum <= 1000")
+    val w = Window.partitionBy(col(domainCol))
+    val ord = w.orderBy(keyHash(key), key)
+    // integer `div`, never `/`: Column / is double division, and a
+    // domain past 2^53/1000 rows would round the quota boundary
+    df.withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("split",
+        when(col("__rn") <= expr(s"__n * $trainPermille div 1000"), lit("train"))
+          .when(col("__rn") <= expr(s"__n * $trainPermille div 1000") +
+            expr(s"__n * $valPermille div 1000"), lit("val"))
+          .otherwise(lit("test")))
+      .drop("__rn", "__n")
+  }
+
   /** Sequence packing: assign each document to a training sequence (bin)
     * of ~`budget` tokens. Documents are first sharded by key hash (so the
     * cumulative sum parallelizes — a single global running sum would move

@@ -1975,6 +1975,26 @@ object Catalog {
         .mkString(" UNION ALL ") +
       ") ORDER BY merge_rank"))
 
+  /** Exact-quota train/val/test split (Sampling.splitAssign): per-language
+    * 80/10/10 with EXACT integer quotas over the md5-rank order. The
+    * oracle replays the hash ranking and the integer-div boundaries, so
+    * every row's split assignment is hash-compared. */
+  private val t30 = QueryDef("t30_split_assign",
+    (s, d) => graft.operators.Sampling.splitAssign(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang", col("doc_id"))
+      .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            SELECT doc_id, lang,
+              CASE WHEN rn <= n * 800 // 1000 THEN 'train'
+                   WHEN rn <= n * 800 // 1000 + n * 100 // 1000 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM r ORDER BY doc_id"""))
+
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -3234,7 +3254,7 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, q50,
+    t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
