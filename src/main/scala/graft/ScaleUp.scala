@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * A 4th argument `hot=<N>` plants a degenerate template cluster: N
   * byte-identical copies of one templated document (doc_ids in a reserved
-  * 9e7 range), the worst case of a template-heavy corpus for the LSH
+  * range ABOVE every shifted copy — max(1e9, (factor+1)*K), so no copy's
+  * bumped ids can collide with cluster ids at any factor), the worst case
+  * of a template-heavy corpus for the LSH
   * banding path — every band maps the whole cluster into ONE bucket, so
   * the hot-bucket join fallback (Dedup.bucketPairs) is exercised at its
   * design limit instead of assumed. Off by default because it is a skew
@@ -90,8 +92,13 @@ object ScaleUp {
       val out = if (hot == 0) scaled else {
         val template = "breaking news update please subscribe to our newsletter " +
           "for the latest breaking news update delivered daily to your inbox"
+        // reserved id range strictly above copy n-1's bumped key space:
+        // copy i shifts by i*K over a base key space << K, so (n+1)*K is
+        // collision-free at any factor (round-7's fixed 9e7 base collided
+        // with copy 9 at factor 10)
+        val clusterBase = math.max(1000000000L, (n.toLong + 1) * K)
         val cluster = spark.range(hot.toLong)
-          .select((col("id") + 90000000L).as("doc_id"),
+          .select((col("id") + clusterBase).as("doc_id"),
             lit(template).as("text"),
             lit("en").as("lang"),
             concat(lit("template-"), (col("id") % 5)).as("source"),

@@ -148,20 +148,34 @@ object Multimodal {
     }.toDF("media_id", "ahash")
   }
 
-  /** Perceptual near-duplicate pairs: SimHash-style pigeonhole on the
-    * four 16-bit chunks of the aHash (a pair within Hamming distance 3
-    * MUST agree on at least one chunk — candidates are an equi self-join
-    * on (chunk, value), never all-pairs) then exact `bit_count(xor)`
-    * verification. The d04/d08 composition applied to media columns.
+  /** Perceptual near-duplicate pairs: multi-index pigeonhole on
+    * `maxHamming + 1` near-equal bit chunks of the aHash — with k+1
+    * chunks, a pair within Hamming distance k MUST agree on at least one
+    * chunk (k differing bits cannot touch all k+1 chunks), so candidates
+    * are an equi self-join on (chunk, value), never all-pairs, and the
+    * returned set is COMPLETE for `hamming <= maxHamming` (the round-7
+    * 4x16-bit chunking only guaranteed distance <= 3 while filtering at
+    * 8). Exact `bit_count(xor)` verification bounds the output. The
+    * d04/d08 composition applied to media columns.
     *
-    * @return (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming
+    * @return every (id_a, id_b, hamming) with id_a < id_b and
+    *         hamming <= maxHamming
     */
   def perceptualDupPairs(media: Dataset[MediaRow],
                          maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      "perceptualDupPairs: maxHamming must be in [0, 32) — the pigeonhole " +
+        "needs maxHamming+1 non-empty chunks of a 64-bit hash")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks // first `rem` chunks are one bit wider
+    def off(c: Int): Int = c * base + math.min(c, rem)
+    def width(c: Int): Int = base + (if (c < rem) 1 else 0)
     val h = perceptualHashes(media)
     val chunks = h.select(col("media_id"), col("ahash"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        shiftright(col("ahash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
+      explode(array((0 until nChunks).map(c => struct(lit(c).as("c"),
+        shiftrightunsigned(col("ahash"), off(c))
+          .bitwiseAND(lit((1L << width(c)) - 1)).as("v"))): _*))
         .as("ch"))
       .select(col("media_id"), col("ahash"),
         col("ch.c").as("c"), col("ch.v").as("v"))

@@ -472,7 +472,10 @@ object Dedup {
     * per-document aggregation of removable starts and an equi join back
     * to the docs. Coverage expansion is array-local per row (bounded by
     * document length), never a shuffle. The canonical pick is an integer
-    * min over doc_id*1e6+pos — portable, no struct-ordering semantics.
+    * min over doc_id*2^32+pos — portable, no struct-ordering semantics.
+    * The packing is exact for doc_id in [0, 2^31) and any Int position
+    * (pos < 2^32 by type); an out-of-range doc id fails loudly per row
+    * (raise_error) instead of silently electing a wrong canonical.
     *
     * @return (doc_id, n_tokens, n_removed, text_dedup)
     */
@@ -488,7 +491,10 @@ object Dedup {
               md5(concat_ws(" ", slice(col("__w"), i, lit(n))).cast("binary"))
                 .as("dig"))))).as("__g"))
       .select(col(idCol), col("__g.pos").as("__pos"), col("__g.dig").as("__dig"),
-        (col(idCol) * 1000000L + col("__g.pos")).as("__packed"))
+        when(col(idCol) < 0L || col(idCol) > Int.MaxValue.toLong,
+            raise_error(concat(lit("spanDedup: doc id out of packable range " +
+              "[0, 2^31): "), col(idCol).cast("string"))))
+          .otherwise(col(idCol) * 4294967296L + col("__g.pos")).as("__packed"))
     val stats = grams.groupBy("__dig").agg(count(lit(1)).as("__cnt"),
       min("__packed").as("__canon"))
     val starts = grams.join(stats, Seq("__dig"))

@@ -149,10 +149,18 @@ object Sampling {
     * next floor(n*valPermille/1000) to val, the remainder to test. Unlike
     * [[hashSample]]'s gate (proportions hold only in expectation), the
     * quotas here are EXACT per domain — the contract an eval set needs.
-    * The price is a rank: one shuffle and a per-domain sort. At 100 TB
-    * use this for the domains that need exact counts (eval/test sets are
-    * small) and the hash gate for the bulk split; both are deterministic
-    * so they compose.
+    *
+    * The rank is DISTRIBUTED (round-7's `Window.partitionBy(domain)`
+    * put each domain's entire row set in one task — a corpus with 5
+    * languages would rank 100 TB on 5 executors): rows are range-
+    * partitioned on (domain, hash, key) so every task holds a contiguous
+    * slice of exactly one region of the global per-domain order, a tiny
+    * count pass (one row per (partition, domain) — partitions x domains,
+    * driver-side) yields each slice's global rank offset via a running
+    * sum, and the final pass assigns offset + local position against the
+    * integer quota boundaries inside `mapPartitions` — the standard
+    * two-pass distributed-rank construction. No window, no per-domain
+    * sort task; both passes reuse the same deterministic range exchange.
     *
     * @return input rows plus a `split` column ('train'/'val'/'test')
     */
@@ -161,18 +169,67 @@ object Sampling {
     require(trainPermille >= 0 && valPermille >= 0 &&
       trainPermille + valPermille <= 1000,
       "splitAssign: permille quotas must be non-negative and sum <= 1000")
-    val w = Window.partitionBy(col(domainCol))
-    val ord = w.orderBy(keyHash(key), key)
-    // integer `div`, never `/`: Column / is double division, and a
-    // domain past 2^53/1000 rows would round the quota boundary
-    df.withColumn("__rn", row_number().over(ord))
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("split",
-        when(col("__rn") <= expr(s"__n * $trainPermille div 1000"), lit("train"))
-          .when(col("__rn") <= expr(s"__n * $trainPermille div 1000") +
-            expr(s"__n * $valPermille div 1000"), lit("val"))
-          .otherwise(lit("test")))
-      .drop("__rn", "__n")
+    val spark = df.sparkSession
+    // __d normalizes the domain to a string ONCE (Catalyst cast), so the
+    // driver-side maps and the executor-side row reads agree on the key
+    val ranged = df
+      .withColumn("__d", col(domainCol).cast("string"))
+      .withColumn("__h", keyHash(key))
+      .withColumn("__k", key)
+      // explicit partition count: a bare repartitionByRange is an AQE
+      // coalesce target, and the two passes shuffle different column sets
+      // (pruned vs full rows) — AQE could coalesce them DIFFERENTLY,
+      // desynchronizing partition ids between the count and assign jobs
+      .repartitionByRange(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("__d"), col("__h"), col("__k"))
+      .sortWithinPartitions(col("__d"), col("__h"), col("__k"))
+    // pass 1: rows per (physical partition, domain). Column pruning keeps
+    // this to the three helper columns; the result is partitions x domains
+    // rows — driver-scale at any corpus size.
+    val counts: Array[((Int, String), Long)] = ranged
+      .groupBy(spark_partition_id().as("__pid"), col("__d"))
+      .count()
+      .collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val totals: Map[String, Long] =
+      counts.groupBy(_._1._2).map { case (d, xs) => d -> xs.map(_._2).sum }
+    // global rank offset of each (partition, domain) slice: running sum
+    // over partitions in range order (partition ids ARE the range order)
+    val offsets: Map[(Int, String), Long] = {
+      val run = collection.mutable.HashMap.empty[String, Long]
+      counts.sortBy(_._1._1).map { case ((pid, d), c) =>
+        val off = run.getOrElse(d, 0L)
+        run(d) = off + c
+        (pid, d) -> off
+      }.toMap
+    }
+    // integer quota boundaries, never double division: a domain past
+    // 2^53/1000 rows would round the boundary
+    val bounds: Map[String, (Long, Long)] = totals.map { case (d, n) =>
+      d -> (n * trainPermille / 1000, n * trainPermille / 1000 +
+        n * valPermille / 1000)
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcBounds = spark.sparkContext.broadcast(bounds)
+    val schema = ranged.schema
+    val dIdx = schema.fieldIndex("__d")
+    val outSchema = schema.add("split", org.apache.spark.sql.types.StringType)
+    // pass 2: same exchange, same within-partition sort — local position
+    // + broadcast offset IS the per-domain row_number of the old window
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val seen = collection.mutable.HashMap.empty[String, Long]
+      it.map { row =>
+        val d = row.getString(dIdx)
+        val rank = seen.getOrElse(d, bcOff.value.getOrElse((pid, d), 0L)) + 1L
+        seen(d) = rank
+        val (trainQ, valQ) = bcBounds.value(d)
+        val split =
+          if (rank <= trainQ) "train" else if (rank <= valQ) "val" else "test"
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ split)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .drop("__d", "__h", "__k")
   }
 
   /** Sequence packing: assign each document to a training sequence (bin)

@@ -692,7 +692,14 @@ object TextAnalysis {
     * sigmoid probability, so `keep = score_sum >= threshold` IS the
     * probability cutoff.
     *
-    * @param weights (bucket: long, weight: long), one row per bucket
+    * The weight table may be SPARSE: a bucket absent from `weights`
+    * contributes weight 0 (LEFT join + coalesce), and the word still
+    * counts toward `n_words` — a doc whose words all miss scores 0
+    * rather than vanishing from the output (round-7's inner join
+    * silently dropped both).
+    *
+    * @param weights (bucket: long, weight: long), at most one row per
+    *                bucket; missing buckets read as weight 0
     * @return (idCol, score_sum, n_words, keep)
     */
   def linearClassify(docs: DataFrame, weights: DataFrame, dim: Int,
@@ -700,9 +707,9 @@ object TextAnalysis {
                      textCol: String = "text"): DataFrame =
     docs.select(col(idCol), explode(TextFns.words(col(textCol))).as("__w"))
       .withColumn("bucket", pmod(Sampling.keyHash(col("__w")), lit(dim.toLong)))
-      .join(broadcast(weights), Seq("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("weight")).as("score_sum"),
+      .agg(sum(coalesce(col("weight"), lit(0L))).as("score_sum"),
         count(lit(1)).as("n_words"))
       .withColumn("keep", col("score_sum") >= threshold)
 }

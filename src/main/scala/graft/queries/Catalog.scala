@@ -970,7 +970,7 @@ object Catalog {
                   AS g
               FROM w WHERE len(w) >= 10),
             g AS (SELECT doc_id, g.pos AS pos, g.dig AS dig,
-                doc_id * 1000000 + g.pos AS packed FROM g0),
+                doc_id * 4294967296 + g.pos AS packed FROM g0),
             sc AS (SELECT dig, COUNT(*) AS cnt, MIN(packed) AS canon
                    FROM g GROUP BY dig),
             rem AS (SELECT g.doc_id, g.pos FROM g JOIN sc USING (dig)
@@ -1827,7 +1827,7 @@ object Catalog {
               FROM w),
             wt AS (SELECT range AS bucket, (range * 37) % 201 - 100 AS weight
                    FROM range(1024))
-            SELECT doc_id, SUM(weight) AS score_sum,
+            SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS score_sum,
               COUNT(*) AS n_words, (SUM(weight) >= 0) AS keep
             FROM b JOIN wt USING (bucket)
             GROUP BY doc_id ORDER BY doc_id"""))
@@ -1946,7 +1946,8 @@ object Catalog {
   private def t29RoundCte(r: Int): String = s""",
             p${r}0 AS (SELECT freq, UNNEST(list_transform(range(1, len(toks)),
                         i -> {'a': toks[i], 'b': toks[i+1]})) AS pr FROM s${r - 1}),
-            p$r AS (SELECT pr.a AS a, pr.b AS b, SUM(freq) AS cnt FROM p${r}0
+            p$r AS (SELECT pr.a AS a, pr.b AS b,
+                      CAST(SUM(freq) AS BIGINT) AS cnt FROM p${r}0
                     WHERE pr.a <> pr.b GROUP BY 1, 2),
             b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
             s$r AS (SELECT word, freq,
@@ -2686,13 +2687,16 @@ object Catalog {
             FROM m ORDER BY media_id"""))
 
   /** Perceptual-hash media near-dup (Multimodal.perceptualDupPairs):
-    * aHash over the stub-decoded payload, 16-bit-chunk pigeonhole
-    * candidates, exact Hamming verify. The fixture is the md5-payload
-    * generator plus planted exact re-uploads (ids+10000) and
-    * one-byte-perturbed re-encodes (ids+20000) — the oracle re-derives
-    * every payload byte, the mean-threshold bits, the chunk collisions
-    * and the Hamming distances, so the 24-pair result (clones at 0,
-    * re-encodes at 0-3 bits) is certified end to end. */
+    * aHash over the stub-decoded payload, multi-index pigeonhole
+    * candidates over maxHamming+1 = 9 near-equal chunks (one 8-bit +
+    * eight 7-bit — COMPLETE for hamming <= 8, unlike round 7's 4x16
+    * chunking which only guaranteed <= 3), exact Hamming verify. The
+    * fixture is the md5-payload generator plus planted exact re-uploads
+    * (ids+10000) and one-byte-perturbed re-encodes (ids+20000) — the
+    * oracle re-derives every payload byte, the mean-threshold bits, the
+    * 9-chunk collisions and the Hamming distances, so the pair set
+    * (clones at 0, re-encodes at 0-3 bits, plus any true <=8 background
+    * pair) is certified end to end. */
   private val m03 = QueryDef("m03_media_neardup",
     (s, d) => {
       import graft.multimodal.Multimodal._
@@ -2729,8 +2733,9 @@ object Catalog {
                          ELSE b[j+1]::BIGINT << CAST(j AS INT) END)) AS BIGINT)
                     AS ah FROM bits),
             ch AS (SELECT id, ah, c.range AS c,
-                    (ah >> (16*CAST(c.range AS INT))) & 65535 AS v
-                   FROM h, range(4) c),
+                    (ah >> CAST(c.range * 7 + LEAST(c.range, 1) AS INT)) &
+                      (CASE WHEN c.range = 0 THEN 255 ELSE 127 END) AS v
+                   FROM h, range(9) c),
             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                      FROM ch a JOIN ch b
                        ON a.c = b.c AND a.v = b.v AND a.id < b.id)
