@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GpsSeconds(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    ext.injectOptimizerRule(s => new graft.plans.BloomJoinRewrite(s))
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
     ext.injectCheckRule(session => graft.plans.StrictPlanChecks(session))
   }

@@ -422,32 +422,69 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                       threshold: Double = 0.5): DataFrame = {
-    val cDig = corpus
+                       threshold: Double = 0.5): DataFrame =
+    incrementalDedupIndexed(
+      corpusDigestIndex(corpus, idCol, textCol),
+      corpusBandIndex(corpus, idCol, textCol, shingleN, k, bands),
+      corpus, batch, idCol, textCol, shingleN, k, bands, threshold)
+
+  /** The corpus md5 text-digest index for [[incrementalDedup]]: one row
+    * per distinct text, carrying the smallest owning id. In production
+    * this IS a stored table, written once per corpus release and merely
+    * read by every batch. */
+  def corpusDigestIndex(corpus: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    corpus
       .select(md5(col(textCol).cast("binary")).as("__dig"),
         col(idCol).as("__cid"))
       .groupBy("__dig").agg(min("__cid").as("__exact_id"))
-    def bandsOf(df: DataFrame, id: String) = df
-      .select(col(idCol).as(id),
-        TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col(id), TextFns.minhashPortable(col("__sh"), k).as("__sig"))
-      .select(col(id),
-        explode(TextFns.lshBandsPortable(col("__sig"), k, bands)).as("__b"))
-      .select(col(id), col("__b.band").as("__band"), col("__b.digest").as("__bd"))
-    val cand = bandsOf(batch, "__id")
-      .join(bandsOf(corpus, "__cand_cid"), Seq("__band", "__bd"))
+
+  /** The corpus (band, digest) LSH index for [[incrementalDedup]]:
+    * `bands` rows per document with a non-empty shingle set. Stored-table
+    * artifact like [[corpusDigestIndex]]. */
+  def corpusBandIndex(corpus: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", shingleN: Int = 3,
+                      k: Int = 16, bands: Int = 4): DataFrame =
+    bandRows(corpus, idCol, "__cand_cid", textCol, shingleN, k, bands)
+
+  private def bandRows(df: DataFrame, idCol: String, asId: String,
+                       textCol: String, shingleN: Int, k: Int,
+                       bands: Int): DataFrame = df
+    .select(col(idCol).as(asId),
+      TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+    .filter(size(col("__sh")) > 0)
+    .select(col(asId), TextFns.minhashPortable(col("__sh"), k).as("__sig"))
+    .select(col(asId),
+      explode(TextFns.lshBandsPortable(col("__sig"), k, bands)).as("__b"))
+    .select(col(asId), col("__b.band").as("__band"), col("__b.digest").as("__bd"))
+
+  /** [[incrementalDedup]] against PRECOMPUTED corpus artifacts — the form
+    * a streaming ingest loop runs per micro-batch: the digest and band
+    * indexes are read, not rebuilt, so the candidate generation costs
+    * O(batch). `corpusTexts` is touched only by the Jaccard verification,
+    * equi-joined on the (already candidate-bounded) matched ids. */
+  def incrementalDedupIndexed(digestIdx: DataFrame, bandIdx: DataFrame,
+                              corpusTexts: DataFrame, batch: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text", shingleN: Int = 3,
+                              k: Int = 16, bands: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    // k/bands/shingleN MUST match the values bandIdx was built with, or
+    // the batch's band digests can never collide with the index
+    val cand = bandRows(batch, idCol, "__id", textCol, shingleN, k, bands)
+      .join(bandIdx, Seq("__band", "__bd"))
       .select("__id", "__cand_cid").distinct()
     val near = cand
       .join(batch.select(col(idCol).as("__id"),
         TextFns.wordShingles(col(textCol), shingleN).as("__sha")), Seq("__id"))
-      .join(corpus.select(col(idCol).as("__cand_cid"),
-        TextFns.wordShingles(col(textCol), shingleN).as("__shb")), Seq("__cand_cid"))
+      .join(corpusTexts.select(col(idCol).as("__cand_cid"),
+        TextFns.wordShingles(col(textCol), shingleN).as("__shb")),
+        Seq("__cand_cid"))
       .filter(TextFns.jaccard(col("__sha"), col("__shb")) >= threshold)
       .groupBy(col("__id")).agg(min(col("__cand_cid")).as("__near_id"))
     batch.select(col(idCol).as("__id"),
         md5(col(textCol).cast("binary")).as("__dig"))
-      .join(cDig, Seq("__dig"), "left")
+      .join(digestIdx, Seq("__dig"), "left")
       .join(near, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         when(col("__exact_id").isNotNull, lit("exact"))

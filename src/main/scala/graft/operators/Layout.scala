@@ -105,15 +105,19 @@ object Layout {
       .groupBy(shiftright(col("__pos"), 6).as("__word"))
       .agg(bit_or(shl(lit(1L), (col("__pos") % 64).cast("int")))
         .as("__bits"))
+    // the __graft_bloom prefix doubles as BloomJoinRewrite's reentrance
+    // marker: the rule skips joins whose subtree already carries it
     (0 until k).foldLeft(probe) { (df, j) =>
-      val w = words.select(col("__word").as(s"__w$j"),
-        col("__bits").as(s"__b$j"))
-      df.withColumn(s"__p$j", pos(probeKey, j))
+      val w = words.select(col("__word").as(s"__graft_bloom_w$j"),
+        col("__bits").as(s"__graft_bloom_b$j"))
+      df.withColumn(s"__graft_bloom_p$j", pos(probeKey, j))
         .join(broadcast(w),
-          shiftright(col(s"__p$j"), 6) === col(s"__w$j"), "left")
-        .filter(shr(coalesce(col(s"__b$j"), lit(0L)),
-          (col(s"__p$j") % 64).cast("int")).bitwiseAND(lit(1L)) === 1L)
-        .drop(s"__p$j", s"__w$j", s"__b$j")
+          shiftright(col(s"__graft_bloom_p$j"), 6) ===
+            col(s"__graft_bloom_w$j"), "left")
+        .filter(shr(coalesce(col(s"__graft_bloom_b$j"), lit(0L)),
+          (col(s"__graft_bloom_p$j") % 64).cast("int"))
+          .bitwiseAND(lit(1L)) === 1L)
+        .drop(s"__graft_bloom_p$j", s"__graft_bloom_w$j", s"__graft_bloom_b$j")
     }.withColumn("bloom_pass", lit(true))
   }
 }

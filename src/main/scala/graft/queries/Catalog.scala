@@ -999,17 +999,27 @@ object Catalog {
     * MinHash/banding (d12's certified idioms), the candidate collisions
     * AND the Jaccard verification, so each batch doc's
     * exact/near/new status and its matched corpus id are hash-compared. */
+  /** d21's corpus/batch fixture split, shared with the streaming twin
+    * `s16` (which must classify the SAME batch docs and share the oracle). */
+  private def d21Fixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+      .unionByName(corpus.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+    (corpus, batch)
+  }
+
   private val d21 = QueryDef("d21_incremental_dedup",
     (s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val corpus = docs.filter(col("doc_id") < 250)
-      val batch = docs.filter(col("doc_id") >= 250)
-        .unionByName(corpus.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+      val (corpus, batch) = d21Fixture(s, d)
       graft.operators.Dedup.incrementalDedup(corpus, batch)
         .orderBy("doc_id")
     },
-    Some("""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+    Some(d21Oracle))
+
+  private lazy val d21Oracle =
+       """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
             b AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
                   UNION ALL
                   SELECT doc_id + 90000, text FROM documents WHERE doc_id < 5),
@@ -1055,7 +1065,7 @@ object Catalog {
               COALESCE(ex.eid, ver.nid) AS match_id
             FROM b LEFT JOIN ex USING (doc_id)
                    LEFT JOIN ver ON ver.id = b.doc_id
-            ORDER BY doc_id"""))
+            ORDER BY doc_id"""
 
   // ------------------------------------------------------- similarity [EXT]
 
@@ -3250,6 +3260,80 @@ object Catalog {
             WHERE epoch_us(s_end) // 1000 < wm.w
             ORDER BY user_id, s_start"""))
 
+  /** REAL stream-stream FULL OUTER interval join — the last join mode
+    * without a streaming twin. The emission semantics are ASYMMETRIC and
+    * both sides are oracled: an unmatched purchase null-extends once the
+    * watermark passes its own event time (as in s12), but an unmatched
+    * signup can be matched by purchases up to 7 days LATER, so its
+    * null-extended row is emitted only once the watermark passes
+    * signup_ts + 7 days — the oracle replays both horizons from the same
+    * min-of-max-event-times watermark, certifying each side's proof
+    * obligation, not just the matched rows. */
+  private val s15 = QueryDef("s15_stream_fulljoin",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s, purchaseSignupFullJoin(eventsStream(s, d)),
+        outputMode = "append")
+        .orderBy("purchase_id", "signup_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'purchase'),
+                 s AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'signup'),
+                 wm AS (SELECT LEAST((SELECT epoch_us(MAX(ts)) // 1000 FROM p),
+                                     (SELECT epoch_us(MAX(ts)) // 1000 FROM s))
+                          - 3600000 AS w),
+                 m AS (SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+                         FROM p JOIN s ON p.user_id = s.user_id
+                          AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY)
+            SELECT purchase_id, signup_id FROM m
+            UNION ALL
+            SELECT p.event_id, CAST(NULL AS BIGINT) FROM p, wm
+             WHERE epoch_us(p.ts) // 1000 < wm.w
+               AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.event_id)
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), s.event_id FROM s, wm
+             WHERE epoch_us(s.ts) // 1000 + 604800000 < wm.w
+               AND NOT EXISTS (SELECT 1 FROM m WHERE m.signup_id = s.event_id)
+            ORDER BY purchase_id NULLS FIRST, signup_id NULLS FIRST"""))
+
+  /** STREAMING incremental dedup — d21's batch-vs-corpus classification
+    * run as the production "daily crawl" loop: the corpus artifacts
+    * (digest index, LSH band index, texts) are written ONCE as tables,
+    * then each micro-batch of new documents classifies against them via
+    * foreachBatch (the s11 sink pattern) with cost proportional to the
+    * batch. Classification is per-document against the fixed corpus, so
+    * micro-batch boundaries cannot change any row — the final appended
+    * state shares d21's oracle verbatim. */
+  private val s16 = QueryDef("s16_stream_incr_dedup",
+    (s, d) => {
+      val (corpus, batch) = d21Fixture(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_s16_")
+      val (src, idx, out) = (s"$base/src", s"$base/idx", s"$base/out")
+      graft.operators.Dedup.corpusDigestIndex(corpus)
+        .write.mode("overwrite").parquet(s"$idx/dig")
+      graft.operators.Dedup.corpusBandIndex(corpus)
+        .write.mode("overwrite").parquet(s"$idx/band")
+      corpus.write.mode("overwrite").parquet(s"$idx/texts")
+      batch.repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val ss = b.sparkSession
+          graft.operators.Dedup.incrementalDedupIndexed(
+              ss.read.parquet(s"$idx/dig"), ss.read.parquet(s"$idx/band"),
+              ss.read.parquet(s"$idx/texts"), b)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy("doc_id")
+    },
+    Some(d21Oracle))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[QueryDef] = Seq(
@@ -3263,7 +3347,7 @@ object Catalog {
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14) ++ MoreQueries.all ++ FunctionSuites.all
+    s10, s11, s12, s13, s14, s15, s16) ++ MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

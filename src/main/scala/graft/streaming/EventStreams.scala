@@ -156,6 +156,33 @@ object EventStreams {
       .select("purchase_id", "signup_id")
   }
 
+  /** FULL OUTER variant of [[purchaseSignupJoin]] — the last stream-stream
+    * join mode: null-extended rows on BOTH sides, each emitted only when
+    * the watermark PROVES no future match can arrive. The two proof
+    * horizons are asymmetric, which is the interesting semantics: a
+    * purchase p matches signups with s_ts <= p_ts, so p is provably
+    * unmatched as soon as the watermark passes p_ts (same as the left
+    * join); but a signup s matches purchases up to 7 days LATER
+    * (p_ts in [s_ts, s_ts + 7d]), so s is provably unmatched only once
+    * the watermark passes s_ts + 7 days. Both horizons are deterministic
+    * functions of the input (min-of-max-event-times, ms-truncated, minus
+    * the 1-hour delay), so the batch oracle can replay emission exactly.
+    * State eviction follows the same bounds — both sides stay finite. */
+  def purchaseSignupFullJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val s = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    p.join(s, col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"), "full_outer")
+      .select("purchase_id", "signup_id")
+  }
+
   /** Watermarked streaming dedup on (user_id, event_type). */
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
