@@ -169,23 +169,88 @@ object Sampling {
     require(trainPermille >= 0 && valPermille >= 0 &&
       trainPermille + valPermille <= 1000,
       "splitAssign: permille quotas must be non-negative and sum <= 1000")
+    val (ranked, totals) = hashRank(df, col(domainCol).cast("string"), key)
+    // integer quota boundaries, never double division: a domain past
+    // 2^53/1000 rows would round the boundary
+    val bounds: Map[String, (Long, Long)] = totals.map { case (d, n) =>
+      d -> (n * trainPermille / 1000, n * trainPermille / 1000 +
+        n * valPermille / 1000)
+    }
+    val bcBounds = df.sparkSession.sparkContext.broadcast(bounds)
+    val split = udfFreeSplit(bcBounds)
+    ranked
+      .withColumn("split", split(col("__d"), col("__rank")))
+      .drop("__d", "__rank")
+  }
+
+  /** The split CASE over the broadcast per-domain quota map, as a pure
+    * when-chain when the domain set is small (it always is: languages /
+    * sources — the map was collected driver-side already). */
+  private def udfFreeSplit(bc: org.apache.spark.broadcast.Broadcast[
+      Map[String, (Long, Long)]]): (Column, Column) => Column =
+    (d, rank) => bc.value.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (dom, (trainQ, valQ))) =>
+        acc.when(d <=> lit(dom),
+          when(rank <= trainQ, lit("train"))
+            .when(rank <= valQ, lit("val")).otherwise(lit("test")))
+    }.otherwise(lit("test"))
+
+  /** Deterministic corpus shuffle + shard assignment — the LAST step of
+    * every training-data pipeline: rows are put in md5(key) hash order (a
+    * stable pseudo-random permutation — reproducible across reruns,
+    * engines and partitionings, unlike `ORDER BY rand()`) and dealt
+    * ROUND-ROBIN into `nShards` shards, so every shard is a same-size
+    * (±1) unbiased sample of the corpus and `shard_pos` is each row's
+    * position within its shard file. One range-partition shuffle plus the
+    * tiny count pass ([[hashRank]]) — no global single-task sort, no
+    * window, no nondeterministic RNG.
+    *
+    * @return input rows plus `shard` (int, 0-based) and `shard_pos`
+    *         (long, 0-based within shard)
+    */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, "shuffleShards: nShards must be >= 1")
+    val (ranked, _) = hashRank(df, lit(""), key)
+    ranked
+      .withColumn("shard", ((col("__rank") - 1) % nShards).cast("int"))
+      // integer `div`, not `/` (double division) — exact at any rank
+      .withColumn("shard_pos", expr(s"(__rank - 1) div $nShards"))
+      .drop("__d", "__rank")
+  }
+
+  /** Distributed within-domain hash rank — the shared two-pass machinery
+    * of [[splitAssign]] and [[shuffleShards]]: range-partition on
+    * (domain, md5-hash, key) so each task holds a contiguous slice of one
+    * region of the global per-domain order, count rows per (partition,
+    * domain) (a partitions x domains result — driver-scale at any corpus
+    * size), turn the counts into per-slice global offsets by a running
+    * sum in partition order, then emit offset + local position from
+    * `mapPartitions`. Equivalent to `row_number() over (partition by
+    * domain order by hash, key)` WITHOUT a window: the window form puts
+    * each domain's entire row set in one task — with a handful of
+    * domains over 100 TB that is a single-executor sort.
+    *
+    * Returns (rows + `__d` (domain as string) + `__rank` (1-based within
+    * domain), per-domain row totals).
+    */
+  private def hashRank(df: DataFrame, domain: Column,
+                       key: Column): (DataFrame, Map[String, Long]) = {
     val spark = df.sparkSession
     // __d normalizes the domain to a string ONCE (Catalyst cast), so the
     // driver-side maps and the executor-side row reads agree on the key
     val ranged = df
-      .withColumn("__d", col(domainCol).cast("string"))
+      .withColumn("__d", domain.cast("string"))
       .withColumn("__h", keyHash(key))
       .withColumn("__k", key)
       // explicit partition count: a bare repartitionByRange is an AQE
       // coalesce target, and the two passes shuffle different column sets
       // (pruned vs full rows) — AQE could coalesce them DIFFERENTLY,
-      // desynchronizing partition ids between the count and assign jobs
+      // desynchronizing partition ids between the count and rank jobs
       .repartitionByRange(spark.conf.get("spark.sql.shuffle.partitions").toInt,
         col("__d"), col("__h"), col("__k"))
       .sortWithinPartitions(col("__d"), col("__h"), col("__k"))
-    // pass 1: rows per (physical partition, domain). Column pruning keeps
-    // this to the three helper columns; the result is partitions x domains
-    // rows — driver-scale at any corpus size.
+    // pass 1: rows per (physical partition, domain); column pruning keeps
+    // the shuffled payload to the three helper columns
     val counts: Array[((Int, String), Long)] = ranged
       .groupBy(spark_partition_id().as("__pid"), col("__d"))
       .count()
@@ -203,33 +268,23 @@ object Sampling {
         (pid, d) -> off
       }.toMap
     }
-    // integer quota boundaries, never double division: a domain past
-    // 2^53/1000 rows would round the boundary
-    val bounds: Map[String, (Long, Long)] = totals.map { case (d, n) =>
-      d -> (n * trainPermille / 1000, n * trainPermille / 1000 +
-        n * valPermille / 1000)
-    }
     val bcOff = spark.sparkContext.broadcast(offsets)
-    val bcBounds = spark.sparkContext.broadcast(bounds)
     val schema = ranged.schema
     val dIdx = schema.fieldIndex("__d")
-    val outSchema = schema.add("split", org.apache.spark.sql.types.StringType)
+    val outSchema = schema.add("__rank", org.apache.spark.sql.types.LongType)
     // pass 2: same exchange, same within-partition sort — local position
-    // + broadcast offset IS the per-domain row_number of the old window
-    ranged.mapPartitions { it =>
+    // + broadcast offset IS the within-domain row_number
+    val ranked = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val seen = collection.mutable.HashMap.empty[String, Long]
       it.map { row =>
         val d = row.getString(dIdx)
         val rank = seen.getOrElse(d, bcOff.value.getOrElse((pid, d), 0L)) + 1L
         seen(d) = rank
-        val (trainQ, valQ) = bcBounds.value(d)
-        val split =
-          if (rank <= trainQ) "train" else if (rank <= valQ) "val" else "test"
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ split)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rank)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .drop("__d", "__h", "__k")
+    (ranked.drop("__h", "__k"), totals)
   }
 
   /** Sequence packing: assign each document to a training sequence (bin)

@@ -1016,7 +1016,7 @@ object Catalog {
       graft.operators.Dedup.incrementalDedup(corpus, batch)
         .orderBy("doc_id")
     },
-    Some(d21Oracle))
+    Some(d21Oracle), bench = true)
 
   private lazy val d21Oracle =
        """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
@@ -1840,7 +1840,8 @@ object Catalog {
             SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS score_sum,
               COUNT(*) AS n_words, (SUM(weight) >= 0) AS keep
             FROM b JOIN wt USING (bucket)
-            GROUP BY doc_id ORDER BY doc_id"""))
+            GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
 
   /** Curation-funnel audit (TextAnalysis.curationFunnel): four hygiene
     * stages — language gate, minimum length, repetition cap (the fused
@@ -2004,6 +2005,27 @@ object Catalog {
               CASE WHEN rn <= n * 800 // 1000 THEN 'train'
                    WHEN rn <= n * 800 // 1000 + n * 100 // 1000 THEN 'val'
                    ELSE 'test' END AS split
+            FROM r ORDER BY doc_id"""),
+    bench = true)
+
+  /** Deterministic corpus shuffle + round-robin shard assignment
+    * (Sampling.shuffleShards): the pipeline's LAST step — a stable
+    * md5-order pseudo-random permutation dealt into 16 shards, each an
+    * unbiased same-size sample. Runs on the t30 distributed-rank
+    * machinery (no window, no global sort task); the oracle replays the
+    * hash order and both modular assignments, so every row's (shard,
+    * shard_pos) is hash-compared. */
+  private val t31 = QueryDef("t31_shuffle_shards",
+    (s, d) => graft.operators.Sampling.shuffleShards(
+        Tables.documents(s, d).select("doc_id", "lang"), col("doc_id"), 16)
+      .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id, lang,
+                ROW_NUMBER() OVER (ORDER BY
+                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT, doc_id) - 1 AS rk
+              FROM documents)
+            SELECT doc_id, lang, CAST(rk % 16 AS INT) AS shard,
+              rk // 16 AS shard_pos
             FROM r ORDER BY doc_id"""))
 
   private val q50 = QueryDef("q50_centroids",
@@ -3343,7 +3365,8 @@ object Catalog {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, q50,
+    t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
+    t31, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,

@@ -500,7 +500,8 @@ object MoreQueries {
               GROUP BY o_orderkey, o_custkey HAVING COUNT(*) = 3)
             SELECT o_orderkey, o_custkey, TRUE AS bloom_pass,
               (o_custkey IN (SELECT key FROM bk)) AS is_match
-            FROM pass ORDER BY o_orderkey"""))
+            FROM pass ORDER BY o_orderkey"""),
+    bench = true)
 
   /** Interval coalescing (RelationalOps.mergeIntervals): each event
     * extended to a 10-minute interval, overlapping-or-touching intervals

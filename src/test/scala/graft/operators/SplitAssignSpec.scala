@@ -64,6 +64,28 @@ class SplitAssignSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(3)).toMap)
   }
 
+  test("shuffleShards: balanced round-robin shards matching the hash order") {
+    val got = Sampling.shuffleShards(fixture, col("doc_id"), 16)
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "lang", "payload", "shard", "shard_pos"))
+    // round-robin balance: 1000 rows over 16 shards -> sizes 62 or 63
+    val sizes = got.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 16 && sizes.forall(s => s == 62L || s == 63L))
+    // parity with the explicit (single-task) window construction
+    val w = Window.orderBy(Sampling.keyHash(col("doc_id")), col("doc_id"))
+    val exp = fixture.withColumn("__rk", row_number().over(w) - 1)
+      .select(col("doc_id"), (col("__rk") % 16).cast("int").as("shard"),
+        expr("__rk div 16").cast("long").as("shard_pos"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val g = got.select("doc_id", "shard", "shard_pos")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(g == exp)
+    // and again: no window in the distributed plan
+    assert(got.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }.isEmpty)
+  }
+
   test("plan has no window and ranks via a range exchange") {
     val got = Sampling.splitAssign(fixture, "lang", col("doc_id"))
     // the single-task-per-domain shape is GONE: no Window node anywhere
