@@ -458,6 +458,30 @@ object Dedup {
       explode(TextFns.lshBandsPortable(col("__sig"), k, bands)).as("__b"))
     .select(col(asId), col("__b.band").as("__band"), col("__b.digest").as("__bd"))
 
+  /** Index MAINTENANCE: fold a batch's accepted (status = `new`)
+    * documents into the stored digest index — the step that closes the
+    * daily-crawl loop (classify batch N against the index, admit its new
+    * docs, classify batch N+1 against the grown index). A pure
+    * union + re-min: the merged index is exactly what
+    * [[corpusDigestIndex]] would build over corpus ∪ newDocs, at the
+    * cost of the DELTA (the union's grouped min touches index rows, not
+    * corpus texts). */
+  def updateDigestIndex(digestIdx: DataFrame, newDocs: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    digestIdx.unionByName(corpusDigestIndex(newDocs, idCol, textCol))
+      .groupBy("__dig").agg(min("__exact_id").as("__exact_id"))
+
+  /** Band-index counterpart of [[updateDigestIndex]]: banding is
+    * per-document, so the merged index is a plain append of the new
+    * docs' band rows. k/bands/shingleN must match the original build. */
+  def updateBandIndex(bandIdx: DataFrame, newDocs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shingleN: Int = 3, k: Int = 16,
+                      bands: Int = 4): DataFrame =
+    bandIdx.unionByName(
+      corpusBandIndex(newDocs, idCol, textCol, shingleN, k, bands))
+
   /** [[incrementalDedup]] against PRECOMPUTED corpus artifacts — the form
     * a streaming ingest loop runs per micro-batch: the digest and band
     * indexes are read, not rebuilt, so the candidate generation costs

@@ -68,6 +68,29 @@ object Layout {
         min("__y").as("min_y"), max("__y").as("max_y"))
   }
 
+  /** The PRODUCTION Z-order write: cluster rows into `numFiles` output
+    * files by range-partitioning on the Z-key and sorting within each
+    * partition, so every parquet file covers a tight Z-range — and hence
+    * a tight bounding box in BOTH dimensions, which is what lets a
+    * min/max file skipper drop most files for a predicate on either
+    * column (or a box over both). Equal-size files (range partitioning
+    * balances rows), one shuffle, no global sort task. [[zorderAudit]]
+    * is the deterministic fixed-range VIEW of this clustering; this is
+    * the layout a 100 TB table would actually be written in.
+    *
+    * @return the written row count
+    */
+  def zorderWrite(df: DataFrame, x: Column, y: Column, path: String,
+                  numFiles: Int): Long = {
+    require(numFiles >= 1, "zorderWrite: numFiles must be >= 1")
+    df.withColumn("__z", zorderKey(x, y))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path).count()
+  }
+
   /** Bloom-filter join pruning — the runtime-filter pattern: digest the
     * small (build) side's join keys into an `mBits`-bit Bloom filter,
     * then drop probe rows scan-side when ANY of the `k` hash positions is

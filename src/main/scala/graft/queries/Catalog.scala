@@ -1067,6 +1067,118 @@ object Catalog {
                    LEFT JOIN ver ON ver.id = b.doc_id
             ORDER BY doc_id"""
 
+  /** The d21 classification replay as a reusable oracle CTE block:
+    * classifies `batchCte` against `corpusCte` (digest index + portable
+    * MinHash banding + Jaccard verify), emitting `${p}cls(doc_id, status,
+    * match_id)`. Instantiated once per stage by d22's two-step oracle. */
+  // `raw` interpolator: the \t \n \x0b in the tokenizer regex must reach
+  // DuckDB as literal backslash escapes (same bytes as d21's plain """)
+  private def incrClassifyCtes(p: String, corpusCte: String,
+                               batchCte: String): String = raw""",
+            ${p}cdig AS (SELECT md5(text) AS dig, MIN(doc_id) AS eid
+                         FROM $corpusCte GROUP BY 1),
+            ${p}allx AS (SELECT * FROM $corpusCte
+                         UNION ALL SELECT * FROM $batchCte),
+            ${p}w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                  x -> x <> '') AS w
+              FROM ${p}allx),
+            ${p}g AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, len(w)-1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+              FROM ${p}w),
+            ${p}ne AS (SELECT doc_id, sh FROM ${p}g WHERE len(sh) > 0),
+            ${p}sig AS (SELECT doc_id, list_transform(range(16), i ->
+                      list_min(list_transform(sh, s ->
+                        ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || s),
+                           1, 15))::BIGINT)))
+                      AS sig
+                    FROM ${p}ne),
+            ${p}bd AS (SELECT doc_id, CAST(r.range AS INT) AS band,
+                     md5(array_to_string(
+                       sig[CAST(r.range AS INT)*4+1 : CAST(r.range AS INT)*4+4],
+                       ',')) AS digest
+                   FROM ${p}sig, range(4) r),
+            ${p}cand AS (SELECT DISTINCT bb.doc_id AS id, cb.doc_id AS cid
+                     FROM ${p}bd bb JOIN ${p}bd cb
+                       ON bb.band = cb.band AND bb.digest = cb.digest
+                     WHERE bb.doc_id IN (SELECT doc_id FROM $batchCte)
+                       AND cb.doc_id IN (SELECT doc_id FROM $corpusCte)),
+            ${p}ver AS (SELECT ${p}cand.id, MIN(${p}cand.cid) AS nid
+                    FROM ${p}cand
+                    JOIN ${p}ne s1 ON s1.doc_id = ${p}cand.id
+                    JOIN ${p}ne s2 ON s2.doc_id = ${p}cand.cid
+                    WHERE len(list_intersect(s1.sh, s2.sh)) * 1.0 /
+                          len(list_distinct(list_concat(s1.sh, s2.sh)))
+                          >= CAST(0.5 AS DOUBLE)
+                    GROUP BY ${p}cand.id),
+            ${p}ex AS (SELECT b.doc_id, ${p}cdig.eid FROM $batchCte b
+                   JOIN ${p}cdig ON md5(b.text) = ${p}cdig.dig),
+            ${p}cls AS (SELECT b.doc_id,
+              CASE WHEN e.eid IS NOT NULL THEN 'exact'
+                   WHEN v.nid IS NOT NULL THEN 'near'
+                   ELSE 'new' END AS status,
+              COALESCE(e.eid, v.nid) AS match_id
+            FROM $batchCte b LEFT JOIN ${p}ex e USING (doc_id)
+                   LEFT JOIN ${p}ver v ON v.id = b.doc_id)"""
+
+  /** Two-day crawl loop with INDEX MAINTENANCE (Dedup.updateDigestIndex /
+    * updateBandIndex): batch 1 classifies against the corpus artifacts,
+    * its accepted `new` docs are folded INTO the indexes, and batch 2
+    * classifies against the grown indexes — so a batch-2 clone of a
+    * batch-1 new doc must come back `exact` with the batch-1 id as its
+    * match (planted: ids+95000), while a clone of an original corpus doc
+    * still matches the corpus id (ids+96000). The oracle replays BOTH
+    * stages, including deriving batch 1's new-doc set and rebuilding the
+    * merged indexes, so the maintenance arithmetic itself is certified —
+    * not just one classification. */
+  private val d22 = QueryDef("d22_index_maintenance",
+    (s, d) => {
+      import graft.operators.Dedup._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 200)
+      val batch1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      val batch2 = docs.filter(col("doc_id") >= 350)
+        .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 205)
+          .select((col("doc_id") + 95000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 96000).as("doc_id"), col("text")))
+      val dig1 = corpusDigestIndex(corpus)
+      val band1 = corpusBandIndex(corpus)
+      // lazy localCheckpoint: cls1 feeds both the output union and the
+      // new-doc set for the index update — one computation, reclaimed
+      // blocks (the minhashTopPairs pattern)
+      val cls1 = incrementalDedupIndexed(dig1, band1, corpus, batch1)
+        .localCheckpoint(false)
+      val new1 = batch1.join(
+        cls1.filter(col("status") === "new").select("doc_id"), Seq("doc_id"))
+      val cls2 = incrementalDedupIndexed(
+        updateDigestIndex(dig1, new1), updateBandIndex(band1, new1),
+        corpus.unionByName(new1), batch2)
+      cls1.withColumn("batch", lit(1))
+        .unionByName(cls2.withColumn("batch", lit(2)))
+        .select("batch", "doc_id", "status", "match_id")
+        .orderBy("batch", "doc_id")
+    },
+    Some("""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            b1 AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id >= 200 AND doc_id < 350),
+            b2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 350
+                   UNION ALL
+                   SELECT doc_id + 95000, text FROM documents
+                   WHERE doc_id >= 200 AND doc_id < 205
+                   UNION ALL
+                   SELECT doc_id + 96000, text FROM documents WHERE doc_id < 5)"""
+      + incrClassifyCtes("p1", "c", "b1") + """,
+            n1 AS (SELECT b1.doc_id, b1.text FROM b1
+                   JOIN p1cls USING (doc_id) WHERE status = 'new'),
+            c2 AS (SELECT * FROM c UNION ALL SELECT * FROM n1)"""
+      + incrClassifyCtes("p2", "c2", "b2") + """
+            SELECT 1 AS batch, doc_id, status, match_id FROM p1cls
+            UNION ALL
+            SELECT 2 AS batch, doc_id, status, match_id FROM p2cls
+            ORDER BY batch, doc_id"""))
+
   // ------------------------------------------------------- similarity [EXT]
 
   private val x01 = QueryDef("x01_knn5",
@@ -3362,7 +3474,8 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    d15, d16, d17, d18, d19, d20, d21, d22,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,

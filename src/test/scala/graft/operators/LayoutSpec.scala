@@ -38,6 +38,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderWrite clusters files into tight 2-D bounding boxes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw_").toString
+    val df = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
+    val n = Layout.zorderWrite(df, col("x"), col("y"), s"$dir/z", 16)
+    assert(n === 4096L)
+    def boxAreaSum(path: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect()
+        .map(r => (r.getInt(2) - r.getInt(1) + 1).toLong *
+          (r.getInt(4) - r.getInt(3) + 1)).sum
+    // plain 16-file write: every file spans ~the whole 64x64 grid
+    df.repartition(16).write.mode("overwrite").parquet(s"$dir/plain")
+    val (zArea, plainArea) = (boxAreaSum(s"$dir/z"), boxAreaSum(s"$dir/plain"))
+    // a z-range file is ~a quadtree tile (a few straddle high-bit
+    // boundaries); the skipping statistics must be several times tighter
+    // than the unsorted layout in aggregate
+    assert(zArea * 5 < plainArea,
+      s"z-order boxes not tighter: z=$zArea plain=$plainArea")
+  }
+
   test("bloomPrefilter never drops a true match and flags collisions only") {
     import spark.implicits._
     val build = (0 until 50).map(i => i * 3).toDF("k")
