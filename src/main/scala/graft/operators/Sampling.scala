@@ -249,6 +249,19 @@ object Sampling {
       .repartitionByRange(spark.conf.get("spark.sql.shuffle.partitions").toInt,
         col("__d"), col("__h"), col("__k"))
       .sortWithinPartitions(col("__d"), col("__h"), col("__k"))
+      // lazy localCheckpoint — CORRECTNESS-CRITICAL, not a cache hint: the
+      // range exchange SAMPLES its boundaries with a seed derived from the
+      // RDD id, which differs between the count job and the rank job, so
+      // re-planning the exchange twice can place boundary rows in
+      // DIFFERENT partitions and silently corrupt every downstream rank
+      // (caught by the sf0.1 cross-sweep: below the ~sampleSize row count
+      // the "sample" is the whole input and the two jobs agree by luck).
+      // Checkpointing materializes the partitioning ONCE at the count
+      // pass; the rank pass reads the identical blocks. The cost — one
+      // corpus materialization — is the honest price of exact global
+      // ranks; blocks are ContextCleaner-reclaimed when the frame goes
+      // out of scope (the minhashTopPairs pattern).
+      .localCheckpoint(false)
     // pass 1: rows per (physical partition, domain); column pruning keeps
     // the shuffled payload to the three helper columns
     val counts: Array[((Int, String), Long)] = ranged

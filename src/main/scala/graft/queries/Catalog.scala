@@ -1825,13 +1825,15 @@ object Catalog {
     * termination — per distinct word, then re-derives the per-doc
     * reassembly; a hash match certifies the BPE loop, the dictionary
     * join-back, and ordered reassembly exactly. */
-  private val t22 = QueryDef("t22_bpe_tokenize",
-    (s, d) => graft.operators.TextAnalysis.bpeTokenize(
-        Tables.documents(s, d),
-        Seq("a" -> "r", "t" -> "h", "ar" -> "k", "s" -> "p",
-          "e" -> "r", "o" -> "w", "q" -> "u", "th" -> "e"))
-      .orderBy("doc_id"),
-    Some("""WITH RECURSIVE
+  /** The 8-entry ranked merge table t22/t32 share (rank priority +
+    * CHAINED merges: a+r -> ar, ar+k -> ark; t+h -> th, th+e -> the). */
+  private val t22Merges = Seq("a" -> "r", "t" -> "h", "ar" -> "k",
+    "s" -> "p", "e" -> "r", "o" -> "w", "q" -> "u", "th" -> "e")
+
+  /** t22's oracle CTE chain (recursive BPE merge loop per distinct word,
+    * terminating at `done(word, t)` with `wp(doc_id, pos, word)` as the
+    * occurrence table) — shared verbatim by t32's tokenize-then-pack. */
+  private val t22Ctes = """WITH RECURSIVE
             w AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
               FROM documents),
@@ -1867,13 +1869,50 @@ object Catalog {
                            i -> list_position(
                              ['a|r','t|h','ar|k','s|p','e|r','o|w','q|u','th|e'],
                              t[i] || '|' || t[i+1])), p -> COALESCE(p, 0) > 0)) AS m
-                       FROM bpe) q WHERE m IS NULL)
+                       FROM bpe) q WHERE m IS NULL)"""
+
+  private val t22 = QueryDef("t22_bpe_tokenize",
+    (s, d) => graft.operators.TextAnalysis.bpeTokenize(
+        Tables.documents(s, d), t22Merges)
+      .orderBy("doc_id"),
+    Some(t22Ctes + """
             SELECT wp.doc_id,
               CAST(SUM(len(d.t)) AS BIGINT) AS n_bpe,
               string_agg(array_to_string(d.t, ' '), ' ' ORDER BY wp.pos) AS toks
             FROM wp JOIN done d USING (word)
             GROUP BY wp.doc_id ORDER BY doc_id"""),
     bench = true)
+
+  /** Tokenize-then-pack CAPSTONE (bpeTokenize -> packSequences): the two
+    * final pre-training steps composed with REAL token counts — each
+    * document's BPE length (t22's certified loop) drives its sequence-bin
+    * assignment (t12's certified packing). The oracle chains both
+    * replays: the recursive merge CTE feeds the per-shard running-sum
+    * packing, so (n_bpe, seq_id, seq_offset) are hash-compared end to
+    * end. One vocabulary-scale BPE pass + one packing shuffle. */
+  private val t32 = QueryDef("t32_tokenize_pack",
+    (s, d) => {
+      val tok = graft.operators.TextAnalysis.bpeTokenize(
+        Tables.documents(s, d), t22Merges)
+      graft.operators.Sampling.packSequences(tok, col("doc_id"),
+          col("n_bpe"), budget = 512, shards = 4)
+        .select(col("doc_id"), col("n_bpe"), col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")
+    },
+    Some(t22Ctes + """,
+            cnt AS (SELECT wp.doc_id, CAST(SUM(len(d.t)) AS BIGINT) AS n_bpe
+                    FROM wp JOIN done d USING (word) GROUP BY wp.doc_id),
+            th AS (SELECT doc_id, n_bpe,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM cnt),
+            pc AS (SELECT doc_id, n_bpe, h % 4 AS shard,
+                    CAST(SUM(n_bpe) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) - n_bpe AS cum
+                  FROM th)
+            SELECT doc_id, n_bpe, shard * 1099511627776 + cum // 512 AS seq_id,
+              cum % 512 AS seq_offset
+            FROM pc ORDER BY doc_id"""))
 
   /** Domain-mixture quota sampling (Sampling.mixtureSample): the largest
     * subset matching the en:5 de:2 es:2 fr:1 zh:2 mixture over the
@@ -3479,7 +3518,7 @@ object Catalog {
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, q50,
+    t31, t32, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
