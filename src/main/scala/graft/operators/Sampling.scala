@@ -142,6 +142,35 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature (alpha = 0.5) mixture resampling — the standard
+    * multilingual rebalancing step: the target distribution is
+    * q_d ∝ p_d^0.5, realized DOWNSAMPLE-ONLY by keeping each domain at
+    * rate r_d = sqrt(n_min / n_d) (the rarest domain keeps 100%, a
+    * domain 100x larger keeps 10%), applied through [[epochUpsample]]'s
+    * deterministic hash gate. alpha is fixed at 0.5 because sqrt is the
+    * one power IEEE rounds correctly — the rate expression
+    * floor(1000·sqrt(n_min)/sqrt(n_d)) is a fixed tree of
+    * correctly-rounded ops, hence bit-identical on every engine, which
+    * keeps the realized corpus certifiable. Domain counts (a handful of
+    * rows) are the only driver state, as in [[mixtureSample]].
+    *
+    * @return input rows surviving the temperature gate, plus
+    *         `epoch_idx` (always 1 — rates are <= 1000 permille)
+    */
+  def temperatureResample(df: DataFrame, domainCol: String,
+                          key: Column): DataFrame = {
+    val counts = df.groupBy(col(domainCol).cast("string").as("__d"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureResample: empty input")
+    val nMin = counts.values.min
+    val permille = counts.map { case (d, n) =>
+      d -> math.max(1, math.floor(
+        1000.0 * math.sqrt(nMin.toDouble) / math.sqrt(n.toDouble)).toInt)
+    }
+    epochUpsample(df, domainCol, key, permille)
+  }
+
   /** Exact-quota train/val/test split with per-domain proportions: within
     * each domain, rows are ranked by md5(key) (hash order — stable under
     * re-partitioning and engine changes, and uncorrelated with any data

@@ -226,4 +226,46 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("sim"))
   }
+
+  /** Deterministic negative sampling for contrastive training: per
+    * anchor, `k` corpus items drawn in md5 rank order from a hash-gated
+    * POOL, excluding the anchor itself and its known positives — the
+    * "hard uniform negatives" mining step of embedding training, made
+    * reproducible (the RNG-free property every sampler here has: the
+    * same anchor draws the same negatives on any engine, rerun or
+    * partitioning, so training is auditable).
+    *
+    * Scale shape: anchor x CORPUS would be a product — instead the pool
+    * is a scan-side hash gate of the corpus (`poolPermille`, salted
+    * independently of other samplers) that is BROADCAST against the
+    * anchors, positives are removed by an equi anti-pattern on the pair
+    * key, and the per-anchor rank windows over pool-size rows (bounded,
+    * and anchors spread across tasks). The per-pair hash md5(a|b) makes
+    * each anchor's draw independent — anchors do not share negatives
+    * beyond chance.
+    *
+    * @param exclude (vec_id, nn_id) pairs to never emit (the positives)
+    * @return (vec_id, neg_id, rnk) with rnk in 1..k
+    */
+  def negativeSample(anchors: DataFrame, corpus: DataFrame,
+                     exclude: DataFrame, k: Int, poolPermille: Int = 100,
+                     idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "negativeSample: k must be >= 1")
+    require(poolPermille >= 1 && poolPermille <= 1000,
+      "negativeSample: poolPermille must be in [1, 1000]")
+    val a = anchors.select(col(idCol).as("vec_id")).distinct()
+    val pool = corpus.select(col(idCol).as("__neg"))
+      .filter(pmod(Sampling.keyHash(concat(col("__neg").cast("string"),
+        lit("#negpool"))), lit(1000L)) < poolPermille)
+    val cand = a.join(broadcast(pool), col("__neg") =!= col("vec_id"))
+      .join(exclude.select(col("vec_id"), col("nn_id").as("__neg"))
+        .withColumn("__ex", lit(true)), Seq("vec_id", "__neg"), "left")
+      .filter(col("__ex").isNull)
+      .withColumn("__h", Sampling.keyHash(concat(col("vec_id").cast("string"),
+        lit("|"), col("__neg").cast("string"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("__h"), col("__neg"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("__neg").as("neg_id"), col("rnk"))
+  }
 }

@@ -1372,6 +1372,50 @@ object Catalog {
     },
     None)
 
+  /** Deterministic negative sampling (Similarity.negativeSample): 8
+    * pool-drawn hard-uniform negatives per anchor, excluding the x01
+    * brute-force top-5 positives. The oracle replays the whole chain —
+    * the exact cosine top-5, the salted pool gate, the pair-hash rank
+    * and the exclusions — so each anchor's negative SET and order are
+    * hash-certified, proving the draw is reproducible off-engine (the
+    * property that makes contrastive training data auditable). */
+  private val x10 = QueryDef("x10_negative_sample",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb.filter(col("vec_id") < 20)
+      val pos = Similarity.bruteForceKnn(anchors, emb, 5)
+      Similarity.negativeSample(anchors, emb,
+          pos.select("vec_id", "nn_id"), k = 8)
+        .orderBy("vec_id", "rnk")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                        FROM embeddings),
+             s AS (SELECT a.vec_id, b.vec_id AS nn_id, ROUND($duckCosine, 4) AS sim
+                   FROM v a JOIN v b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+             r AS (SELECT vec_id, nn_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, nn_id) AS rnk
+                   FROM s),
+             pos AS (SELECT vec_id, nn_id FROM r WHERE rnk <= 5),
+             pool AS (SELECT vec_id AS neg FROM embeddings
+                      WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                              || '#negpool'), 1, 15))::BIGINT % 1000 < 100),
+             a AS (SELECT vec_id FROM embeddings WHERE vec_id < 20),
+             cand AS (SELECT a.vec_id, p.neg,
+                 ('0x' || substring(md5(CAST(a.vec_id AS VARCHAR) || '|' ||
+                    CAST(p.neg AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM a, pool p
+               WHERE p.neg <> a.vec_id
+                 AND NOT EXISTS (SELECT 1 FROM pos
+                                 WHERE pos.vec_id = a.vec_id
+                                   AND pos.nn_id = p.neg)),
+             rk AS (SELECT vec_id, neg,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY h, neg) AS rnk
+                    FROM cand)
+             SELECT vec_id, neg AS neg_id, CAST(rnk AS INT) AS rnk
+             FROM rk WHERE rnk <= 8 ORDER BY vec_id, rnk"""))
+
   // ------------------------------------------------------------- text [EXT]
 
   private val t01 = QueryDef("t01_text_stats",
@@ -2178,6 +2222,31 @@ object Catalog {
             SELECT doc_id, lang, CAST(rk % 16 AS INT) AS shard,
               rk // 16 AS shard_pos
             FROM r ORDER BY doc_id"""))
+
+  /** Temperature (alpha=0.5) mixture resampling
+    * (Sampling.temperatureResample): languages rebalanced toward
+    * q ∝ p^0.5 by keeping each at rate sqrt(n_min/n_d) through the
+    * deterministic epoch gate. The oracle re-derives the domain counts,
+    * the floor(1000·sqrt(n_min)/sqrt(n_d)) permille rates (a fixed tree
+    * of correctly-rounded IEEE ops — bit-identical cross-engine) and the
+    * md5 gate, so the exact surviving row set is certified. */
+  private val t33 = QueryDef("t33_temperature_resample",
+    (s, d) => graft.operators.Sampling.temperatureResample(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang",
+        col("doc_id"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            mn AS (SELECT MIN(n) AS n0 FROM c),
+            r AS (SELECT lang, GREATEST(1, CAST(FLOOR(1000.0 *
+                    SQRT(CAST(n0 AS DOUBLE)) / SQRT(CAST(n AS DOUBLE)))
+                    AS INT)) AS pm
+                  FROM c, mn)
+            SELECT doc_id, lang FROM documents JOIN r USING (lang)
+            WHERE pm >= 1000
+               OR ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#epoch'),
+                     1, 15))::BIGINT % 1000 < pm
+            ORDER BY doc_id"""))
 
   private val q50 = QueryDef("q50_centroids",
     (s, d) => Tables.embeddings(s, d)
@@ -3515,10 +3584,10 @@ object Catalog {
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, q50,
+    t31, t32, t33, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
