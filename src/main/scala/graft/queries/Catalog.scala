@@ -3539,6 +3539,36 @@ object Catalog {
                AND NOT EXISTS (SELECT 1 FROM m WHERE m.signup_id = s.event_id)
             ORDER BY purchase_id NULLS FIRST, signup_id NULLS FIRST"""))
 
+  /** REAL stream-stream RIGHT OUTER interval join — with s12 (left) and
+    * s15 (full) this closes all four join modes. Only the LONG horizon
+    * appears here: an unmatched signup null-extends once the watermark
+    * passes signup_ts + 7 days (purchases up to a week later could still
+    * match); matched rows are the inner join. Same
+    * min-of-max-event-times watermark replay as s12/s15. */
+  private val s17 = QueryDef("s17_stream_rightjoin",
+    (s, d) => {
+      import graft.streaming.EventStreams._
+      runToBatch(s, purchaseSignupRightJoin(eventsStream(s, d)),
+        outputMode = "append")
+        .orderBy("purchase_id", "signup_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'purchase'),
+                 s AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'signup'),
+                 wm AS (SELECT LEAST((SELECT epoch_us(MAX(ts)) // 1000 FROM p),
+                                     (SELECT epoch_us(MAX(ts)) // 1000 FROM s))
+                          - 3600000 AS w),
+                 m AS (SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+                         FROM p JOIN s ON p.user_id = s.user_id
+                          AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY)
+            SELECT purchase_id, signup_id FROM m
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), s.event_id FROM s, wm
+             WHERE epoch_us(s.ts) // 1000 + 604800000 < wm.w
+               AND NOT EXISTS (SELECT 1 FROM m WHERE m.signup_id = s.event_id)
+            ORDER BY purchase_id NULLS FIRST, signup_id NULLS FIRST"""))
+
   /** STREAMING incremental dedup — d21's batch-vs-corpus classification
     * run as the production "daily crawl" loop: the corpus artifacts
     * (digest index, LSH band index, texts) are written ONCE as tables,
@@ -3591,7 +3621,8 @@ object Catalog {
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16) ++ MoreQueries.all ++ FunctionSuites.all
+    s10, s11, s12, s13, s14, s15, s16, s17) ++
+    MoreQueries.all ++ FunctionSuites.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -183,6 +183,28 @@ object EventStreams {
       .select("purchase_id", "signup_id")
   }
 
+  /** RIGHT OUTER variant of [[purchaseSignupJoin]] — the signup side is
+    * preserved: a signup's null-extended row emits only once the
+    * watermark passes signup_ts + the 7-day match window (purchases up
+    * to 7 days later could still match it — the LONG horizon, where the
+    * left join's purchases prove unmatched at their own event time).
+    * With [[purchaseSignupLeftJoin]] and [[purchaseSignupFullJoin]] this
+    * completes all four stream-stream join modes, each horizon-oracled. */
+  def purchaseSignupRightJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val s = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    p.join(s, col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"), "right_outer")
+      .select("purchase_id", "signup_id")
+  }
+
   /** Watermarked streaming dedup on (user_id, event_type). */
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
