@@ -26,4 +26,16 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Register a SQL function on an EXISTING session's registry — what
+    * `SparkSessionExtensions.injectFunction` does at session build, made
+    * available post-hoc so test suites can install GraftExtensions'
+    * function list on the shared test session. */
+  def registerSqlFunction(spark: SparkSession,
+      fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+           org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+           Seq[Expression] => Expression)): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(fn._1, fn._2, fn._3)
 }
