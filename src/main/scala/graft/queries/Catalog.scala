@@ -2223,6 +2223,42 @@ object Catalog {
               rk // 16 AS shard_pos
             FROM r ORDER BY doc_id"""))
 
+  /** Per-shard data-card manifest over [[t31]]'s shuffle-shard layout —
+    * the accounting artifact a shipped corpus release carries: per shard
+    * the document count, total characters, and the per-language
+    * breakdown as a SORTED "lang:count" list (deterministic across
+    * engines; a map column would hash differently). Certifies both the
+    * round-robin balance (every shard the same size ±1) and that the
+    * manifest itself is reproducible. Two hash aggregations, no window. */
+  private val t34 = QueryDef("t34_shard_manifest",
+    (s, d) => {
+      val sharded = graft.operators.Sampling.shuffleShards(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        col("doc_id"), 16)
+      sharded.groupBy("shard", "lang")
+        .agg(count(lit(1)).as("__n"), sum("n_chars").as("__ch"))
+        .groupBy("shard")
+        .agg(sum("__n").cast("long").as("n_docs"),
+          sum("__ch").cast("long").as("total_chars"),
+          array_join(sort_array(collect_list(
+            concat(col("lang"), lit(":"), col("__n")))), ",").as("lang_counts"))
+        .orderBy("shard")
+    },
+    Some("""WITH r AS (SELECT doc_id, lang, n_chars,
+                ROW_NUMBER() OVER (ORDER BY
+                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT, doc_id) - 1 AS rk
+              FROM documents),
+            sh AS (SELECT CAST(rk % 16 AS INT) AS shard, lang, n_chars FROM r),
+            bl AS (SELECT shard, lang, COUNT(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS ch
+                   FROM sh GROUP BY 1, 2)
+            SELECT shard, CAST(SUM(n) AS BIGINT) AS n_docs,
+              CAST(SUM(ch) AS BIGINT) AS total_chars,
+              array_to_string(list_sort(list(lang || ':' || CAST(n AS VARCHAR))),
+                ',') AS lang_counts
+            FROM bl GROUP BY shard ORDER BY shard"""))
+
   /** Temperature (alpha=0.5) mixture resampling
     * (Sampling.temperatureResample): languages rebalanced toward
     * q ∝ p^0.5 by keeping each at rate sqrt(n_min/n_d) through the
@@ -3617,7 +3653,7 @@ object Catalog {
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, q50,
+    t31, t32, t33, t34, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
