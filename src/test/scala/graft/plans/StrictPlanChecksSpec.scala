@@ -34,4 +34,19 @@ class StrictPlanChecksSpec extends SparkSpec {
   test("check is a no-op unless opted in") {
     StrictPlanChecks(spark)(globalWindowPlan) // default off -> no throw
   }
+
+  test("strict mode rejects a condition-less join, allows keyed joins") {
+    val l = Seq((1L, "a")).toDF("id", "v")
+    val r = Seq((1L, "b")).toDF("id2", "w")
+    spark.conf.set(StrictPlanChecks.Flag, "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        StrictPlanChecks(spark)(l.crossJoin(r).queryExecution.analyzed)
+      }
+      assert(e.getMessage.contains("cartesian"))
+      // a keyed join must pass
+      StrictPlanChecks(spark)(
+        l.join(r, col("id") === col("id2")).queryExecution.analyzed)
+    } finally spark.conf.unset(StrictPlanChecks.Flag)
+  }
 }
