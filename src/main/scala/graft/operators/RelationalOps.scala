@@ -157,6 +157,82 @@ object RelationalOps {
     asOfJoin(grid, ev, key, "grid_ts", tsCol, Seq(valueCol -> "locf"))
   }
 
+  /** Resample to a fixed grid with LINEAR INTERPOLATION — the lerp
+    * sibling of [[resampleLocf]]: each grid instant is valued on the
+    * straight line between its latest at-or-before event and its
+    * earliest strictly-after event; before the first event the value is
+    * NULL, after the last it falls back to carry-forward. The
+    * interpolation is EXACT integer arithmetic — values in centi-units
+    * (round(value*100), exact for 2-decimal data), time in epoch
+    * microseconds, truncating integer division (Spark `div` and external
+    * engines' integer `//` both truncate toward zero, verified on
+    * negative slopes) — hence bit-certifiable cross-engine, no float in
+    * the value path at all.
+    *
+    * Shape: per-key bounds -> sequence explode -> ONE union of grid and
+    * event rows -> TWO windows (ascending for prev, descending for next)
+    * riding the same (key) exchange — the scd2 multi-window pattern; no
+    * join at all. Ties at a grid instant resolve to the event itself
+    * (ta = tg makes the lerp collapse to va, next-side ties are
+    * excluded by window order).
+    *
+    * @return (key, grid_ts, lerp_centi: bigint)
+    */
+  def resampleLerp(events: DataFrame, key: String, tsCol: String,
+                   valueCol: String, stepHours: Int,
+                   tieBreak: String): DataFrame = {
+    val ev = dedupFirst(events.select(col(key), col(tsCol), col(valueCol),
+        col(tieBreak)),
+      Seq(col(key), col(tsCol)), Seq(col(tieBreak).desc))
+      .drop(tieBreak)
+      .withColumn("__evc", round(col(valueCol) * 100, 0).cast("long"))
+    val bounds = ev.groupBy(key)
+      .agg(date_trunc("hour", min(col(tsCol))).as("__t0"),
+        max(col(tsCol)).as("__t1"))
+    val grid = bounds.select(col(key),
+      explode(sequence(col("__t0"), col("__t1"),
+        expr(s"INTERVAL $stepHours HOURS"))).as("grid_ts"))
+    val tsType = events.schema(tsCol).dataType
+    val g = grid.withColumn("__side", lit(1))
+      .withColumn("__ats", col("grid_ts"))
+      .withColumn("__ets", lit(null).cast(tsType))
+      .withColumn("__ec", lit(null).cast("long"))
+    val e = ev.select(col(key), col(tsCol).as("__ats"),
+        col(tsCol).as("__ets"), col("__evc").as("__ec"))
+      .withColumn("__side", lit(0))
+      .withColumn("grid_ts", lit(null).cast(tsType))
+    val cols = Seq(key, "grid_ts", "__side", "__ats", "__ets", "__ec")
+    val u = g.select(cols.map(col): _*).unionByName(e.select(cols.map(col): _*))
+    // prev pass: events sort BEFORE grid rows at equal ts (at-or-before
+    // includes the tie); next pass: grid rows first in DESC order, so an
+    // equal-ts event is NOT its own "next"
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("__ats"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(key))
+      .orderBy(col("__ats").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__ta", last(col("__ets"), ignoreNulls = true).over(wPrev))
+      .withColumn("__va", last(col("__ec"), ignoreNulls = true).over(wPrev))
+      .withColumn("__tb", last(col("__ets"), ignoreNulls = true).over(wNext))
+      .withColumn("__vb", last(col("__ec"), ignoreNulls = true).over(wNext))
+      .filter(col("__side") === 1)
+      .withColumn("lerp_centi",
+        when(col("__ta").isNull, lit(null).cast("long"))
+          .when(col("__tb").isNull, col("__va"))
+          .otherwise(expr(
+            // NTZ-safe microsecond line: the session zone is pinned UTC in
+            // every graft session, so NTZ -> TIMESTAMP is the identity.
+            // Plain `div`: integer `//` truncates toward zero on external
+            // engines exactly like Spark's div (verified, incl. negative
+            // slopes) — truncation IS the portable contract
+            """__va + ((__vb - __va) *
+                 (unix_micros(cast(grid_ts as timestamp))
+                  - unix_micros(cast(__ta as timestamp))))
+               div (unix_micros(cast(__tb as timestamp))
+                    - unix_micros(cast(__ta as timestamp)))""")))
+      .select(col(key), col("grid_ts"), col("lerp_centi"))
+  }
+
   /** Skew-mitigating equi join: the left (large, skewed) side gets a
     * random-free deterministic salt derived from a high-cardinality column,
     * the right side is exploded across all salt values, and the join runs

@@ -3078,6 +3078,49 @@ object Catalog {
                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS locf
             FROM grid g ORDER BY g.user_id, g.grid_ts"""))
 
+  /** Linear-interpolation resampling (RelationalOps.resampleLerp): e02's
+    * grid valued on the line between the bracketing events, in EXACT
+    * integer centi-unit/epoch-microsecond arithmetic with floor division
+    * (the portable contract — Spark `div` truncates, other engines'
+    * `//` floors, and they disagree on negative slopes). The oracle
+    * re-derives both bracketing picks (same tie-breaks as the operator's
+    * dedup) and the integer lerp, so every interpolated value is
+    * hash-compared — including the NULL head and the carry-forward
+    * tail. */
+  private val e03 = QueryDef("e03_resample_lerp",
+    (s, d) => RelationalOps.resampleLerp(Tables.events(s, d),
+        "user_id", "ts", "value", stepHours = 6, tieBreak = "event_id")
+      .orderBy("user_id", "grid_ts"),
+    Some("""WITH b AS (SELECT user_id,
+                 CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP) AS t0,
+                 CAST(MAX(ts) AS TIMESTAMP) AS t1
+               FROM events GROUP BY user_id),
+            grid AS (SELECT user_id,
+                 UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS grid_ts
+               FROM b),
+            pv AS (SELECT g.user_id, g.grid_ts,
+                (SELECT e.ts FROM events e
+                 WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                 ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS ta,
+                (SELECT CAST(ROUND(e.value * 100) AS BIGINT) FROM events e
+                 WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                 ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS va,
+                (SELECT e.ts FROM events e
+                 WHERE e.user_id = g.user_id AND e.ts > g.grid_ts
+                 ORDER BY e.ts ASC, e.event_id DESC LIMIT 1) AS tb,
+                (SELECT CAST(ROUND(e.value * 100) AS BIGINT) FROM events e
+                 WHERE e.user_id = g.user_id AND e.ts > g.grid_ts
+                 ORDER BY e.ts ASC, e.event_id DESC LIMIT 1) AS vb
+              FROM grid g)
+            SELECT user_id, grid_ts,
+              CASE WHEN ta IS NULL THEN NULL
+                   WHEN tb IS NULL THEN va
+                   ELSE va + ((vb - va) *
+                       (epoch_us(grid_ts) - epoch_us(ta)))
+                     // (epoch_us(tb) - epoch_us(ta))
+              END AS lerp_centi
+            FROM pv ORDER BY user_id, grid_ts"""))
+
   // ---------------------------------------------------------- streaming [EXT]
 
   /** REAL Structured Streaming executions (memory sink, run to completion
@@ -3656,7 +3699,7 @@ object Catalog {
     t31, t32, t33, t34, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
-    m01, m02, m03, e01, e02, s01, s02, s03, s04, s05, s06, s07, s08, s09,
+    m01, m02, m03, e01, e02, e03, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17) ++
     MoreQueries.all ++ FunctionSuites.all
 
