@@ -27,6 +27,32 @@ object Dedup {
   def exactRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
     RelationalOps.dedupFirst(df, Seq(md5(col(textCol).cast("binary"))), Seq(col(idCol)))
 
+  /** The canonical normalization for [[normalizedExact]]: lowercase,
+    * strip everything but [a-z0-9 ], collapse whitespace runs, trim —
+    * per-row codegen'd string ops, zero shuffle. Exposed so callers can
+    * project the normalized form itself (e.g. to debug a surprising
+    * group). */
+  def normalizeText(text: Column): Column =
+    // Unicode letter/number classes, not [a-z]: an ASCII-only class would
+    // normalize every non-Latin document to "" and merge them all
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N} \\t\\n]", " "), "\\s+", " "))
+
+  /** NORMALIZED-exact duplicate groups — the "fuzzy-exact" tier between
+    * [[exact]] and MinHash: re-encodes, case changes, punctuation edits
+    * and whitespace reflows all collapse to one group (the mirror-host /
+    * trailing-boilerplate-free duplicates a crawl is full of), while
+    * true content changes stay distinct. Same single hash-shuffle shape
+    * as [[exact]] — the shuffle key is md5(normalized), 16 bytes/row.
+    *
+    * @return (keep_id, n_copies) per distinct NORMALIZED text
+    */
+  def normalizedExact(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(textCol)).cast("binary")).as("__h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__h")
+
   /** Buckets whose id list exceeds this expand through the join fallback
     * in [[bucketPairs]] instead of a single-row pair array. 512 ids is
     * ~131k pairs (~4 MB of longs) per bucket row — comfortably in-task. */

@@ -263,21 +263,31 @@ object Sampling {
     * domain), per-domain row totals).
     */
   private def hashRank(df: DataFrame, domain: Column,
-                       key: Column): (DataFrame, Map[String, Long]) = {
+                       key: Column): (DataFrame, Map[String, Long]) =
+    rankWithin(df, domain, Seq(keyHash(key), key))
+
+  /** The general within-domain exact rank over ANY ascending order —
+    * [[hashRank]] instantiates it with (md5-hash, key) for pseudo-random
+    * order; [[qualityGate]] with (-score, hash, key) for score order. */
+  private def rankWithin(df: DataFrame, domain: Column,
+                         order: Seq[Column]): (DataFrame, Map[String, Long]) = {
     val spark = df.sparkSession
+    val oNames = order.indices.map(i => s"__o$i")
     // __d normalizes the domain to a string ONCE (Catalyst cast), so the
     // driver-side maps and the executor-side row reads agree on the key
-    val ranged = df
-      .withColumn("__d", domain.cast("string"))
-      .withColumn("__h", keyHash(key))
-      .withColumn("__k", key)
+    val withOrd = order.zip(oNames).foldLeft(
+      df.withColumn("__d", domain.cast("string"))) {
+      case (acc, (c, n)) => acc.withColumn(n, c)
+    }
+    val sortCols = col("__d") +: oNames.map(col)
+    val ranged = withOrd
       // explicit partition count: a bare repartitionByRange is an AQE
       // coalesce target, and the two passes shuffle different column sets
       // (pruned vs full rows) — AQE could coalesce them DIFFERENTLY,
       // desynchronizing partition ids between the count and rank jobs
       .repartitionByRange(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("__d"), col("__h"), col("__k"))
-      .sortWithinPartitions(col("__d"), col("__h"), col("__k"))
+        sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       // lazy localCheckpoint — CORRECTNESS-CRITICAL, not a cache hint: the
       // range exchange SAMPLES its boundaries with a seed derived from the
       // RDD id, which differs between the count job and the rank job, so
@@ -326,7 +336,38 @@ object Sampling {
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rank)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    (ranked.drop("__h", "__k"), totals)
+    (ranked.drop(oNames: _*), totals)
+  }
+
+  /** Per-domain exact quantile gate — keep each domain's TOP
+    * `keepPermille`/1000 rows by `score` (exact integer quota, ties
+    * broken by the md5 hash order then the key, so the kept set is
+    * deterministic and engine-portable). The curation step "keep the
+    * best 30% of every language by quality score" — whose textbook form,
+    * `row_number() over (partition by lang order by score desc)`, puts
+    * each language's ENTIRE corpus in one task. This runs on the same
+    * two-pass distributed-rank construction as [[splitAssign]]: one
+    * range exchange on (domain, -score, hash), a driver-scale count
+    * pass, no window anywhere in the plan.
+    *
+    * `score` must be numeric (it is ranked via arithmetic negation).
+    *
+    * @return the kept input rows, schema unchanged
+    */
+  def qualityGate(df: DataFrame, domainCol: String, score: Column,
+                  key: Column, keepPermille: Int): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      "qualityGate: keepPermille must be in [0, 1000]")
+    val (ranked, totals) = rankWithin(df, col(domainCol).cast("string"),
+      Seq(-score, keyHash(key), key))
+    // integer quota, never double division (the splitAssign rationale)
+    val bounds: Map[String, Long] =
+      totals.map { case (d, n) => d -> n * keepPermille / 1000 }
+    val bcBounds = df.sparkSession.sparkContext.broadcast(bounds)
+    val quota = bcBounds.value.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (dom, q)) => acc.when(col("__d") <=> lit(dom), lit(q))
+    }.otherwise(lit(0L))
+    ranked.filter(col("__rank") <= quota).drop("__d", "__rank")
   }
 
   /** Sequence packing: assign each document to a training sequence (bin)

@@ -393,6 +393,39 @@ object Catalog {
             FROM documents GROUP BY text ORDER BY keep_id"""),
     bench = true)
 
+  /** Normalized-exact dedup (Dedup.normalizedExact) — the "fuzzy-exact"
+    * tier between d01 and MinHash: lowercase + strip-to-letters/digits +
+    * whitespace collapse, then the d01 group shape. The fixture plants
+    * uppercase re-encodes (+70000) and punctuation/whitespace-polluted
+    * copies (+71000) of the first 10 docs; both variant families MUST
+    * collapse into their source's group, and any natural case/punct
+    * near-copies merge identically. The oracle replays the normalization
+    * (unicode classes, global replace) and the grouping. */
+  private val d23 = QueryDef("d23_normalized_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          upper(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 71000).as("doc_id"),
+            concat(col("text"), lit("  ... !!!")).as("text")))
+      graft.operators.Dedup.normalizedExact(
+          docs.unionByName(variants), "doc_id", "text")
+        .orderBy("keep_id")
+    },
+    Some("""WITH allx AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 70000, UPPER(text)
+                FROM documents WHERE doc_id < 10
+              UNION ALL SELECT doc_id + 71000, text || '  ... !!!'
+                FROM documents WHERE doc_id < 10),
+            n AS (SELECT doc_id,
+                TRIM(regexp_replace(regexp_replace(LOWER(text),
+                  '[^\p{L}\p{N} \t\n]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+              FROM allx)
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM n GROUP BY nt ORDER BY keep_id"""))
+
   private val d02 = QueryDef("d02_ngram_topk",
     (s, d) => Dedup.ngramJaccardPairs(
         Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 3, 0.0)
@@ -2203,6 +2236,28 @@ object Catalog {
             FROM r ORDER BY doc_id"""),
     bench = true)
 
+  /** Per-domain exact quantile gate (Sampling.qualityGate): keep each
+    * language's top-300-permille documents by n_chars — "keep the best
+    * 30% of every language by quality score" with an EXACT integer
+    * quota, ties broken by the md5-hash order. Runs on the t30
+    * distributed-rank machinery (no per-domain window/sort task); the
+    * oracle replays the DESC score order, hash tiebreak and integer-div
+    * quota, so the exact kept set is hash-compared. */
+  private val t35 = QueryDef("t35_quality_gate",
+    (s, d) => graft.operators.Sampling.qualityGate(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "lang", col("n_chars"), col("doc_id"), 300)
+      .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id, lang, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY n_chars DESC,
+                    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                       1, 15))::BIGINT, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            SELECT doc_id, lang, n_chars FROM r
+            WHERE rn <= n * 300 // 1000 ORDER BY doc_id"""))
+
   /** Deterministic corpus shuffle + round-robin shard assignment
     * (Sampling.shuffleShards): the pipeline's LAST step — a stable
     * md5-order pseudo-random permutation dealt into 16 shards, each an
@@ -3692,11 +3747,11 @@ object Catalog {
     q11, q12, q13, q14, q15, q16, q17, q18i, q18e, q18u,
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-    d15, d16, d17, d18, d19, d20, d21, d22,
+    d15, d16, d17, d18, d19, d20, d21, d22, d23,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, t34, q50,
+    t31, t32, t33, t34, t35, q50,
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, e03, s01, s02, s03, s04, s05, s06, s07, s08, s09,
