@@ -24,16 +24,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects natively.
-    * With spark.sql.legacy.parquet.nanosAsLong=true it reads as a raw Long
-    * of nanoseconds since epoch; rebuild a TIMESTAMP_NTZ from it. The
-    * conversion uses integer division (`DIV`) — a double-precision divide
-    * would lose microseconds at 1.7e18 ns magnitudes. All generated values
-    * are whole microseconds, so this is lossless vs the DuckDB oracle.
+  /** `events.ts` normalization, robust to both testdata generations:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark rejects it natively; with
+    *    spark.sql.legacy.parquet.nanosAsLong=true it reads as a raw Long of
+    *    nanoseconds since epoch, rebuilt here via integer division (`DIV` —
+    *    a double divide would lose microseconds at 1.7e18 ns magnitudes).
+    *  - parquet TIMESTAMP(MICROS): reads natively as a timestamp type; only
+    *    an NTZ cast is needed.
+    *
+    * All generated values are whole microseconds, so both paths are
+    * lossless vs the DuckDB oracle.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    val raw = load(s, d, "events")
+    normalizeTs(raw)
+  }
+
+  /** Dtype-adaptive `ts` rebuild shared by the batch and stream readers. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    val tsCol = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    df.withColumn("ts", tsCol)
   }
 }

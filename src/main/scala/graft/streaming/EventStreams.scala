@@ -15,18 +15,22 @@ object EventStreams {
   private val sinkId = new AtomicInteger(0)
 
   /** File-source stream over the sf-dir events parquet. The raw ts column
-    * is nanosecond (read as long via nanosAsLong, exactly like
-    * Tables.events) and rebuilt into a microsecond TIMESTAMP — streaming
-    * time semantics (watermarks, windows) need a real timestamp type. */
+    * is rebuilt into a microsecond TIMESTAMP via the same dtype-adaptive
+    * normalization as the batch reader (nanos-as-long or native micros) —
+    * streaming time semantics (watermarks, windows) need a real timestamp
+    * type, and stream/batch parity needs the identical rebuild. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source needs a directory: stream the sf dir filtered
     // down to the events file
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // Watermarks reject TIMESTAMP_NTZ — the stream carries LTZ instead;
+    // the session runs UTC so the instants line up with the NTZ batch twins.
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Message-bus-shaped stream source: the built-in `rate` connector
