@@ -32,15 +32,23 @@ object Bench {
     // under a best-of-two protocol — 3-run medians landed on round-4
     // values exactly).
     val results = names.map { name =>
-      val df = try qmap(name)(spark, sfDir) catch { case _: Throwable => null }
-      if (df != null) { try df.count() catch { case _: Throwable => () } }
+      // a query that fails to plan or execute reports -1, never a fake
+      // fast time: round-8's bench silently recorded 0.00s for five
+      // queries broken by a testdata schema change
+      var failed: Throwable = null
+      val df = try qmap(name)(spark, sfDir) catch { case t: Throwable => failed = t; null }
+      if (df != null) { try df.count() catch { case t: Throwable => failed = t } }
       val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { if (df != null) df.count() } catch { case _: Throwable => () }
+        try { if (df != null && failed == null) df.count() } catch { case t: Throwable => failed = t }
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()
+      if (failed != null) {
+        System.err.println(s"[bench] $name FAILED: ${failed.getMessage.linesIterator.next()}")
+        (name, -1.0, -1.0)
+      } else {
       val dt = times.min
       // the 3-run median rides along so regressions are judged on medians
       // (the round-6 audit protocol): a min can flatter, a single run can
@@ -48,6 +56,7 @@ object Bench {
       val med = times.sorted.apply(1)
       System.err.println(f"[bench] $name%-22s $dt%8.2fs  (median $med%.2fs)")
       (name, dt, med)
+      }
     }
     def obj(f: ((String, Double, Double)) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + f"$v%.3f" }
