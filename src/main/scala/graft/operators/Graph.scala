@@ -92,4 +92,92 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Multi-source breadth-first search: label every vertex reachable from
+    * `seeds` within `maxHops` edges with its exact hop distance (= the
+    * minimum over seeds). The recursive-query workhorse — what engines
+    * with WITH RECURSIVE express as a bounded fixpoint, built here as a
+    * driver-coordinated frontier loop (the standard distributed BFS):
+    * each round is ONE equi join (frontier × edges, keyed on src) plus a
+    * distinct and an anti join against the settled set, so per-round work
+    * is proportional to the frontier's out-edges — never the whole graph.
+    * The frontier is re-derived as exactly the newly settled vertices, so
+    * a vertex's neighbors are expanded once, ever (label-correcting, not
+    * label-propagating: total work O(E) across all rounds, not O(E·hops)).
+    *
+    * localCheckpoint(true) pins each round's result — without it the plan
+    * stacks `maxHops` join layers (the pageRankScaled rationale). The
+    * empty-frontier early exit makes the hop bound a cap, not a cost: on
+    * a graph of diameter d only d rounds run.
+    *
+    * @param edges    edge list (src, dst); treated as UNDIRECTED when
+    *                 `directed` is false (each edge expands both ways)
+    * @param seeds    one column `id` — the 0-hop vertex set
+    * @param maxHops  inclusive hop cap (bounds the fixpoint)
+    * @return (id, hops: int) — vertices unreachable within the cap are
+    *         absent, seeds report 0
+    */
+  def shortestHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                   directed: Boolean = false): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"))
+    val dir = (if (directed) fwd
+               else fwd.unionByName(
+                 edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = dist
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = frontier.join(dir, frontier("id") === dir("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    dist
+  }
+
+  /** Hop-bounded single/multi-source shortest paths over non-negative
+    * integer edge weights (Bellman–Ford relaxation): after `rounds`
+    * rounds, each vertex holds the exact minimum total weight over all
+    * paths of at most `rounds` edges from any seed — the weighted
+    * companion of [[shortestHops]], and the same bounded fixpoint a
+    * WITH RECURSIVE oracle enumerates. Integer weights keep the result
+    * bit-identical across engines (no float path-sum drift).
+    *
+    * Each round is one equi join (settled × edges on src) plus one
+    * min-aggregation — both map-side-combinable shuffles on the vertex
+    * id. Unlike BFS the full settled set relaxes every round (distances
+    * can improve), so per-round cost is O(settled out-edges); the hop
+    * bound is the scale contract that keeps the loop finite on cyclic
+    * graphs.
+    *
+    * @param edges (src, dst, w: bigint >= 0); undirected unless `directed`
+    * @param seeds one column `id` — distance-0 vertices
+    * @return (id, dist: bigint) — min path weight within the hop bound;
+    *         unreachable vertices absent
+    */
+  def boundedShortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                           directed: Boolean = false): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"), col("w"))
+    val dir = (if (directed) fwd
+               else fwd.unionByName(edges.select(col("dst").as("src"),
+                 col("src").as("dst"), col("w"))))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = dist.join(dir, dist("id") === dir("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

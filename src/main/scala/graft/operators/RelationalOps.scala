@@ -233,6 +233,71 @@ object RelationalOps {
       .select(col(key), col("grid_ts"), col("lerp_centi"))
   }
 
+  /** Resample to a fixed grid with NEAREST-NEIGHBOR valuation — the third
+    * member of the family ([[resampleLocf]], [[resampleLerp]]): each grid
+    * instant takes the value of whichever bracketing event is closer in
+    * time, measured in exact epoch microseconds; an equidistant tie and a
+    * grid instant landing on an event both resolve to the at-or-before
+    * side. Unlike LOCF, instants before the first event are valued by the
+    * first FUTURE event (nearest has no head null unless the key has no
+    * events at all, which cannot happen here since the grid derives from
+    * them).
+    *
+    * Same single-exchange shape as lerp: union grid and event rows, two
+    * windows (ascending prev / descending next) riding one (key)
+    * partition, then an integer distance compare — values in exact
+    * centi-units, so the pick and the output are bit-certifiable
+    * cross-engine.
+    *
+    * @return (key, grid_ts, nearest_centi: bigint)
+    */
+  def resampleNearest(events: DataFrame, key: String, tsCol: String,
+                      valueCol: String, stepHours: Int,
+                      tieBreak: String): DataFrame = {
+    val ev = dedupFirst(events.select(col(key), col(tsCol), col(valueCol),
+        col(tieBreak)),
+      Seq(col(key), col(tsCol)), Seq(col(tieBreak).desc))
+      .drop(tieBreak)
+      .withColumn("__evc", round(col(valueCol) * 100, 0).cast("long"))
+    val bounds = ev.groupBy(key)
+      .agg(date_trunc("hour", min(col(tsCol))).as("__t0"),
+        max(col(tsCol)).as("__t1"))
+    val grid = bounds.select(col(key),
+      explode(sequence(col("__t0"), col("__t1"),
+        expr(s"INTERVAL $stepHours HOURS"))).as("grid_ts"))
+    val tsType = events.schema(tsCol).dataType
+    val g = grid.withColumn("__side", lit(1))
+      .withColumn("__ats", col("grid_ts"))
+      .withColumn("__ets", lit(null).cast(tsType))
+      .withColumn("__ec", lit(null).cast("long"))
+    val e = ev.select(col(key), col(tsCol).as("__ats"),
+        col(tsCol).as("__ets"), col("__evc").as("__ec"))
+      .withColumn("__side", lit(0))
+      .withColumn("grid_ts", lit(null).cast(tsType))
+    val cols = Seq(key, "grid_ts", "__side", "__ats", "__ets", "__ec")
+    val u = g.select(cols.map(col): _*).unionByName(e.select(cols.map(col): _*))
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("__ats"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(key))
+      .orderBy(col("__ats").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__ta", last(col("__ets"), ignoreNulls = true).over(wPrev))
+      .withColumn("__va", last(col("__ec"), ignoreNulls = true).over(wPrev))
+      .withColumn("__tb", last(col("__ets"), ignoreNulls = true).over(wNext))
+      .withColumn("__vb", last(col("__ec"), ignoreNulls = true).over(wNext))
+      .filter(col("__side") === 1)
+      .withColumn("nearest_centi",
+        when(col("__ta").isNull, col("__vb"))
+          .when(col("__tb").isNull, col("__va"))
+          .otherwise(expr(
+            """CASE WHEN unix_micros(cast(grid_ts as timestamp))
+                       - unix_micros(cast(__ta as timestamp))
+                    <= unix_micros(cast(__tb as timestamp))
+                       - unix_micros(cast(grid_ts as timestamp))
+                    THEN __va ELSE __vb END""")))
+      .select(col(key), col("grid_ts"), col("nearest_centi"))
+  }
+
   /** Skew-mitigating equi join: the left (large, skewed) side gets a
     * random-free deterministic salt derived from a high-cardinality column,
     * the right side is exploded across all salt values, and the join runs

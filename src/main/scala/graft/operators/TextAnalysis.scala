@@ -572,6 +572,54 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(topN)
 
+  /** PMI collocation mining: the corpus's top-k adjacent word pairs by
+    * pointwise mutual information over the bigram sample space —
+    * PMI(a,b) = ln( p(a,b) / (p(a,·)·p(·,b)) ) with all three
+    * probabilities estimated from bigram counts, reported as a
+    * scaled-BIGINT (floor(x·1e4+0.5), the dsirWeights convention) so
+    * ranking and output are oracle-exact; the inner ratio is a pure
+    * IEEE double multiply/divide, never an integer cross-product that
+    * would overflow Long at corpus scale.
+    *
+    * Scale shape: ONE bigram explode + hash agg is the only corpus-scale
+    * shuffle; the marginals and the total are all derived FROM the
+    * aggregated pair table (the tfIdf df-from-tf rule), which is
+    * localCheckpoint-pinned so the corpus scan runs once, not four
+    * times. The min-count filter prunes the pair table BEFORE the
+    * marginal joins, and the total rides in as a broadcast scalar. Top-k
+    * by (pmi, w1, w2) via orderBy+limit = TakeOrdered, no global sort.
+    *
+    * @return (w1, w2, n2, pmi_scaled) — the `topK` pairs with
+    *         n2 >= minCount, strongest PMI first at equal PMI ordered by
+    *         (w1, w2)
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 20,
+                      textCol: String = "text"): DataFrame = {
+    import graft.functions.Fn.bind
+    val bg = docs.select(explode(bind(TextFns.words(col(textCol))) { w =>
+        when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), size(w) - 2),
+            i => struct(element_at(w, i + 1).as("w1"),
+              element_at(w, i + 2).as("w2"))))
+      }).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val n2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      .localCheckpoint(true)
+    val m1 = n2.groupBy("w1").agg(sum("n2").as("c1"))
+    val m2 = n2.groupBy("w2").agg(sum("n2").as("c2"))
+    val t = n2.agg(sum("n2").as("t"))
+    n2.filter(col("n2") >= minCount)
+      .join(m1, Seq("w1")).join(m2, Seq("w2"))
+      .crossJoin(broadcast(t))
+      .withColumn("pmi_scaled", floor(
+        log((col("n2").cast("double") * col("t").cast("double")) /
+            (col("c1").cast("double") * col("c2").cast("double"))) * 10000
+          + 0.5).cast("long"))
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "n2", "pmi_scaled")
+  }
+
   /** TF-IDF top-k terms per document. Two hash aggregations (term
     * frequency per doc, document frequency per term) joined on word;
     * ranking on the ROUNDED score so cross-engine float noise cannot flip

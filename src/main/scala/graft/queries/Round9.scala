@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Graph, RelationalOps, Sampling, TextAnalysis}
+import graft.queries.Catalog.QueryDef
+
+/** Round-9 additions: bounded recursive-query surface (BFS reachability,
+  * weighted shortest paths — the WITH RECURSIVE class, oracled against
+  * DuckDB recursive CTEs), nearest-neighbor resampling completing the
+  * LOCF/lerp family, LATERAL correlated subqueries through the SQL
+  * front-end, PMI collocation mining, and the streaming quality funnel
+  * (stateless in-stream filters + corpus-global gate — the production
+  * curation shape).
+  */
+object R9 {
+
+  /** The order–part bipartite graph: one edge per distinct (orderkey,
+    * partkey) in lineitem, part ids offset into their own id space.
+    * The relational graph every supply-chain blast-radius query walks. */
+  private def orderPartEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey").as("src"),
+      (col("l_partkey") + lit(1000000000L)).as("dst")).distinct()
+
+  /** d24: multi-source BFS over the order–part graph — every order/part
+    * within 3 undirected hops of a high-value seed order, labeled with
+    * its exact hop distance. The bounded-recursion class (WITH RECURSIVE
+    * in SQL engines) as a driver-coordinated frontier loop; the oracle
+    * IS a recursive CTE, so the fixpoint semantics are hash-certified
+    * level by level. */
+  private val d24 = QueryDef("d24_reachability",
+    (s, d) => {
+      val seeds = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 495000)
+        .select(col("o_orderkey").as("id"))
+      Graph.shortestHops(orderPartEdges(s, d), seeds, maxHops = 3)
+        .orderBy("id")
+    },
+    Some("""WITH RECURSIVE
+            e0 AS (SELECT DISTINCT l_orderkey AS a, 1000000000 + l_partkey AS b
+                   FROM lineitem),
+            dir AS (SELECT a AS src, b AS dst FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            seeds AS (SELECT o_orderkey AS id FROM orders
+                      WHERE o_totalprice > 495000),
+            walk(id, hops) AS (
+              SELECT id, 0 FROM seeds
+              UNION
+              SELECT d.dst, w.hops + 1 FROM walk w
+              JOIN dir d ON d.src = w.id WHERE w.hops < 3)
+            SELECT id, CAST(MIN(hops) AS INT) AS hops FROM walk
+            GROUP BY id ORDER BY id""",
+    ), bench = true)
+
+  /** d25: hop-bounded weighted shortest paths (Bellman–Ford, 4 rounds)
+    * over the document near-duplicate similarity graph — edge weight
+    * 10000 − jaccard·10000 (integer "dissimilarity"), multi-source from
+    * docs {0,1,2}. Distances are exact BIGINTs, so min-over-paths is
+    * hash-certified against the recursive-CTE path enumeration. */
+  private val d25 = QueryDef("d25_shortest_paths",
+    (s, d) => {
+      val edges = Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text", 3, 0.0)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(60)
+        .select(col("id_a").as("src"), col("id_b").as("dst"),
+          (lit(10000L) - floor(col("jaccard") * 10000 + 0.5).cast("long"))
+            .as("w"))
+      val seeds = s.range(3).select(col("id"))
+      Graph.boundedShortestPaths(edges, seeds, rounds = 4)
+        .select(col("id").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+            w AS (SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                    x -> x <> '') AS w
+                  FROM documents WHERE doc_id < 100),
+            g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    FLOOR(len(list_intersect(a.sh, b.sh)) /
+                          len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5)
+                      / 10000 AS jaccard
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  ORDER BY jaccard DESC, id_a, id_b LIMIT 60),
+            we AS (SELECT id_a, id_b,
+                     CAST(10000 - FLOOR(jaccard * 10000 + 0.5) AS BIGINT) AS w
+                   FROM e),
+            dir AS (SELECT id_a AS src, id_b AS dst, w FROM we
+                    UNION ALL SELECT id_b, id_a, w FROM we),
+            walk(id, dist, hops) AS (
+              SELECT UNNEST([0, 1, 2]), CAST(0 AS BIGINT), 0
+              UNION
+              SELECT d.dst, wk.dist + d.w, wk.hops + 1 FROM walk wk
+              JOIN dir d ON d.src = wk.id WHERE wk.hops < 4)
+            SELECT id AS doc_id, MIN(dist) AS dist FROM walk
+            GROUP BY id ORDER BY doc_id"""))
+
+  /** e04: nearest-neighbor resampling — e02/e03's grid valued by the
+    * closer bracketing event in exact microsecond distance, equidistant
+    * ties to the at-or-before side, head instants valued by the first
+    * future event. The oracle re-derives both bracket picks and the
+    * integer distance compare, so every pick is hash-certified. */
+  private val e04 = QueryDef("e04_resample_nearest",
+    (s, d) => RelationalOps.resampleNearest(Tables.events(s, d),
+        "user_id", "ts", "value", stepHours = 6, tieBreak = "event_id")
+      .orderBy("user_id", "grid_ts"),
+    Some("""WITH b AS (SELECT user_id,
+                 CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP) AS t0,
+                 CAST(MAX(ts) AS TIMESTAMP) AS t1
+               FROM events GROUP BY user_id),
+            grid AS (SELECT user_id,
+                 UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS grid_ts
+               FROM b),
+            pv AS (SELECT g.user_id, g.grid_ts,
+                (SELECT e.ts FROM events e
+                 WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                 ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS ta,
+                (SELECT CAST(ROUND(e.value * 100) AS BIGINT) FROM events e
+                 WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                 ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS va,
+                (SELECT e.ts FROM events e
+                 WHERE e.user_id = g.user_id AND e.ts > g.grid_ts
+                 ORDER BY e.ts ASC, e.event_id DESC LIMIT 1) AS tb,
+                (SELECT CAST(ROUND(e.value * 100) AS BIGINT) FROM events e
+                 WHERE e.user_id = g.user_id AND e.ts > g.grid_ts
+                 ORDER BY e.ts ASC, e.event_id DESC LIMIT 1) AS vb
+              FROM grid g)
+            SELECT user_id, grid_ts,
+              CASE WHEN ta IS NULL THEN vb
+                   WHEN tb IS NULL THEN va
+                   WHEN epoch_us(grid_ts) - epoch_us(ta)
+                        <= epoch_us(tb) - epoch_us(grid_ts) THEN va
+                   ELSE vb
+              END AS nearest_centi
+            FROM pv ORDER BY user_id, grid_ts"""))
+
+  /** q68: correlated LATERAL subquery through the SQL front-end — the
+    * top-2 orders per customer, written as the per-row subquery a user
+    * would write, decorrelated by Catalyst into a set-based plan (no
+    * per-row execution). Restricted to one nation to keep the output
+    * row-bounded. */
+  private val q68 = QueryDef("q68_lateral",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+               FROM customer c
+               JOIN LATERAL (
+                 SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+               WHERE c.c_nationkey = 7
+               ORDER BY c.c_custkey, o.o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            FROM customer c
+            JOIN LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+            WHERE c.c_nationkey = 7
+            ORDER BY c.c_custkey, o.o_orderkey"""))
+
+  /** t37: PMI collocation mining (TextAnalysis.pmiCollocations) — the
+    * corpus's strongest adjacent-pair associations by scaled-BIGINT
+    * pointwise mutual information, min bigram count 5, top 20. */
+  private val t37 = QueryDef("t37_pmi_collocations",
+    (s, d) => TextAnalysis.pmiCollocations(
+      Tables.documents(s, d), minCount = 5L, topK = 20),
+    Some("""WITH w AS (SELECT list_filter(
+                regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                x -> x <> '') AS w FROM documents),
+            bg AS (SELECT UNNEST(list_transform(range(1, len(w)),
+                     i -> [w[i], w[i+1]])) AS p
+                   FROM w WHERE len(w) >= 2),
+            pair AS (SELECT p[1] AS w1, p[2] AS w2 FROM bg),
+            n2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pair GROUP BY w1, w2),
+            m1 AS (SELECT w1, SUM(n2) AS c1 FROM n2 GROUP BY w1),
+            m2 AS (SELECT w2, SUM(n2) AS c2 FROM n2 GROUP BY w2),
+            t AS (SELECT SUM(n2) AS t FROM n2)
+            SELECT n2.w1, n2.w2, n2.n2,
+              CAST(FLOOR(LN((CAST(n2.n2 AS DOUBLE) * CAST((SELECT t FROM t) AS DOUBLE)) /
+                            (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE))) * 10000
+                   + 0.5) AS BIGINT) AS pmi_scaled
+            FROM n2 JOIN m1 USING (w1) JOIN m2 USING (w2)
+            WHERE n2.n2 >= 5
+            ORDER BY pmi_scaled DESC, w1, w2 LIMIT 20"""),
+    bench = true)
+
+  /** s18: the streaming curation funnel — documents ingested as a file
+    * stream, STATELESS quality predicates applied per micro-batch (the
+    * cheap in-stream stage: no shuffle, no state store), survivors staged
+    * to parquet, then the corpus-GLOBAL per-language quality gate
+    * (t35's operator) over the accumulated set. Global selection can
+    * never be a per-batch decision — the split into a stateless stream
+    * stage and a batch gate is the production shape, and the oracle
+    * certifies the composed end-to-end result. */
+  private val s18 = QueryDef("s18_stream_funnel",
+    (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s18_")
+      val out = s"$base/staged"
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.filter(col("n_chars") >= 200)
+            .select("doc_id", "lang", "n_chars")
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Sampling.qualityGate(s.read.parquet(out),
+          "lang", col("n_chars"), col("doc_id"), 300)
+        .orderBy("doc_id")
+    },
+    Some("""WITH surv AS (SELECT doc_id, lang, n_chars FROM documents
+                          WHERE n_chars >= 200),
+            r AS (SELECT doc_id, lang, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY n_chars DESC,
+                    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                       1, 15))::BIGINT, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM surv)
+            SELECT doc_id, lang, n_chars FROM r
+            WHERE rn <= n * 300 // 1000 ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(d24, d25, e04, q68, t37, s18)
+}
