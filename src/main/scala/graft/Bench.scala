@@ -22,7 +22,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = graft.queries.Catalog.benchNames
+    // dev iteration: SPARK_GRAFT_BENCH_ONLY=q01_count,d24_reachability
+    // restricts the run; the reported JSON stays protocol-identical
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq)
+      .getOrElse(graft.queries.Catalog.benchNames)
     val qmap = SparkEntry.queries
     // steady-state methodology: per query, one untimed warmup run (codegen
     // compilation + JIT), then clear the block cache (so persisted
@@ -34,14 +38,18 @@ object Bench {
     val results = names.map { name =>
       // a query that fails to plan or execute reports -1, never a fake
       // fast time: round-8's bench silently recorded 0.00s for five
-      // queries broken by a testdata schema change
+      // queries broken by a testdata schema change.
+      // Each timed run REBUILDS the DataFrame: iterative operators
+      // (BFS, PageRank, Lloyd rounds) materialize eagerly via
+      // localCheckpoint during construction, so timing only count() on a
+      // pre-built frame would measure a cached result, not the query.
       var failed: Throwable = null
-      val df = try qmap(name)(spark, sfDir) catch { case t: Throwable => failed = t; null }
-      if (df != null) { try df.count() catch { case t: Throwable => failed = t } }
+      def run(): Unit = qmap(name)(spark, sfDir).count()
+      try run() catch { case t: Throwable => failed = t } // warmup
       val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { if (df != null && failed == null) df.count() } catch { case t: Throwable => failed = t }
+        try { if (failed == null) run() } catch { case t: Throwable => failed = t }
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()

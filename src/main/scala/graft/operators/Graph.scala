@@ -120,9 +120,17 @@ object Graph {
   def shortestHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
                    directed: Boolean = false): DataFrame = {
     val fwd = edges.select(col("src"), col("dst"))
+    // hash-partition the edge table on src ONCE: every round's
+    // frontier-expansion join then reuses this partitioning (only the
+    // small frontier moves), instead of re-shuffling the edges per round
     val dir = (if (directed) fwd
                else fwd.unionByName(
                  edges.select(col("dst").as("src"), col("src").as("dst"))))
+      // repartition FIRST: hash-partitioning on src co-locates equal
+      // (src,dst) pairs too, so the distinct's aggregate runs partition-
+      // local on top of it — one exchange, and the result stays
+      // partitioned on src for every round's join
+      .repartition(col("src"))
       .distinct()
       .localCheckpoint(true)
     var dist = seeds.select(col("id")).distinct()
@@ -136,7 +144,9 @@ object Graph {
         .join(dist.select("id"), Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+      // dist stays a lazy union of checkpointed levels — every member is
+      // already pinned, so re-checkpointing the union would only copy it
+      dist = dist.unionByName(next)
       frontier = next
     }
     dist
@@ -168,6 +178,7 @@ object Graph {
     val dir = (if (directed) fwd
                else fwd.unionByName(edges.select(col("dst").as("src"),
                  col("src").as("dst"), col("w"))))
+      .repartition(col("src")) // one-time: each round's relax join reuses it
       .localCheckpoint(true)
     var dist = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
