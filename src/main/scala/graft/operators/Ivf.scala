@@ -24,12 +24,39 @@ object Ivf {
 
   /** Deterministic k-means (Lloyd) over the embedding column. Initial
     * centroids are the first k rows by id (deterministic, no sampling
-    * RNG). Returns (cell: Int, centroid: Array[Double]). */
+    * RNG). Returns (cell: Int, centroid: Array[Double]).
+    *
+    * Loop shape: the per-round state is k x dim doubles — driver-scale
+    * by contract — so each round is exactly ONE distributed job: the
+    * zero-shuffle [[assign]] map feeding a single per-dimension sum
+    * aggregation (64 sum columns + a count beats posexplode + two
+    * shuffles: the old shape moved |corpus| x dim rows per round). The
+    * previous round's centroids enter the next plan as literals (via
+    * assign's collect), so lineage NEVER stacks across rounds and no
+    * checkpoint is needed inside the loop; the final table is pinned
+    * once for its two consumers (corpus assignment + query probes).
+    *
+    * Training runs on a deterministic hash-gated sample of at most
+    * ~`trainCap` vectors, pinned to executor storage for the rounds (the
+    * standard ANN-index design: the coarse quantizer trains on a sample,
+    * never the full corpus — at 100 TB the full set neither fits pinned
+    * storage nor improves 16 centroids). The gate is md5-free modular
+    * hashing on the id, so the sample — and therefore the fitted
+    * centroids — is reproducible across runs and partitionings. Corpora
+    * at or under the cap train on every vector (no behavior change). */
   def fitCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("__id"),
+                   vecCol: String = "embedding",
+                   trainCap: Long = 100000L): DataFrame = {
+    val all = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val n = all.count()
+    val vecs = (if (n > trainCap)
+                  all.filter(pmod(xxhash64(col("__id")),
+                    lit((n + trainCap - 1) / trainCap)) === 0)
+                else all)
+      .localCheckpoint(true)
+    val dim = vecs.select(size(col("__v")).as("d")).head().getInt(0)
     // constant partition key: the window runs over exactly k rows (post
     // limit), so a single partition is correct AND intended — naming it
     // silences WindowExec's single-partition warning without changing the
@@ -41,31 +68,51 @@ object Ivf {
       .select(col("cell"), col("__v").as("centroid"))
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, centroids)
-      // new centroid = elementwise mean over members: posexplode ->
-      // (cell, pos) average -> re-assemble ordered arrays.
-      // localCheckpoint (eager) cuts the lineage each iteration — without
-      // it the final plan stacks `iters` crossJoin+window layers and
-      // planning/execution time grows superlinearly (the same
-      // iterative-algorithm rule as the SURVEY §2.8 match-filter note).
-      centroids = assigned
-        .select(col("cell"), posexplode(col("__v")))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
-        .localCheckpoint(true)
+      // new centroid = elementwise mean over members, as dim parallel
+      // sums in ONE map-side-combinable aggregation; empty cells drop
+      // (unchanged semantics — assign tolerates sparse cell ids)
+      val sums = Seq.tabulate(dim)(i =>
+        sum(element_at(col("__v"), i + 1)).as(s"__s$i"))
+      centroids = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("cell"), array(Seq.tabulate(dim)(i =>
+          col(s"__s$i") / col("__n")): _*).as("centroid"))
     }
-    centroids
+    centroids.localCheckpoint(true)
   }
 
-  /** Nearest-centroid assignment (broadcast centroids, window argmin).
+  /** Nearest-centroid assignment as a ZERO-SHUFFLE map: the centroid
+    * table is k x dim doubles (k <= a few hundred by contract) — small
+    * enough to collect and inline as a literal array, so the argmin runs
+    * per row inside codegen with no crossJoin and no window exchange.
+    * The arithmetic replicates VectorFns.l2sq term-for-term (zip_with
+    * square-diff, left-fold sum) and array_position picks the FIRST
+    * minimum — the same (distance, cell) tie-break as the old window
+    * argmin, so assignments are bit-identical to the join form.
     * private[operators]: Pq.ivfAdcKnn reuses it for the coarse stage. */
   private[operators] def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val joined = vecs.crossJoin(broadcast(centroids))
-      .withColumn("__d", VectorFns.l2sq(col("__v"), col("centroid")))
-    val w = Window.partitionBy(col("__id")).orderBy(col("__d"), col("cell"))
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val cents = centroids.orderBy("cell")
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "assign: empty centroid table")
+    // cells may be SPARSE (a Lloyd round drops emptied cells): the argmin
+    // runs over positions, then maps back to the surviving cell ids
+    val centArr = array(cents.map { case (_, v) =>
+      array(v.map(lit(_)): _*)
+    }: _*)
+    val cellIdArr = array(cents.map(c => lit(c._1)): _*)
+    val dists = transform(sequence(lit(0), lit(cents.length - 1)),
+      j => aggregate(
+        zip_with(col("__v"), element_at(centArr, j + 1), (x, y) => {
+          val d = x.cast("double") - y.cast("double")
+          d * d
+        }),
+        lit(0.0),
+        (acc, v) => acc + v))
+    vecs.withColumn("__dists", dists)
+      .withColumn("cell", element_at(cellIdArr,
+        array_position(col("__dists"), array_min(col("__dists"))).cast("int")))
       .select(col("__id"), col("__v"), col("cell"))
   }
 
