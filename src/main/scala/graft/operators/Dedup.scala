@@ -403,6 +403,56 @@ object Dedup {
       .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
+  /** Sorted-neighborhood near-duplicate pairs (Hernández–Stolfo SNM —
+    * the classic entity-resolution alternative to LSH banding): rank the
+    * corpus by a cheap blocking key (normalized-text prefix, unique-keyed
+    * by id), compare only rows within `window` positions of each other,
+    * and verify candidates with exact word-shingle Jaccard. Where LSH
+    * catches any-position overlap, SNM catches the prefix-clustered
+    * duplicates (mirrors, re-encodes, boilerplate variants) at strictly
+    * linear candidate count — |corpus| x window pairs, no banding tables.
+    *
+    * Scale shape: the global order comes from the two-pass distributed
+    * rank ([[graft.operators.Sampling.orderedRank]] — no window, no
+    * single-task sort); neighbor pairs come from TWO equi joins on the
+    * rank bucket `(rank-1) div window` (same-bucket + adjacent-bucket
+    * covers every pair within `window` exactly once); only candidates
+    * reach the shingle verify. Every stage is linear in the corpus.
+    *
+    * @return (id_a, id_b, jaccard) — id_a < id_b, verified
+    *         jaccard >= threshold, 4-decimal midpoint-safe rounding
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+                              window: Int = 10, shingleN: Int = 3,
+                              threshold: Double = 0.5): DataFrame = {
+    require(window >= 1, "sortedNeighborhoodPairs: window must be >= 1")
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"),
+      substring(normalizeText(col(textCol)), 1, 16).as("__key"))
+    val ranked = graft.operators.Sampling.orderedRank(
+        keyed, Seq(col("__key"), col("id")))
+      .withColumn("__b", expr(s"(__rank - 1) div $window"))
+      .select(col("id"), col("__text"), col("__rank"), col("__b"))
+    val l = ranked.select(col("id").as("__ida"), col("__text").as("__ta"),
+      col("__rank").as("__ra"), col("__b").as("__ba"))
+    val r = ranked.select(col("id").as("__idb"), col("__text").as("__tb"),
+      col("__rank").as("__rb"), col("__b").as("__bb"))
+    // same-bucket + adjacent-bucket equi joins enumerate each pair with
+    // 0 < rank distance <= window exactly once (never both joins)
+    val same = l.join(r, col("__ba") === col("__bb"))
+    val adj = l.join(r, col("__ba") + 1 === col("__bb"))
+    val cand = same.unionByName(adj)
+      .filter(col("__rb") > col("__ra") &&
+        col("__rb") <= col("__ra") + window)
+    cand
+      .withColumn("jaccard",
+        floor(TextFns.jaccard(
+          TextFns.wordShingles(col("__ta"), shingleN),
+          TextFns.wordShingles(col("__tb"), shingleN)) * 10000 + 0.5) / 10000)
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard over all pairs of a (small / pre-filtered) slice.
     * This is the verification-grade variant: O(n^2) pairs, so callers must
     * bound n (the LSH variants are the scale path). */

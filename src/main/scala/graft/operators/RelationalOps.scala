@@ -298,6 +298,29 @@ object RelationalOps {
       .select(col(key), col("grid_ts"), col("nearest_centi"))
   }
 
+  /** OHLC bucket downsampling — the financial-style summary of an event
+    * series: per (key, time bucket) the first (open) and last (close)
+    * values in (ts, tieBreak) order plus the min/max/count. ONE hash
+    * aggregation with map-side combine (min_by/max_by over the lexical
+    * (ts, tieBreak) struct pick open/close without any window or sort);
+    * values pass through untouched, so 2-decimal inputs stay exact and
+    * the whole row is hash-certifiable.
+    *
+    * @return (key, bucket_ts, open, high, low, close, n)
+    */
+  def ohlcDownsample(events: DataFrame, key: String, tsCol: String,
+                     valueCol: String, bucket: String,
+                     tieBreak: String): DataFrame = {
+    val ord = struct(col(tsCol), col(tieBreak))
+    events.groupBy(col(key), date_trunc(bucket, col(tsCol)).as("bucket_ts"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Skew-mitigating equi join: the left (large, skewed) side gets a
     * random-free deterministic salt derived from a high-cardinality column,
     * the right side is exploded across all salt values, and the join runs

@@ -266,6 +266,15 @@ object Sampling {
                        key: Column): (DataFrame, Map[String, Long]) =
     rankWithin(df, domain, Seq(keyHash(key), key))
 
+  /** Public face of the two-pass distributed rank for a SINGLE global
+    * order (domain = the whole frame): appends `__rank` (1-based) in
+    * ascending `order` without any window or single-task sort — the
+    * sortedNeighborhood blocking stage and any other "position in a
+    * global sort" consumer build on this. The order must be total
+    * (include a unique key last) for the rank to be deterministic. */
+  def orderedRank(df: DataFrame, order: Seq[Column]): DataFrame =
+    rankWithin(df, lit(""), order)._1.drop("__d")
+
   /** The general within-domain exact rank over ANY ascending order —
     * [[hashRank]] instantiates it with (md5-hash, key) for pseudo-random
     * order; [[qualityGate]] with (-score, hash, key) for score order. */
