@@ -50,12 +50,37 @@ object Ivf {
                    trainCap: Long = 100000L): DataFrame = {
     val all = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val n = all.count()
-    val vecs = (if (n > trainCap)
-                  all.filter(pmod(xxhash64(col("__id")),
-                    lit((n + trainCap - 1) / trainCap)) === 0)
+    // sampling modulus from the optimizer's size estimate (file-footer
+    // bytes — no job), not an eager full-corpus count(): the modulus only
+    // sizes the sample, never affects correctness, and a power-of-two
+    // quantization absorbs the estimate's slack while keeping the gate
+    // reproducible for a given input. The 64-byte row-width floor biases
+    // the row estimate HIGH (embedding rows are wider), so the sample
+    // lands AT OR UNDER the cap — the safe direction: the cap bounds
+    // pinned executor storage; a somewhat smaller sample still fits
+    // k <= a few hundred centroids comfortably.
+    val stats = all.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sentinel = BigInt(
+      all.sparkSession.sessionState.conf.defaultSizeInBytes)
+    // RDD-backed plans (localCheckpoint, createDataFrame) report the
+    // sentinel default size, not a real estimate — there, pay the exact
+    // count (column-pruned to a metadata scan on columnar sources). The
+    // file-backed 100 TB path never takes it.
+    val estRows =
+      if (stats >= sentinel) all.count()
+      else (stats / 64).toLong.max(1L)
+    val modulus =
+      if (estRows <= trainCap) 1L
+      else java.lang.Long.highestOneBit(
+        ((estRows + trainCap - 1) / trainCap) * 2 - 1)
+    val vecs = (if (modulus > 1L)
+                  all.filter(pmod(xxhash64(col("__id")), lit(modulus)) === 0)
                 else all)
       .localCheckpoint(true)
+    require(!vecs.isEmpty,
+      s"fitCentroids: training sample is empty (modulus=$modulus from " +
+        s"row estimate $estRows) — the input's size statistics are " +
+        "wildly off; supply a trainCap-sized pre-sample instead")
     val dim = vecs.select(size(col("__v")).as("d")).head().getInt(0)
     // constant partition key: the window runs over exactly k rows (post
     // limit), so a single partition is correct AND intended — naming it
@@ -96,20 +121,38 @@ object Ivf {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     require(cents.nonEmpty, "assign: empty centroid table")
+    // the literal-inlining contract, ENFORCED: the centroid table is
+    // collected and inlined into the plan, so k and k x dim must stay
+    // driver/codegen-scale. Beyond this, use a broadcast-join argmin
+    // (or raise nprobe/k partitioning upstream) — failing loudly here
+    // beats a JVM "code grows beyond 64 KB" deep in codegen.
+    val dim = cents.head._2.length
+    require(cents.length <= 1024 && cents.length.toLong * dim <= 131072,
+      s"assign: centroid literal too large for codegen inlining " +
+        s"(k=${cents.length}, k*dim=${cents.length.toLong * dim}; " +
+        "contract: k <= 1024 and k*dim <= 131072) — partition the " +
+        "quantizer or use a broadcast-join assignment")
     // cells may be SPARSE (a Lloyd round drops emptied cells): the argmin
     // runs over positions, then maps back to the surviving cell ids
     val centArr = array(cents.map { case (_, v) =>
       array(v.map(lit(_)): _*)
     }: _*)
     val cellIdArr = array(cents.map(c => lit(c._1)): _*)
+    // nanvl: a NaN vector (or centroid) component would make its distance
+    // NaN; NaN compares GREATER than every double in Spark's ordering, so
+    // array_min skips it — but if EVERY distance were NaN, array_position
+    // (primitive == in codegen, NaN != NaN) would return 0 and element_at
+    // would fail. Mapping NaN -> +Infinity makes the argmin total: a
+    // corrupt vector deterministically lands in the first surviving cell
+    // instead of erroring the whole job.
     val dists = transform(sequence(lit(0), lit(cents.length - 1)),
-      j => aggregate(
+      j => nanvl(aggregate(
         zip_with(col("__v"), element_at(centArr, j + 1), (x, y) => {
           val d = x.cast("double") - y.cast("double")
           d * d
         }),
         lit(0.0),
-        (acc, v) => acc + v))
+        (acc, v) => acc + v), lit(Double.PositiveInfinity)))
     vecs.withColumn("__dists", dists)
       .withColumn("cell", element_at(cellIdArr,
         array_position(col("__dists"), array_min(col("__dists"))).cast("int")))
