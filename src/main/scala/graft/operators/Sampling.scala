@@ -334,17 +334,30 @@ object Sampling {
     val dIdx = schema.fieldIndex("__d")
     val outSchema = schema.add("__rank", org.apache.spark.sql.types.LongType)
     // pass 2: same exchange, same within-partition sort — local position
-    // + broadcast offset IS the within-domain row_number
-    val ranked = ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // + broadcast offset IS the within-domain row_number.
+    // mapPartitionsWithIndex, NOT Dataset.mapPartitions + TaskContext:
+    // the task partition id is the STAGE's index, which only equals the
+    // RDD partition index while the stage wraps this RDD alone. Put the
+    // ranked frame under a Union of two narrow (broadcast-join) branches
+    // — sortedNeighborhood's candidate shape — and the second child's
+    // tasks run with pids offset by the first child's partition count:
+    // the offset lookup misses and every rank silently collapses to its
+    // partition-local value. The RDD-level index is immune to stage
+    // composition, and a missed offset now fails loudly instead.
+    val rankedRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       val seen = collection.mutable.HashMap.empty[String, Long]
       it.map { row =>
         val d = row.getString(dIdx)
-        val rank = seen.getOrElse(d, bcOff.value.getOrElse((pid, d), 0L)) + 1L
+        val rank = seen.getOrElse(d, bcOff.value.getOrElse((pid, d),
+          throw new IllegalStateException(
+            s"rankWithin: no offset for partition $pid domain '$d' — " +
+              "partition ids desynchronized between the count and rank " +
+              "passes"))) + 1L
         seen(d) = rank
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rank)
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
+    val ranked = spark.createDataFrame(rankedRdd, outSchema)
     (ranked.drop(oNames: _*), totals)
   }
 
