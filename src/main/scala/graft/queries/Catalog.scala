@@ -26,6 +26,19 @@ object Catalog {
       oracle: Option[String],
       bench: Boolean = false)
 
+  /** Run SQL against QUERY-SCOPED temp views: the caller writes the SQL
+    * with `graft_<query>_<table>` names, registers the frames here, and
+    * the views are dropped before returning — spark.sql analyzes eagerly,
+    * so the returned plan keeps the resolved relations. A query build
+    * must never hijack a user-visible name like "orders" in a shared
+    * session (and must not leave views behind). */
+  private[queries] def scopedSql(s: SparkSession,
+      views: Seq[(String, DataFrame)], sql: String): DataFrame = {
+    views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    try s.sql(sql)
+    finally views.foreach { case (n, _) => s.catalog.dropTempView(n) }
+  }
+
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   // ---------------------------------------------------------------- core
@@ -3756,7 +3769,7 @@ object Catalog {
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, e03, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17) ++
-    MoreQueries.all ++ FunctionSuites.all ++ R9.all
+    MoreQueries.all ++ FunctionSuites.all ++ R9.all ++ R11.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

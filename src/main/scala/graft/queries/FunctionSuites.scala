@@ -145,16 +145,15 @@ object FunctionSuites {
             ORDER BY o_orderkey, week_no"""))
 
   private val q51 = QueryDef("q51_grouping_sets",
-    (s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql("""SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
-                      COALESCE(o_orderstatus, 'ALL') AS st,
-                      COUNT(*) AS n
-               FROM orders
-               GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                                       (o_orderpriority), ())
-               ORDER BY pri, st""")
-    },
+    (s, d) => Catalog.scopedSql(s,
+      Seq("graft_q51_orders" -> Tables.orders(s, d)),
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+                COALESCE(o_orderstatus, 'ALL') AS st,
+                COUNT(*) AS n
+         FROM graft_q51_orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                 (o_orderpriority), ())
+         ORDER BY pri, st"""),
     Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
               COALESCE(o_orderstatus, 'ALL') AS st, COUNT(*) AS n
             FROM orders

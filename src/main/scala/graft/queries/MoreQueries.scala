@@ -40,15 +40,14 @@ object MoreQueries {
   /** Correlated EXISTS through the SQL front-end (subquery decorrelation is
     * Catalyst's job — the engine exposes spark.sql as a first-class API). */
   private val q32 = QueryDef("q32_exists",
-    (s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql("""SELECT c_custkey FROM customer c
-               WHERE EXISTS (SELECT 1 FROM orders o
-                             WHERE o.o_custkey = c.c_custkey
-                               AND o.o_totalprice > 400000)
-               ORDER BY c_custkey""")
-    },
+    (s, d) => Catalog.scopedSql(s,
+      Seq("graft_q32_customer" -> Tables.customer(s, d),
+        "graft_q32_orders" -> Tables.orders(s, d)),
+      """SELECT c_custkey FROM graft_q32_customer c
+         WHERE EXISTS (SELECT 1 FROM graft_q32_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)
+         ORDER BY c_custkey"""),
     Some("""SELECT c_custkey FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
@@ -56,11 +55,10 @@ object MoreQueries {
             ORDER BY c_custkey"""))
 
   private val q33 = QueryDef("q33_scalar_subquery",
-    (s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql("""SELECT COUNT(*) AS n FROM orders
-               WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""")
-    },
+    (s, d) => Catalog.scopedSql(s,
+      Seq("graft_q33_orders" -> Tables.orders(s, d)),
+      """SELECT COUNT(*) AS n FROM graft_q33_orders
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM graft_q33_orders)"""),
     Some("""SELECT COUNT(*) AS n FROM orders
             WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)"""))
 

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, RelationalOps}
+import graft.queries.Catalog.QueryDef
+
+/** Round-11 additions: the bounded-recursion class expressed through the
+  * SQL front-end (Spark 4.1's WITH RECURSIVE — q69 shares d24's graph and
+  * certifies the recursive-CTE execution path against the same DuckDB
+  * fixpoint), the PRODUCTION Z-order write (q70: the layout q64 only
+  * audited), and catalog wiring for the two previously-untested operators
+  * (d26 sorted-neighborhood dedup, q71 OHLC downsampling).
+  */
+object R11 {
+
+  /** q69: d24's 3-hop multi-source reachability, written as WITH
+    * RECURSIVE through spark.sql — the front-end a SQL user would reach
+    * for. Per-level DISTINCT keeps each iteration at most |V| rows (the
+    * scalable BFS shape, not path enumeration); Spark 4.1 supports only
+    * UNION ALL recursion, so the level-set dedup + final MIN(hops) does
+    * the fixpoint's work, identically on both engines. d24's
+    * driver-coordinated frontier loop (checkpointed edges, settled-set
+    * anti-join) remains the 100 TB path; this certifies the SQL surface
+    * against the same oracle shape. */
+  private val q69 = QueryDef("q69_recursive_sql",
+    (s, d) => Catalog.scopedSql(s,
+      Seq("graft_q69_lineitem" -> Tables.lineitem(s, d),
+        "graft_q69_orders" -> Tables.orders(s, d)),
+      """WITH RECURSIVE
+         e0 AS (SELECT DISTINCT l_orderkey AS a,
+                  1000000000 + l_partkey AS b FROM graft_q69_lineitem),
+         dir AS (SELECT a AS src, b AS dst FROM e0
+                 UNION ALL SELECT b, a FROM e0),
+         seeds AS (SELECT o_orderkey AS id FROM graft_q69_orders
+                   WHERE o_totalprice > 495000),
+         walk(id, hops) AS (
+           SELECT id, 0 FROM seeds
+           UNION ALL
+           SELECT DISTINCT dir.dst, w.hops + 1 FROM walk w
+           JOIN dir ON dir.src = w.id WHERE w.hops < 3)
+         SELECT id, CAST(MIN(hops) AS INT) AS hops FROM walk
+         GROUP BY id ORDER BY id"""),
+    Some("""WITH RECURSIVE
+            e0 AS (SELECT DISTINCT l_orderkey AS a,
+                     1000000000 + l_partkey AS b FROM lineitem),
+            dir AS (SELECT a AS src, b AS dst FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            seeds AS (SELECT o_orderkey AS id FROM orders
+                      WHERE o_totalprice > 495000),
+            walk(id, hops) AS (
+              SELECT id, 0 FROM seeds
+              UNION ALL
+              SELECT DISTINCT dir.dst, w.hops + 1 FROM walk w
+              JOIN dir ON dir.src = w.id WHERE w.hops < 3)
+            SELECT id, CAST(MIN(hops) AS INT) AS hops FROM walk
+            GROUP BY id ORDER BY id"""))
+
+  /** q70: the PRODUCTION Z-order write (Layout.zorderWrite — q64 audits
+    * this clustering, this query actually writes it): events
+    * range-partitioned + sorted on the Morton key of (user_id,
+    * floor(value)), written to parquet, read back. The oracle certifies
+    * ROW-LEVEL ROUND-TRIP FIDELITY — every row survives the clustered
+    * write bit-exactly; LayoutSpec pins the layout quality itself
+    * (per-file bounding boxes, row-group pruning), which is engine-layout
+    * territory no cross-engine oracle can see. Staging dir is removed
+    * before returning (read-back pinned to executor storage). */
+  private val q70 = QueryDef("q70_zorder_write",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q70_")
+      graft.operators.Layout.zorderWrite(Tables.events(s, d),
+        col("user_id"), floor(col("value")), s"$dir/z", 8)
+      val back = s.read.parquet(s"$dir/z").localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      back.select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_centi"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ts,
+              CAST(ROUND(value * 100) AS BIGINT) AS value_centi
+            FROM events ORDER BY event_id"""))
+
+  /** d26: sorted-neighborhood near-duplicate pairs
+    * (Dedup.sortedNeighborhoodPairs — Hernández–Stolfo SNM): corpus
+    * ranked by 16-char normalized-text prefix via the two-pass
+    * distributed rank, pairs within 10 rank positions verified by
+    * 3-shingle word Jaccard. The oracle replays the blocking rank, the
+    * window pairing AND every shingle-Jaccard verify, so the candidate
+    * generation and the verification are both hash-certified. */
+  private val d26 = QueryDef("d26_snm_pairs",
+    (s, d) => Dedup.sortedNeighborhoodPairs(Tables.documents(s, d),
+        "doc_id", "text", window = 10, shingleN = 3, threshold = 0.3)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH n AS (SELECT doc_id,
+                TRIM(regexp_replace(regexp_replace(LOWER(text),
+                  '[^\p{L}\p{N} \t\n]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            r AS (SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY substring(nt, 1, 16), doc_id)
+                  AS rnk
+              FROM n),
+            w AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                x -> x <> '') AS w FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, len(w)-1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM r a
+                     JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10),
+            j AS (SELECT ia, ib,
+                FLOOR(len(list_intersect(x.sh, y.sh)) /
+                      len(list_distinct(list_concat(x.sh, y.sh))) * 10000
+                  + 0.5) / 10000 AS jaccard
+              FROM cand JOIN g x ON x.doc_id = ia
+                        JOIN g y ON y.doc_id = ib)
+            SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b, jaccard
+            FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b"""))
+
+  /** q71: OHLC bucket downsampling (RelationalOps.ohlcDownsample) — per
+    * (user, day) the open/high/low/close/count of the value series in
+    * (ts, event_id) order, one min_by/max_by hash aggregation, no window.
+    * Values surface as exact centi-BIGINTs; the oracle re-derives
+    * open/close with ordered FIRST aggregates, so the tie-break picks
+    * are hash-certified. */
+  private val q71 = QueryDef("q71_ohlc",
+    (s, d) => RelationalOps.ohlcDownsample(Tables.events(s, d),
+        "user_id", "ts", "value", "day", "event_id")
+      .select(col("user_id"),
+        col("bucket_ts").cast("timestamp_ntz").as("bucket_ts"),
+        floor(col("open") * 100 + 0.5).cast("long").as("open_centi"),
+        floor(col("high") * 100 + 0.5).cast("long").as("high_centi"),
+        floor(col("low") * 100 + 0.5).cast("long").as("low_centi"),
+        floor(col("close") * 100 + 0.5).cast("long").as("close_centi"),
+        col("n"))
+      .orderBy("user_id", "bucket_ts"),
+    Some("""SELECT user_id, DATE_TRUNC('day', ts) AS bucket_ts,
+              FIRST(CAST(ROUND(value * 100) AS BIGINT)
+                    ORDER BY ts, event_id) AS open_centi,
+              MAX(CAST(ROUND(value * 100) AS BIGINT)) AS high_centi,
+              MIN(CAST(ROUND(value * 100) AS BIGINT)) AS low_centi,
+              FIRST(CAST(ROUND(value * 100) AS BIGINT)
+                    ORDER BY ts DESC, event_id DESC) AS close_centi,
+              COUNT(*) AS n
+            FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+            ORDER BY user_id, bucket_ts"""))
+
+  val all: Seq[QueryDef] = Seq(q69, q70, d26, q71)
+}

@@ -144,18 +144,17 @@ object R9 {
     * per-row execution). Restricted to one nation to keep the output
     * row-bounded. */
   private val q68 = QueryDef("q68_lateral",
-    (s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-               FROM customer c
-               JOIN LATERAL (
-                 SELECT o_orderkey, o_totalprice FROM orders
-                 WHERE o_custkey = c.c_custkey
-                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-               WHERE c.c_nationkey = 7
-               ORDER BY c.c_custkey, o.o_orderkey""")
-    },
+    (s, d) => Catalog.scopedSql(s,
+      Seq("graft_q68_customer" -> Tables.customer(s, d),
+        "graft_q68_orders" -> Tables.orders(s, d)),
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM graft_q68_customer c
+         JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM graft_q68_orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_nationkey = 7
+         ORDER BY c.c_custkey, o.o_orderkey"""),
     Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
             FROM customer c
             JOIN LATERAL (
@@ -218,7 +217,12 @@ object R9 {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      Sampling.qualityGate(s.read.parquet(out),
+      // pin the staged survivors to executor storage, then remove the
+      // staging + checkpoint dirs NOW: repeated verify/bench runs must
+      // leave /tmp flat (round-9 leaked one dir per build)
+      val staged = s.read.parquet(out).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      Sampling.qualityGate(staged,
           "lang", col("n_chars"), col("doc_id"), 300)
         .orderBy("doc_id")
     },
