@@ -23,18 +23,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev iteration: SPARK_GRAFT_BENCH_ONLY=q01_count,d24_reachability
-    // restricts the run; the reported JSON stays protocol-identical
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSeq)
-      .getOrElse(graft.queries.Catalog.benchNames)
+    // restricts the run; the artifact then carries "filtered":true so a
+    // partial run can never masquerade as the full protocol (round-8
+    // shipped silently-wrong bench numbers once; never again by forensics)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val names = only.getOrElse(graft.queries.Catalog.benchNames)
     val qmap = SparkEntry.queries
     // steady-state methodology: per query, one untimed warmup run (codegen
     // compilation + JIT), then clear the block cache (so persisted
-    // intermediates don't fake the measurement) and take the best of three
+    // intermediates don't fake the measurement) and take the best of FIVE
     // timed executions (GC pauses otherwise add multi-second noise; the
     // round-5 "regressions" x03 +26% / t07 +19% were all single-run noise
-    // under a best-of-two protocol — 3-run medians landed on round-4
-    // values exactly).
+    // under a best-of-two protocol, and the round-10 audit saw a 2.6x
+    // median swing on mwa06 under 3 runs with a bit-identical binary —
+    // a 5-run median is the cheapest protocol whose per-query medians
+    // stay within ~1.2x across back-to-back invocations).
     val results = names.map { name =>
       // a query that fails to plan or execute reports -1, never a fake
       // fast time: round-8's bench silently recorded 0.00s for five
@@ -46,7 +49,7 @@ object Bench {
       var failed: Throwable = null
       def run(): Unit = qmap(name)(spark, sfDir).count()
       try run() catch { case t: Throwable => failed = t } // warmup
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 5).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { if (failed == null) run() } catch { case t: Throwable => failed = t }
@@ -58,10 +61,10 @@ object Bench {
         (name, -1.0, -1.0)
       } else {
       val dt = times.min
-      // the 3-run median rides along so regressions are judged on medians
+      // the 5-run median rides along so regressions are judged on medians
       // (the round-6 audit protocol): a min can flatter, a single run can
       // slander; the median is the steady-state number
-      val med = times.sorted.apply(1)
+      val med = times.sorted.apply(times.size / 2)
       System.err.println(f"[bench] $name%-22s $dt%8.2fs  (median $med%.2fs)")
       (name, dt, med)
       }
@@ -73,7 +76,10 @@ object Bench {
     val meds = obj(r => (r._1, r._3))
     val total = results.map(_._2).sum
     val medTotal = results.map(_._3).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"median_total":$medTotal%.3f,"sf":"$sfDir"}""")
+    val filtered = if (only.isDefined)
+      s""","filtered":true,"filtered_to":${names.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"median_total":$medTotal%.3f,"sf":"$sfDir"$filtered%s}""")
     spark.stop()
   }
 }
