@@ -145,5 +145,48 @@ object R11 {
             FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
             ORDER BY user_id, bucket_ts"""))
 
-  val all: Seq[QueryDef] = Seq(q69, q70, d26, q71)
+  /** s19: the message-bus connector seam (graft.sources.Bus — SURVEY
+    * S9's `kafka` row, wire-protocol-independent half) run end-to-end
+    * under the oracle: events produced into a 4-partition segment log,
+    * streamed through the DSv2 micro-batch source into a checkpointed
+    * parquet sink, the query KILLED between halves, restarted mid-log
+    * from the committed (topic, partition, offset) positions. The oracle
+    * is FULL record fidelity — not distinct-collapse: a double delivery
+    * or a gap after restart is a row-count/hash mismatch, so the
+    * exactly-once property itself is what's certified. BusSourceSpec
+    * additionally pins dense per-partition offsets and late-partition
+    * discovery. */
+  private val s19 = QueryDef("s19_bus_connector",
+    (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s19_")
+      val (root, ck, sink) = (s"$base/log", s"$base/ck", s"$base/sink")
+      val ev = Tables.events(s, d).select("event_id", "user_id", "event_type")
+      val payload = concat(col("event_id"), lit(","),
+        col("user_id"), lit(","), col("event_type"))
+      def run(): Unit = {
+        val q = s.readStream.format("graft-bus").option("path", root).load()
+          .select(col("value").cast("string").as("v"))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      graft.sources.Bus.produce(ev.filter(col("event_id") % 2 === 0),
+        root, "events", 4, col("event_id"), payload, col("event_id"))
+      run() // half the log, then a controlled kill
+      graft.sources.Bus.produce(ev.filter(col("event_id") % 2 === 1),
+        root, "events", 4, col("event_id"), payload, col("event_id"))
+      run() // restart: resume mid-log from checkpointed offsets
+      val out = s.read.parquet(sink).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      out.select(split(col("v"), ",").as("f"))
+        .select(element_at(col("f"), 1).cast("long").as("event_id"),
+          element_at(col("f"), 2).cast("long").as("user_id"),
+          element_at(col("f"), 3).as("event_type"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type FROM events
+            ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] = Seq(q69, q70, d26, q71, s19)
 }
