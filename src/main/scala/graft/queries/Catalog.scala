@@ -3423,6 +3423,73 @@ object Catalog {
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
 
+  /** Mid-observation RESTART of the stateful match filter — s08's
+    * kill-and-recover technique over s06's transformWithState pipeline:
+    * the first run ingests only HALF the observation's INS cells, so the
+    * fixpoint cannot run, nothing is emitted, and the accumulated
+    * ListState + running counter survive ONLY in the RocksDB checkpoint
+    * at the controlled kill (a require pins that the sink is still
+    * empty). The remaining cells then land and a NEW query resumes from
+    * the checkpoint: recovered state + new cells complete the
+    * observation and the fixpoint runs on a mix of pre- and post-restart
+    * state. mwa04's bit-exact recursive-CTE oracle certifies that
+    * recovery changed NOTHING — same flags, same events, bit-for-bit. */
+  private val s20 = QueryDef("s20_stream_mf_restart",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+      require(spec.nTimes == 17 && spec.nCoarse * spec.nFine == 16,
+        "s20: fixture shape drifted from the shared mwa04 oracle")
+      val insDf = VisOps.ins(VisOps.diff(
+          VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)))
+        .select(col("obsid"), col("time_idx"), col("freq_hz"), col("pol"),
+          col("metric").cast("double"), col("nsamples").cast("double"))
+      val base = java.nio.file.Files.createTempDirectory("graft_s20_")
+      val (src, ck, sink) = (s"$base/src", s"$base/ck", s"$base/sink")
+      val expected = (spec.nTimes - 1) * spec.nCoarse * spec.nFine
+      val conf = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        def run(): Unit = {
+          val stream = s.readStream.schema(insDf.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .as[MatchFilter.InsCell]
+          val q = graft.streaming.StatefulOps
+            .matchFilterStream(stream, cfg, expected).toDF()
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ck)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // half the observation (8 of 16 diffed times), then the kill
+        insDf.filter(col("time_idx") <= 8).repartition(2)
+          .write.mode("overwrite").parquet(src)
+        run()
+        // the sink writes (empty) part files per micro-batch; ROWS are
+        // what must not have been emitted before the kill
+        require(s.read.parquet(sink).isEmpty,
+          "s20: observation completed before the kill — restart not exercised")
+        // the rest of the observation; restart recovers mid-observation
+        insDf.filter(col("time_idx") > 8).repartition(2)
+          .write.mode("append").parquet(src)
+        run()
+        val out = s.read.parquet(sink).localCheckpoint(true)
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        out.filter(col("flagged"))
+          .select("time_idx", "freq_hz", "pol", "event")
+          .orderBy("pol", "time_idx", "freq_hz")
+      } finally prev match {
+        case Some(p) => s.conf.set(conf, p)
+        case None => s.conf.unset(conf)
+      }
+    },
+    Some(mwa04Oracle))
+
   /** STREAMING deterministic hash-gate sampling: the t10 sample (md5 keyed,
     * 100 permille) applied to a documents STREAM. The gate is a stateless
     * per-row filter, so it composes with any streaming pipeline at zero
@@ -3768,7 +3835,7 @@ object Catalog {
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, e03, s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17) ++
+    s10, s11, s12, s13, s14, s15, s16, s17, s20) ++
     MoreQueries.all ++ FunctionSuites.all ++ R9.all ++ R11.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
