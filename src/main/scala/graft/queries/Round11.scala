@@ -24,7 +24,14 @@ object R11 {
     * anti-join) remains the 100 TB path; this certifies the SQL surface
     * against the same oracle shape. */
   private val q69 = QueryDef("q69_recursive_sql",
-    (s, d) => Catalog.scopedSql(s,
+    (s, d) => {
+      // raise the recursion SAFETY VALVE: the walk's cumulative row count
+      // legitimately passes the 1M default at sf>=1 (level sets are
+      // |V|-bounded, but V itself is millions). Monotone guardrail, not
+      // semantics — left raised for the session because the limit is read
+      // at EXECUTION, after a lazy build would have restored it.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "200000000")
+      Catalog.scopedSql(s,
       Seq("graft_q69_lineitem" -> Tables.lineitem(s, d),
         "graft_q69_orders" -> Tables.orders(s, d)),
       """WITH RECURSIVE
@@ -40,7 +47,8 @@ object R11 {
            SELECT DISTINCT dir.dst, w.hops + 1 FROM walk w
            JOIN dir ON dir.src = w.id WHERE w.hops < 3)
          SELECT id, CAST(MIN(hops) AS INT) AS hops FROM walk
-         GROUP BY id ORDER BY id"""),
+         GROUP BY id ORDER BY id""")
+    },
     Some("""WITH RECURSIVE
             e0 AS (SELECT DISTINCT l_orderkey AS a,
                      1000000000 + l_partkey AS b FROM lineitem),
@@ -54,7 +62,7 @@ object R11 {
               SELECT DISTINCT dir.dst, w.hops + 1 FROM walk w
               JOIN dir ON dir.src = w.id WHERE w.hops < 3)
             SELECT id, CAST(MIN(hops) AS INT) AS hops FROM walk
-            GROUP BY id ORDER BY id"""))
+            GROUP BY id ORDER BY id"""), bench = true)
 
   /** q70: the PRODUCTION Z-order write (Layout.zorderWrite — q64 audits
     * this clustering, this query actually writes it): events
@@ -115,7 +123,7 @@ object R11 {
               FROM cand JOIN g x ON x.doc_id = ia
                         JOIN g y ON y.doc_id = ib)
             SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b, jaccard
-            FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b"""))
+            FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b"""), bench = true)
 
   /** q71: OHLC bucket downsampling (RelationalOps.ohlcDownsample) — per
     * (user, day) the open/high/low/close/count of the value series in
@@ -143,7 +151,7 @@ object R11 {
                     ORDER BY ts DESC, event_id DESC) AS close_centi,
               COUNT(*) AS n
             FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
-            ORDER BY user_id, bucket_ts"""))
+            ORDER BY user_id, bucket_ts"""), bench = true)
 
   /** s19: the message-bus connector seam (graft.sources.Bus — SURVEY
     * S9's `kafka` row, wire-protocol-independent half) run end-to-end

@@ -97,7 +97,7 @@ object R9 {
               SELECT d.dst, wk.dist + d.w, wk.hops + 1 FROM walk wk
               JOIN dir d ON d.src = wk.id WHERE wk.hops < 4)
             SELECT id AS doc_id, MIN(dist) AS dist FROM walk
-            GROUP BY id ORDER BY doc_id"""))
+            GROUP BY id ORDER BY doc_id"""), bench = true)
 
   /** e04: nearest-neighbor resampling — e02/e03's grid valued by the
     * closer bracketing event in exact microsecond distance, equidistant
@@ -136,7 +136,7 @@ object R9 {
                         <= epoch_us(tb) - epoch_us(grid_ts) THEN va
                    ELSE vb
               END AS nearest_centi
-            FROM pv ORDER BY user_id, grid_ts"""))
+            FROM pv ORDER BY user_id, grid_ts"""), bench = true)
 
   /** q68: correlated LATERAL subquery through the SQL front-end — the
     * top-2 orders per customer, written as the per-row subquery a user
