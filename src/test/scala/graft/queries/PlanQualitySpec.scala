@@ -216,4 +216,18 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"),
       s"bucket log-ratio table must broadcast:\n$p")
   }
+
+  test("q71: OHLC is a partial hash aggregation — no window anywhere") {
+    val p = plan("q71_ohlc")
+    assert(p.contains("partial_"), s"map-side combine missing:\n$p")
+    assert(!p.contains("Window"), s"min_by/max_by must replace windows:\n$p")
+  }
+
+  test("q69/d26: recursive SQL and SNM never plan a cartesian product") {
+    for (q <- Seq("q69_recursive_sql", "d26_snm_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
 }
