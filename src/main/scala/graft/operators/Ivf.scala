@@ -123,15 +123,13 @@ object Ivf {
     require(cents.nonEmpty, "assign: empty centroid table")
     // the literal-inlining contract, ENFORCED: the centroid table is
     // collected and inlined into the plan, so k and k x dim must stay
-    // driver/codegen-scale. Beyond this, use a broadcast-join argmin
-    // (or raise nprobe/k partitioning upstream) — failing loudly here
-    // beats a JVM "code grows beyond 64 KB" deep in codegen.
+    // codegen-scale — beyond it a JVM "code grows beyond 64 KB" would
+    // surface deep in codegen. Larger quantizers switch to the
+    // broadcast-join argmin: one corpus-keyed aggregation shuffle
+    // instead of zero, but no size ceiling short of driver memory.
     val dim = cents.head._2.length
-    require(cents.length <= 1024 && cents.length.toLong * dim <= 131072,
-      s"assign: centroid literal too large for codegen inlining " +
-        s"(k=${cents.length}, k*dim=${cents.length.toLong * dim}; " +
-        "contract: k <= 1024 and k*dim <= 131072) — partition the " +
-        "quantizer or use a broadcast-join assignment")
+    if (cents.length > 1024 || cents.length.toLong * dim > 131072)
+      return assignBroadcast(vecs, centroids)
     // cells may be SPARSE (a Lloyd round drops emptied cells): the argmin
     // runs over positions, then maps back to the surviving cell ids
     val centArr = array(cents.map { case (_, v) =>
@@ -156,6 +154,31 @@ object Ivf {
     vecs.withColumn("__dists", dists)
       .withColumn("cell", element_at(cellIdArr,
         array_position(col("__dists"), array_min(col("__dists"))).cast("int")))
+      .select(col("__id"), col("__v"), col("cell"))
+  }
+
+  /** Large-k assignment: broadcast the centroid TABLE (not a literal) and
+    * take the per-vector argmin as min_by over (distance, cell) — the
+    * lexicographic struct order reproduces the literal path's
+    * first-minimum / lowest-cell tie-break exactly, and the same
+    * nanvl(+Infinity) guard keeps the argmin total. Cost model vs the
+    * literal path: the broadcast join is still narrow, but the argmin
+    * becomes ONE corpus-keyed aggregation (map-side-combinable partial
+    * min per partition, k-fold row expansion only inside the map stage).
+    * The distance arithmetic is VectorFns.l2sq — the same zip_with
+    * square-diff fold the literal path inlines — so the two paths are
+    * bit-identical wherever both apply (pinned by IvfSampledSpec). */
+  private[operators] def assignBroadcast(vecs: DataFrame,
+                                         centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("cell").cast("int").as("__c"), col("centroid")))
+    vecs.crossJoin(cents)
+      .withColumn("__d",
+        nanvl(VectorFns.l2sq(col("__v"), col("centroid")),
+          lit(Double.PositiveInfinity)))
+      .groupBy("__id")
+      .agg(first(col("__v")).as("__v"),
+        min_by(col("__c"), struct(col("__d"), col("__c"))).as("cell"))
       .select(col("__id"), col("__v"), col("cell"))
   }
 

@@ -90,13 +90,29 @@ class IvfSampledSpec extends SparkSpec {
     assert(cents.count() > 0)
   }
 
-  test("centroid-literal size contract is enforced, not discovered in codegen") {
+  test("broadcast-join assign is bit-identical to the literal argmin") {
+    val emb = corpus(500, 12)
+    val vecs = emb.select(col("vec_id").as("__id"),
+      transform(col("embedding"), x => x.cast("double")).as("__v"))
+    val cents = Ivf.fitCentroids(emb, 6, iters = 2)
+    val lit0 = Ivf.assign(vecs, cents)
+      .select("__id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val bc = Ivf.assignBroadcast(vecs, cents)
+      .select("__id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(lit0 == bc,
+      "broadcast argmin diverged from the literal path: " +
+        lit0.collect { case (k, v) if bc(k) != v => (k, v, bc(k)) }.take(5))
+  }
+
+  test("beyond the literal contract, assignment switches to the broadcast join") {
+    // k * dim = 4000 * 40 far beyond the 131072 inlining contract: the
+    // fit must COMPLETE through the broadcast-join argmin (round 11
+    // turned the hard require into a working fallback), with k distinct
+    // cells surviving a 1-vector-per-centroid degenerate fit
     val emb = corpus(4000, 40)
-    val err = intercept[IllegalArgumentException] {
-      // k * dim = 4000 * 40 far beyond the 131072 inlining contract;
-      // trainCap high so all 4000 rows are eligible as centroids
-      Ivf.fitCentroids(emb, 4000, iters = 1, trainCap = 1000000L).count()
-    }
-    assert(err.getMessage.contains("centroid literal too large"))
+    val cents = Ivf.fitCentroids(emb, 4000, iters = 1, trainCap = 1000000L)
+    assert(cents.count() == 4000L)
   }
 }
