@@ -3490,6 +3490,85 @@ object Catalog {
     },
     Some(mwa04Oracle))
 
+  /** The full composition certificate: the STATEFUL match filter fed by
+    * the MESSAGE-BUS connector, killed mid-observation, restarted from
+    * both checkpoints at once — the bus's per-partition offsets AND the
+    * RocksDB operator state must agree after recovery. INS cells are
+    * produced into a 2-partition segment log as CSV payloads (doubles
+    * round-trip exactly through Java's shortest representation); the
+    * stream is format("graft-bus") → parse → transformWithState. Half
+    * the observation lands, the query dies with zero rows emitted
+    * (require-pinned), the rest is appended to the SAME partitions, and
+    * the restarted query resumes MID-LOG while recovering the
+    * accumulated ListState. mwa04's recursive-CTE oracle certifies the
+    * flag set bit-for-bit — source offsets, operator state and fixpoint
+    * all survived the kill. Source-agnosticism is the point: s06 (file),
+    * s07 (memory+timers), s20 (file+restart) and this (bus+restart) run
+    * the SAME processor against the SAME oracle. */
+  private val s21 = QueryDef("s21_bus_mf_restart",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+      require(spec.nTimes == 17 && spec.nCoarse * spec.nFine == 16,
+        "s21: fixture shape drifted from the shared mwa04 oracle")
+      val insDf = VisOps.ins(VisOps.diff(
+          VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)))
+        .select(col("obsid"), col("time_idx"), col("freq_hz"), col("pol"),
+          col("metric").cast("double"), col("nsamples").cast("double"))
+        .localCheckpoint(true)
+      val base = java.nio.file.Files.createTempDirectory("graft_s21_")
+      val (root, ck, sink) = (s"$base/log", s"$base/ck", s"$base/sink")
+      val expected = (spec.nTimes - 1) * spec.nCoarse * spec.nFine
+      val payload = concat_ws(",", col("obsid"), col("time_idx"),
+        col("freq_hz"), col("pol"), col("metric"), col("nsamples"))
+      def produce(wave: org.apache.spark.sql.DataFrame): Unit =
+        graft.sources.Bus.produce(wave, root, "ins", 2,
+          xxhash64(col("pol")), payload,
+          struct(col("pol"), col("time_idx"), col("freq_hz")))
+      val conf = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        def run(): Unit = {
+          val cells = s.readStream.format("graft-bus")
+            .option("path", root).load()
+            .select(split(col("value").cast("string"), ",").as("f"))
+            .select(element_at(col("f"), 1).cast("long").as("obsid"),
+              element_at(col("f"), 2).cast("int").as("time_idx"),
+              element_at(col("f"), 3).cast("double").as("freq_hz"),
+              element_at(col("f"), 4).as("pol"),
+              element_at(col("f"), 5).cast("double").as("metric"),
+              element_at(col("f"), 6).cast("double").as("nsamples"))
+            .as[MatchFilter.InsCell]
+          val q = graft.streaming.StatefulOps
+            .matchFilterStream(cells, cfg, expected).toDF()
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ck)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        produce(insDf.filter(col("time_idx") <= 8))
+        run()
+        require(s.read.parquet(sink).isEmpty,
+          "s21: observation completed before the kill — restart not exercised")
+        produce(insDf.filter(col("time_idx") > 8))
+        run()
+        val out = s.read.parquet(sink).localCheckpoint(true)
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        out.filter(col("flagged"))
+          .select("time_idx", "freq_hz", "pol", "event")
+          .orderBy("pol", "time_idx", "freq_hz")
+      } finally prev match {
+        case Some(p) => s.conf.set(conf, p)
+        case None => s.conf.unset(conf)
+      }
+    },
+    Some(mwa04Oracle))
+
   /** STREAMING deterministic hash-gate sampling: the t10 sample (md5 keyed,
     * 100 permille) applied to a documents STREAM. The gate is a stateless
     * per-row filter, so it composes with any streaming pipeline at zero
@@ -3835,7 +3914,7 @@ object Catalog {
     mwa01, mwa02, mwa03, mwa04, mwa05, mwa06, mwa07, mwa08, mwa09, mwa10, mwa11, mwa12,
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, e03, s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s20) ++
+    s10, s11, s12, s13, s14, s15, s16, s17, s20, s21) ++
     MoreQueries.all ++ FunctionSuites.all ++ R9.all ++ R11.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
