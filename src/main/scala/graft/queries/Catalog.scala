@@ -2903,7 +2903,12 @@ object Catalog {
                            schema: String, tag: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
     df.write.mode("overwrite").option("sep", "\t").csv(dir)
-    s.read.schema(schema).option("sep", "\t").csv(dir)
+    // pin the read-back, then remove the staging dir: repeated
+    // verify/bench runs leave /tmp flat
+    val back = s.read.schema(schema).option("sep", "\t").csv(dir)
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    back
   }
 
   /** `plot_type="spectrum"` export view (`configurators.py:94-97`): the
@@ -3306,10 +3311,14 @@ object Catalog {
           .as[MatchFilter.InsCell]
         val flags = graft.streaming.StatefulOps
           .matchFilterStream(stream, cfg, expected).toDF()
-        graft.streaming.EventStreams.runToBatch(s, flags, outputMode = "append")
+        val out = graft.streaming.EventStreams
+          .runToBatch(s, flags, outputMode = "append")
           .filter(col("flagged"))
           .select("time_idx", "freq_hz", "pol", "event")
           .orderBy("pol", "time_idx", "freq_hz")
+        // the memory sink holds the rows; the staging parquet can go now
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        out
       } finally prev match {
         case Some(p) => s.conf.set(conf, p)
         case None => s.conf.unset(conf)
@@ -3418,7 +3427,9 @@ object Catalog {
       events.filter(col("event_id") % 2 === 1)
         .write.mode("overwrite").parquet(s"$src/batchB")
       run() // restart from the checkpoint over both halves
-      s.read.parquet(sink).orderBy("user_id", "event_type")
+      val out = s.read.parquet(sink).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      out.orderBy("user_id", "event_type")
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
@@ -3638,6 +3649,7 @@ object Catalog {
           .mgTopKStream(stream, k = 256, expected).toDF()
         val out = graft.streaming.EventStreams
           .runToBatch(s, sketches, outputMode = "append")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("item"))
         out.withColumn("pos", row_number().over(w) - 1)
@@ -3702,7 +3714,9 @@ object Catalog {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(state).orderBy("user_id")
+      val fin = s.read.parquet(state).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      fin.orderBy("user_id")
     },
     Some("""SELECT user_id, ts, value, event_id FROM (
               SELECT user_id, ts, value, event_id,
@@ -3895,7 +3909,9 @@ object Catalog {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(out).orderBy("doc_id")
+      val fin = s.read.parquet(out).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      fin.orderBy("doc_id")
     },
     Some(d21Oracle))
 

@@ -270,12 +270,15 @@ object MoreQueries {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
         .write.mode("overwrite").option("sep", "\t").csv(dir)
-      s.read.schema("l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE")
+      val agg = s.read
+        .schema("l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE")
         .option("sep", "\t").csv(dir)
         .groupBy("l_returnflag")
         .agg(round(sum(dec(col("l_quantity"))), 2).cast("double").as("qty"),
           count(lit(1)).as("n"), sum(col("l_orderkey")).as("keysum"))
-        .orderBy("l_returnflag")
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      agg.orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,
               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty,

@@ -8,17 +8,24 @@ import graft.SparkSpec
   * and must never hijack a user-visible table name like "customer". */
 class HygieneSpec extends SparkSpec {
 
-  private def s18TmpDirs: Set[String] =
+  private def graftTmpDirs: Set[String] =
     Option(new java.io.File(System.getProperty("java.io.tmpdir")).list())
-      .map(_.filter(_.startsWith("graft_s18_")).toSet).getOrElse(Set.empty)
+      .map(_.filter(_.startsWith("graft_")).toSet).getOrElse(Set.empty)
 
-  test("s18 build + run leaves no staging or checkpoint dirs behind") {
-    val before = s18TmpDirs
-    val n = Catalog.queries("s18_stream_funnel")(spark,
-      "/root/testdata/sf0.001").count()
-    assert(n > 0)
-    assert(s18TmpDirs == before,
-      s"s18 leaked temp dirs: ${s18TmpDirs -- before}")
+  test("temp-staging query builds leave /tmp flat") {
+    // every builder that stages through a temp dir (TSV sinks, streaming
+    // sources/sinks/checkpoints, the Z-order write, the bus log) must
+    // remove it before returning — one dir leaked per verify/bench run
+    // adds up to hundreds over a session (the round-9 audit's s18
+    // finding, generalized in round 11)
+    val before = graftTmpDirs
+    for (q <- Seq("s18_stream_funnel", "q58_tsv_sink", "mwa13_spectrum_tsv",
+        "q70_zorder_write", "s08_stream_restart")) {
+      val n = Catalog.queries(q)(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$q returned no rows")
+    }
+    val leaked = graftTmpDirs -- before
+    assert(leaked.isEmpty, s"leaked temp dirs: $leaked")
   }
 
   test("q68 drops its query-scoped views and never shadows user names") {

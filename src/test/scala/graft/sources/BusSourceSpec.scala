@@ -44,6 +44,7 @@ class BusSourceSpec extends SparkSpec {
         element_at(col("f"), 3).as("event_type"))
     assert(parsed.exceptAll(ev).isEmpty && ev.exceptAll(parsed).isEmpty,
       "bus round-trip lost or duplicated records")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   test("streaming restart resumes mid-log exactly-once; late partitions discovered") {

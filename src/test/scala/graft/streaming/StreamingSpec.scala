@@ -198,10 +198,12 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$src/batchB")
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
-    val got = spark.read.parquet(sink)
+    val got = spark.read.parquet(sink).localCheckpoint(true)
     val expected = events.select("user_id", "event_type").distinct().count()
     assert(got.count() == expected, "duplicates or gaps after restart")
     assert(got.distinct().count() == expected)
+    Seq(src, ck, sink).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
 
   test("watermark-timer match filter emits once the observation goes silent") {
