@@ -11,7 +11,7 @@ class FitsSpec extends SparkSpec {
 
   private lazy val spec = VisGenerator.Spec(nTimes = 6, nAnts = 3)
   private lazy val dir = {
-    val d = Files.createTempDirectory("graft_fits_spec")
+    val d = java.nio.file.Paths.get(tmpDir("graft_fits_spec"))
     Fits.writeVis(d, spec)
     d
   }

@@ -8,7 +8,7 @@ import java.nio.file.Files
 class VisStoreSpec extends SparkSpec {
 
   test("vis parquet is partitioned by (obsid, coarse_chan) and scans prune") {
-    val dir = Files.createTempDirectory("graft_vis").toString
+    val dir = tmpDir("graft_vis")
     val spec = VisGenerator.Spec(nTimes = 4, nAnts = 4, nCoarse = 3, nFine = 4)
     VisStore.write(VisGenerator.vis(spark, spec), dir)
 
@@ -31,7 +31,7 @@ class VisStoreSpec extends SparkSpec {
   }
 
   test("JSON and CSV sources round-trip the manifest (S9)") {
-    val dir = Files.createTempDirectory("graft_fmt").toString
+    val dir = tmpDir("graft_fmt")
     val m = Manifest.fromPaths(spark, Seq(
       "/d/111_gpubox01.fits", "/d/111.metafits", "/d/222_ch133.fits"))
     m.write.mode("overwrite").json(s"$dir/j")
@@ -44,7 +44,7 @@ class VisStoreSpec extends SparkSpec {
   }
 
   test("TSV sink round-trips the INS spectrum (S8 export_tsv)") {
-    val dir = Files.createTempDirectory("graft_tsv").toString
+    val dir = tmpDir("graft_tsv")
     val cfg = GraftConfig(removeFlaggedAnts = false)
     val insDf = VisOps.ins(VisOps.diff(VisOps.selectSurface(
       VisGenerator.vis(spark, VisGenerator.Spec(nTimes = 4, nAnts = 4,

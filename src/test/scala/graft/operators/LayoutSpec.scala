@@ -40,7 +40,7 @@ class LayoutSpec extends SparkSpec {
 
   test("zorderWrite clusters files into tight 2-D bounding boxes") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zw_").toString
+    val dir = tmpDir("graft_zw_")
     val df = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
     val n = Layout.zorderWrite(df, col("x"), col("y"), s"$dir/z", 16)
     assert(n === 4096L)

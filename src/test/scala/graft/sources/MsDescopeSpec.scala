@@ -12,7 +12,7 @@ import graft.SparkSpec
 class MsDescopeSpec extends SparkSpec {
 
   test("an .ms directory fails with the typed MsNotSupportedException") {
-    val dir = Files.createTempDirectory("graft_ms_descope_")
+    val dir = java.nio.file.Paths.get(tmpDir("graft_ms_descope_"))
     val ms = dir.resolve("1234567890.ms")
     Files.createDirectories(ms.resolve("ANTENNA"))
     Files.write(ms.resolve("table.dat"), Array[Byte](0)) // shape only
@@ -26,7 +26,7 @@ class MsDescopeSpec extends SparkSpec {
   }
 
   test("ms detection does not misfire on plain files or other directories") {
-    val dir = Files.createTempDirectory("graft_ms_neg_")
+    val dir = java.nio.file.Paths.get(tmpDir("graft_ms_neg_"))
     Files.write(dir.resolve("notes.ms"), Array[Byte](1)) // FILE, not table dir
     Files.createDirectories(dir.resolve("subdir"))
     assert(!MsFormat.hasMs(dir.toString))

@@ -12,7 +12,7 @@ class Uvh5Spec extends SparkSpec {
     .option("timeslice", slice.toString).load()
 
   test("HDF5 writer/reader round-trips groups, dtypes, dims and data") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_h5_")
+    val dir = java.nio.file.Paths.get(tmpDir("graft_h5_"))
     val p = dir.resolve("t.h5")
     import Hdf5._
     write(p, Seq(

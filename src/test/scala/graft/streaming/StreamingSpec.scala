@@ -173,9 +173,9 @@ class StreamingSpec extends SparkSpec {
     // restart from its checkpoint, and the output is still exactly the
     // batch answer — state (dedup keys seen) recovers, no duplicates,
     // no gaps. This is the recovery contract a 100 TB ingest relies on.
-    val src = Files.createTempDirectory("graft_ck_src_").toString
-    val ck = Files.createTempDirectory("graft_ck_state_").toString
-    val sink = Files.createTempDirectory("graft_ck_sink_").toString
+    val src = tmpDir("graft_ck_src_")
+    val ck = tmpDir("graft_ck_state_")
+    val sink = tmpDir("graft_ck_sink_")
     val events = graft.Tables.events(spark, dir)
     // two halves with OVERLAPPING keys: half B alone would re-emit keys
     // already seen in half A if state did not survive the restart
@@ -291,7 +291,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming INS equals the batch INS (diffed vis stream)") {
-    val tmp = Files.createTempDirectory("graft_vis_stream").toString
+    val tmp = tmpDir("graft_vis_stream")
     val cfg = GraftConfig(removeFlaggedAnts = false)
     val spec = VisGenerator.Spec(nTimes = 8, nAnts = 4, nCoarse = 1, nFine = 8)
     val diffed = VisOps.diff(VisOps.selectSurface(VisGenerator.vis(spark, spec), cfg))
@@ -311,7 +311,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("processor registry + metadata-only pass + batch plan") {
-    val tmp = Files.createTempDirectory("graft_proc").toString
+    val tmp = tmpDir("graft_proc")
     val spec = VisGenerator.Spec(nTimes = 12, nAnts = 4, nCoarse = 2, nFine = 4)
     VisStore.write(VisGenerator.vis(spark, spec), tmp)
     val proc = graft.mwa.Processors.forExtensions(Set("fits", "metafits"))
