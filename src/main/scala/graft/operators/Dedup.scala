@@ -468,6 +468,102 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-similarity self-join at corpus scale via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): every pair with shingle Jaccard >= threshold, with NO
+    * all-pairs stage and NO approximation. Where [[minhashLsh]] trades
+    * recall for speed and [[sortedNeighborhoodPairs]] bounds candidates by
+    * rank distance, this is the provably-complete scale path:
+    *
+    *   1. shingle sets per doc (distinct word n-grams);
+    *   2. a GLOBAL token order, rarest document-frequency first (one
+    *      count aggregation — ties broken by the token string so the
+    *      order is total and deterministic);
+    *   3. each doc keeps only its PREFIX under that order — the first
+    *      `s - ceil(t*s) + 1` of its `s` tokens. Prefix-filter lemma:
+    *      J(A,B) >= t implies |A∩B| >= ceil(t*max(|A|,|B|)), and two
+    *      sets whose intersection is that large MUST share a token
+    *      inside these prefixes — so grouping by prefix token loses no
+    *      qualifying pair;
+    *   4. candidate pairs come from the prefix-token buckets (the same
+    *      hot-bucket-capped expansion as LSH banding), pre-pruned by the
+    *      length filter `t*|B| <= |A|` (J <= min/max regardless of
+    *      overlap);
+    *   5. exact Jaccard verification on the candidates only.
+    *
+    * Rarest-first ordering is what makes the buckets small: a token seen
+    * in d docs costs at most d(d-1)/2 candidates, and prefixes
+    * preferentially keep low-d tokens. Shuffles: token count, doc-array
+    * rebuild, prefix bucket group, verify join — each linear in corpus
+    * size + candidate count, never n^2.
+    *
+    * @return (id_a, id_b, jaccard) — id_a < id_b, exact verified
+    *         jaccard >= threshold, 4-decimal midpoint-safe rounding
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixJaccardPairs: threshold must be in (0, 1], got $threshold")
+    val sets = df.select(col(idCol).as("id"),
+        TextFns.wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tokens = sets.select(col("id"), explode(col("sh")).as("tok"))
+    // global document frequency per token — the ordering key
+    val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rebuild each doc's token list SORTED rarest-first ((df, tok) struct
+    // sort — total order), then keep the prefix. sort_array on the
+    // per-doc array is per-row work, no window, no global sort.
+    val docArr = tokens.join(freq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("arr"))
+      .withColumn("sz", size(col("arr")))
+      .withColumn("p",
+        col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+    val prefixes = docArr
+      .select(col("id"), col("sz"),
+        explode(slice(col("arr"), lit(1), col("p"))).as("e"))
+      .select(col("e.tok").as("tok"), col("id"), col("sz"))
+    // bucket by prefix token; expand to (id, sz) pairs with the length
+    // pre-filter. The epsilon keeps float rounding of t*max from ever
+    // OVER-pruning (verification below restores exact precision).
+    val buckets = prefixes
+      .groupBy("tok")
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val inPlace = buckets.filter(size(col("ids")) <= hotBucketCap)
+      .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
+      .select(col("p.x.id").as("ia"), col("p.x.sz").as("sa"),
+        col("p.y.id").as("ib"), col("p.y.sz").as("sb"))
+    // hot buckets (a prefix token landing in very many docs — a massive
+    // templated near-dup cluster) stream through a token-keyed self
+    // equi-join instead of one task-resident pair array, exactly like
+    // [[bucketPairs]]' fallback
+    val hot = buckets.filter(size(col("ids")) > hotBucketCap)
+      .select(col("tok"), explode(col("ids")).as("e"))
+      .select(col("tok"), col("e.id").as("id"), col("e.sz").as("sz"))
+    val hotPairs = hot.as("x").join(hot.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("ia"), col("x.sz").as("sa"),
+        col("y.id").as("ib"), col("y.sz").as("sb"))
+    val candidates = inPlace.union(hotPairs)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        least(col("sa"), col("sb")).as("mn"),
+        greatest(col("sa"), col("sb")).as("mx"))
+      .filter(col("mn").cast("double") >=
+        lit(threshold) * col("mx").cast("double") - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    // exact verification joins the (few) candidates back to the sets
+    val l = sets.select(col("id").as("id_a"), col("sh").as("__sa"))
+    val r = sets.select(col("id").as("id_b"), col("sh").as("__sb"))
+    candidates.join(l, Seq("id_a")).join(r, Seq("id_b"))
+      .withColumn("jaccard",
+        floor(TextFns.jaccard(col("__sa"), col("__sb")) * 10000 + 0.5) / 10000)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Normalized Levenshtein similarity in [0, 1]: 1 - dist/max(len), the
     * midpoint-safe floor idiom on the integer ratio. Edit distance is the
     * unit-cost Wagner-Fischer both here and in the oracle — exact integers,

@@ -196,5 +196,71 @@ object R11 {
     Some("""SELECT event_id, user_id, event_type FROM events
             ORDER BY event_id"""))
 
-  val all: Seq[QueryDef] = Seq(q69, q70, d26, q71, s19)
+  /** d27: EXACT set-similarity self-join via prefix filtering
+    * (Dedup.prefixJaccardPairs — the AllPairs/PPJoin family): every
+    * document pair with 3-shingle Jaccard >= 0.5, found with no
+    * all-pairs stage — candidates come only from shared rarest-first
+    * prefix tokens plus the length filter, then exact verification.
+    * Complements the approximate scale paths (d03 LSH banding, d26 SNM
+    * windowing): this one is provably COMPLETE at the threshold. The
+    * oracle enumerates every pair sharing >= 1 shingle (a superset of
+    * any Jaccard > 0 pair) with its exact intersection via a
+    * shingle-keyed join + group-count — so completeness of the prefix
+    * filter itself is what the hash check certifies. */
+  private val d27 = QueryDef("d27_prefix_jaccard",
+    (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH w AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                x -> x <> '') AS w FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, len(w)-1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+              FROM w WHERE len(w) >= 3),
+            tok AS (SELECT doc_id, UNNEST(sh) AS t, len(sh) AS sz FROM g),
+            pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                COUNT(*) AS inter,
+                ANY_VALUE(a.sz) AS sa, ANY_VALUE(b.sz) AS sb
+              FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+              FLOOR(inter / (sa + sb - inter) * 10000 + 0.5) / 10000
+                AS jaccard
+            FROM pair
+            WHERE FLOOR(inter / (sa + sb - inter) * 10000 + 0.5) / 10000
+              >= 0.5
+            ORDER BY id_a, id_b"""), bench = true)
+
+  /** m04: video frame sampling through the codec kernel boundary
+    * (Multimodal.sampleFrames — the brief's frame-sample stage): video
+    * rows explode into one row per stride-2 frame, payload sliced by the
+    * per-partition codec. Frames surface as (len, unsigned byte sum) so
+    * the oracle re-derives every sampled byte from the generator's
+    * portable arithmetic (byte j of id = (id*131 + j*31 + 128) % 256
+    * unsigned, frame f = 16 bytes from offset (16f mod len)) — slicing,
+    * striding and the modality filter are all hash-certified. */
+  private val m04 = QueryDef("m04_frame_sample",
+    (s, d) => {
+      import graft.multimodal.Multimodal._
+      import s.implicits._
+      sampleFrames(generate(s, 120), stride = 2)
+        .map(f => (f.media_id, f.frame_idx, f.frame_bytes.length,
+          f.frame_bytes.foldLeft(0L)((a, b) => a + (b & 0xFF))))
+        .toDF("media_id", "frame_idx", "frame_len", "frame_sum")
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH v AS (SELECT r.range AS id, 64 + r.range % 64 AS len
+                       FROM range(120) r WHERE r.range % 3 = 2),
+            f AS (SELECT id, len, UNNEST([0, 2, 4, 6]) AS fi FROM v),
+            st AS (SELECT id, fi, len, (fi * 16) % len AS s0 FROM f)
+            SELECT id AS media_id, CAST(fi AS INT) AS frame_idx,
+              CAST(LEAST(16, len - s0) AS INT) AS frame_len,
+              CAST(list_sum(list_transform(
+                range(s0, s0 + LEAST(16, len - s0)),
+                j -> (id * 131 + j * 31 + 128) % 256)) AS BIGINT)
+                AS frame_sum
+            FROM st ORDER BY media_id, frame_idx"""))
+
+  val all: Seq[QueryDef] = Seq(q69, q70, d26, q71, s19, d27, m04)
 }

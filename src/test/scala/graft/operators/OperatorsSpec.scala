@@ -341,6 +341,33 @@ class OperatorsSpec extends SparkSpec {
     assert(run(docs.repartition(7)).toSet == p.toSet)
   }
 
+  test("prefixJaccardPairs = all-pairs exact at every threshold (complete)") {
+    // sf0.001 slice: big enough for real shingle diversity, small enough
+    // for the O(n^2) reference. Completeness of the prefix filter means
+    // EXACT set equality with the verification-grade all-pairs operator.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val ref = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == ref, s"threshold $t: prefix join lost or invented pairs")
+    }
+  }
+
+  test("prefixJaccardPairs finds exact duplicates at threshold 1.0") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "totally different words with no overlap at all whatsoever"),
+      (4L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("sourceSimilarity MinHash estimate tracks the exact union Jaccard") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val est = TextAnalysis.sourceSimilarity(docs, k = 128).collect()
