@@ -1,5 +1,8 @@
 package graft.mwa
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 /** Typed data model mirroring the reference's fixed schemas.
   *
   * Schemas derive from the reference's metadata extractors:
@@ -118,6 +121,26 @@ final case class GraftConfig(
 object Model {
   /** Supported extension set (`configurators.py:43-48`). */
   val supportedTypes: Set[String] = Set("fits", "metafits", "ms", "uvfits", "uvf", "uvh5")
+
+  /** C5 as a COLUMN expression: the derived-suffix synthesis
+    * (`configurators.py:125-134`) over relational config rows, so suffix
+    * derivation can run for millions of stored configurations in one scan
+    * instead of a driver loop. Branch-for-branch twin of
+    * [[GraftConfig.derivedSuffix]]; `mwa24_suffix` pins the two against
+    * each other AND against a cross-engine SQL oracle. */
+  def suffixColumn(spectrumType: Column, diff: Column, selAnts: Column,
+                   skipAnts: Column, selPols: Column, base: Column): Column = {
+    val s1 = when(spectrumType =!= "all" && base === "",
+      concat(lit("."), spectrumType)).otherwise(base)
+    val s2 = when(diff, concat(lit(".diff"), s1)).otherwise(s1)
+    val s3 = when(size(selAnts) === 1,
+        concat(s2, lit("."), element_at(selAnts, 1).cast("string")))
+      .when(size(skipAnts) === 1,
+        concat(s2, lit(".no"), element_at(skipAnts, 1).cast("string")))
+      .otherwise(s2)
+    when(size(selPols) === 1, concat(s3, lit("."), element_at(selPols, 1)))
+      .otherwise(s3)
+  }
 
   /** Batch-count formula (`utils.py:20-47`): planning-time heuristic for
     * memory-bounded splitting. Survives in the rebuild only as a sizing

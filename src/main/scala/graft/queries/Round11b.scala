@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Catalog.QueryDef
+
+/** Round-11 second wave: oracled certification for the SURVEY §2 rows that
+  * were previously pinned by ScalaTest only. Each query here upgrades a
+  * "spec" row of the coverage matrix to a full rows+schema+hash gate pass:
+  *
+  *  - mwa17 — G2 (obsid, ext) grouping (`configurators.py:238-248`)
+  *  - mwa18 — S3/G5/O2 metadata-only distinct-sorted times
+  *    (`processors.py:163-165, 187-189`)
+  *  - mwa19 — W4/C9 batch plan + batch-count formula (`utils.py:20-47`,
+  *    `processors.py:166-172`)
+  *  - mwa20 — S7/G7 size-stat rollup (`configurators.py:263-265`,
+  *    `utils.py:172-188`)
+  *  - mwa21 — J4 channel-table digest compare + C1 error paths
+  *    (`processors.py:88-105`, `utils.py:61-78`)
+  *  - mwa22 — F1/F3/F4/F5/F6/F8 + W3 + C11: the full pyuvdata-select
+  *    surface in one pass (`configurators.py:73-78`)
+  *  - mwa23 — S6 antenna dimension schema (`utils.py:150-168`)
+  *  - mwa24 — C5 suffix synthesis as a column expression
+  *    (`configurators.py:125-134`)
+  *  - mwa25 — F2 skip_ants + G3 per-coarse-channel reduction
+  *
+  * All fixtures are the portable dyadic-rational generators
+  * (VisGenerator.portable / literal path manifests), so every oracle
+  * re-derives the input inside DuckDB and the comparison is exact — no
+  * staging, no rounding.
+  */
+object R11b {
+
+  private val paths = Seq(
+    "/data/1234567890_20230101000000_gpubox01_00.fits",
+    "/data/1234567890_20230101000000_gpubox02_00.fits",
+    "/data/1234567890.metafits",
+    "/data/1234567891_20230101000100_ch133_00.fits",
+    "/data/1234567891.metafits",
+    "/data/1234567891_flags.tsv")
+
+  private val pathValues = paths.map(p => s"('$p')").mkString(", ")
+
+  /** Shared DuckDB manifest derivation over the literal paths (the same
+    * name/ext/stem/obsid scalar chain mwa01/mwa05 certify). */
+  private val manifestCte =
+    s"""f(file_path) AS (VALUES $pathValues),
+       m AS (SELECT file_path,
+               regexp_extract(file_path, '([^/]+)$$', 1) AS name FROM f),
+       e AS (SELECT file_path, name,
+               regexp_extract(name, '\\.([^./]+)$$', 1) AS ext,
+               regexp_replace(name, '\\.[^.]*$$', '') AS stem FROM m),
+       o AS (SELECT file_path, name, ext, stem,
+               split_part(stem, '_', 1) AS obsid FROM e)"""
+
+  /** mwa17 — G2: files grouped per (obsid, extension), each group a sorted
+    * list (`configurators.py:238-248` file_groups_by_obsid). */
+  private val mwa17 = QueryDef("mwa17_obsid_ext_groups",
+    (s, d) => graft.mwa.Manifest.groupByObsidAndExtension(
+      graft.mwa.Manifest.fromPaths(s, paths))
+      .select(col("obsid"), col("ext"),
+        array_join(col("files"), "|").as("files"))
+      .orderBy("obsid", "ext"),
+    Some(s"""WITH $manifestCte
+             SELECT obsid, ext,
+               array_to_string(LIST(file_path ORDER BY file_path), '|') AS files
+             FROM o GROUP BY obsid, ext ORDER BY obsid, ext"""))
+
+  /** mwa18 — S3/G5/O2: the metadata-only pass (read_data=False) learning
+    * the distinct sorted times without touching payload columns; the
+    * DuckDB side replays the fixture's time axis, jd = jd0 + idx*(2/86400)
+    * being the identical correctly-rounded IEEE product+sum on both
+    * engines. */
+  private val mwa18 = QueryDef("mwa18_possible_times",
+    (s, d) => graft.mwa.FitsProcessor.possibleTimes(
+      graft.mwa.VisGenerator.portable(s)),
+    Some("""SELECT CAST(r.range AS INT) AS time_idx,
+              2460000.5 + r.range * (2.0 / 86400.0) AS time_jd
+            FROM range(17) r ORDER BY time_idx"""))
+
+  /** mwa19 — W4/C9: the reference's memory-bounded batch plan. The oracle
+    * re-derives computeOptimalBatches(8 GB, leakage 7, 16 GB avail) = 6 and
+    * the contiguous time slicing step = max(1, 17/6) = 2 in integer SQL, so
+    * the formula itself (`utils.py:20-47`) is cross-engine certified, not
+    * just its value. */
+  private val mwa19 = QueryDef("mwa19_batch_plan",
+    (s, d) => {
+      val spec = graft.mwa.VisGenerator.Spec(nTimes = 17, nAnts = 16)
+      require(spec.nTimes == 17 &&
+        graft.mwa.Model.computeOptimalBatches(8, availMemGb = 16) == 6L,
+        "mwa19: fixture/formula constants drifted from the SQL oracle")
+      graft.mwa.FitsProcessor.batchPlan(
+          graft.mwa.VisGenerator.portable(s, spec), sizeGb = 8, availMemGb = 16)
+        .select(col("time_idx"), col("batch"))
+        .orderBy("time_idx")
+    },
+    Some("""WITH p AS (SELECT CASE WHEN 8*7 < 16 THEN 1
+                         ELSE (8*7 // 16) * 2 END AS batches),
+              st AS (SELECT GREATEST(1, 17 // batches) AS step FROM p)
+            SELECT CAST(r.range AS INT) AS time_idx,
+              CAST(FLOOR(r.range / step) AS BIGINT) AS batch
+            FROM range(17) r, st ORDER BY time_idx"""))
+
+  /** mwa20 — S7/G7: per-extension file-count/size stats plus the grand
+    * total in one ROLLUP pass (`configurators.py:263-265` sums what
+    * `utils.py:172-188` measured); the G7 scalar is additionally pinned
+    * in-build against the planted sizes. */
+  private val mwa20 = QueryDef("mwa20_size_stats",
+    (s, d) => {
+      val sizes = Map(
+        paths(0) -> 24L, paths(1) -> 24L, paths(2) -> 1L,
+        paths(3) -> 10L, paths(4) -> 1L, paths(5) -> 10L)
+      val m = graft.mwa.Manifest.fromPaths(s, paths, sizes)
+      require(graft.mwa.Manifest.totalSizeMb(m) == 70L,
+        "mwa20: planted sizes drifted from the SQL oracle")
+      m.rollup("ext")
+        .agg(count(lit(1)).as("n_files"), sum(col("size_mb")).as("total_mb"))
+        .select(coalesce(col("ext"), lit("ALL")).as("ext"),
+          col("n_files"), col("total_mb"))
+        .orderBy("ext")
+    },
+    Some(s"""WITH sz(file_path, size_mb) AS (VALUES
+               ('${paths(0)}', 24), ('${paths(1)}', 24), ('${paths(2)}', 1),
+               ('${paths(3)}', 10), ('${paths(4)}', 1), ('${paths(5)}', 10)),
+             e AS (SELECT size_mb,
+                     regexp_extract(regexp_extract(file_path, '([^/]+)$$', 1),
+                       '\\.([^./]+)$$', 1) AS ext FROM sz)
+             SELECT COALESCE(ext, 'ALL') AS ext,
+               COUNT(*) AS n_files, CAST(SUM(size_mb) AS BIGINT) AS total_mb
+             FROM e GROUP BY ROLLUP(ext) ORDER BY ext"""))
+
+  /** mwa21 — J4 + C1 error paths: processor validation over a planted
+    * inconsistency. Two metafits channel tables share (gpubox, rec_chan)
+    * pairs but differ in band edges, so the per-source sha2 digest
+    * group-compare (the O(n) replacement for the reference's O(n^2)
+    * pairwise DataFrame.equals, `processors.py:88-105`) must fire; one
+    * fits file names an absent gpubox and one carries no channel token at
+    * all, covering both `utils.py:61-78` error branches through the J1
+    * broadcast lookup. */
+  private val mwa21 = QueryDef("mwa21_processor_validation",
+    (s, d) => {
+      import s.implicits._
+      val manifest = graft.mwa.Manifest.fromPaths(s, Seq(
+        "/d/1234567890_20230101000000_gpubox01_00.fits",
+        "/d/1234567890_20230101000000_gpubox05_00.fits",
+        "/d/1234567890_notoken_00.fits",
+        "/d/1234567890.metafits",
+        "/d/1234567891.metafits"))
+      val channelTables = Seq(
+        ("1234567890.metafits", 1, 128, 1.30e8, 1.3016e8, 1.3032e8),
+        ("1234567890.metafits", 2, 129, 1.3032e8, 1.3048e8, 1.3064e8),
+        ("1234567891.metafits", 1, 128, 1.30e8, 1.3016e8, 1.3032e8),
+        ("1234567891.metafits", 2, 129, 1.40e8, 1.4016e8, 1.4032e8))
+        .toDF("source", "gpubox_number", "rec_chan_number",
+          "chan_start_hz", "chan_centre_hz", "chan_end_hz")
+      graft.mwa.Validation.validateProcessor(s, manifest, channelTables)
+        .orderBy("code", "message")
+    },
+    Some("""SELECT * FROM (VALUES
+              ('channel_tables_differ',
+               'Channels do not match between metafits files.'),
+              ('channel_unresolved',
+               'Filename 1234567890_notoken_00.fits does not contain channel information.'),
+              ('channel_unresolved',
+               'GPUBOX not found in metafits for 1234567890_20230101000000_gpubox05_00.fits.'))
+            AS t(code, message) ORDER BY code, message"""))
+
+  /** mwa22 — the full select surface in ONE certified pass on the portable
+    * fixture: F1 sel_ants membership (C11 isin), F3 sel_pols, F4 freq
+    * range, F5/W3 first-N-times, F6 flagged-antenna anti-join (antenna 15
+    * IS in sel_ants but flagged, so the J5 anti-join is what removes it),
+    * F8 cross-only. Every surviving cell's vis_re is re-derived by the
+    * oracle from the dyadic generator arithmetic, so a wrong or missing
+    * filter is a row-set mismatch and a wrong value is a hash mismatch. */
+  private val mwa22 = QueryDef("mwa22_select_surface",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 16)
+      require(spec.rfiFreqIdx == 5 && spec.rfiTimes == (6, 9) &&
+        spec.rfiAmp == 40.0 && spec.streakTime == 12 && spec.streakAmp == 60.0 &&
+        spec.freq0Hz == 130000000.0 && spec.dfHz == 40000.0,
+        "mwa22: fixture constants drifted from the SQL oracle")
+      val cfg = GraftConfig(
+        selAnts = Seq(0, 1, 2, 3, 5, 15),
+        selPols = Seq("XX"),
+        freqRange = Some((130080000.0, 130320000.0)),
+        timeLimit = Some(13),
+        removeFlaggedAnts = true,
+        spectrumType = SpectrumType.Cross)
+      VisOps.selectSurface(VisGenerator.portable(s, spec), cfg,
+          Some(VisGenerator.antennas(s, spec)))
+        .select(col("time_idx"), col("ant1"), col("ant2"), col("freq_hz"),
+          col("pol"), col("vis_re"))
+        .orderBy("time_idx", "ant1", "ant2", "freq_hz")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(t.range AS INT) AS t, CAST(a1.range AS INT) AS a1,
+                     CAST(a2.range AS INT) AS a2, CAST(f.range AS INT) AS f,
+                     p.pol AS pol, p.pi AS pi
+              FROM range(17) t, range(16) a1, range(16) a2, range(16) f,
+                   (VALUES ('XX', 0)) p(pol, pi)
+              WHERE a1.range < a2.range AND t.range < 13
+                AND a1.range IN (0, 1, 2, 3, 5) AND a2.range IN (0, 1, 2, 3, 5)
+                AND f.range BETWEEN 2 AND 8)
+            SELECT t AS time_idx, a1 AS ant1, a2 AS ant2,
+              130000000.0 + f * 40000.0 AS freq_hz, pol,
+              ((a1*7 + a2*11 + f*3 + pi*17) % 64)
+              + CASE WHEN f = 5 AND t BETWEEN 6 AND 9 THEN 40.0 ELSE 0.0 END
+              + CASE WHEN t = 12 THEN 60.0 ELSE 0.0 END
+              + ((t*37 + a1*13 + a2*29 + f*53 + pi*71) % 128 - 64) / 64.0
+                AS vis_re
+            FROM g ORDER BY time_idx, ant1, ant2, freq_hz"""))
+
+  /** mwa23 — S6: the antenna dimension schema (`utils.py:150-168`) with
+    * every derived column (tile naming, geometry, flag OR result, receiver
+    * fields) re-derived in SQL. */
+  private val mwa23 = QueryDef("mwa23_antenna_dim",
+    (s, d) => graft.mwa.VisGenerator.antennas(s).orderBy("ant"),
+    Some("""SELECT CAST(1234567890 AS BIGINT) AS obsid,
+              CAST(r.range AS INT) AS ant,
+              CAST(r.range + 11 AS INT) AS tile_id,
+              'Tile' || lpad(CAST(r.range AS VARCHAR), 3, '0') AS tile_name,
+              r.range * 10.0 + 100.0 AS electrical_length_m,
+              r.range * 3.0 AS east_m,
+              r.range * -2.0 AS north_m,
+              377.0 AS height_m,
+              r.range = 5 AS flagged,
+              CAST(r.range % 8 + 1 AS INT) AS rec_number,
+              'RG6_90' AS flavour,
+              r.range % 2 = 0 AS has_whitening_filter,
+              'RRI' AS rec_type
+            FROM range(6) r ORDER BY ant"""))
+
+  /** mwa24 — C5: suffix synthesis over a config grid covering every branch
+    * of `configurators.py:125-134` (type prefix only onto an empty base,
+    * diff prepend, single-sel/skip antenna, single pol). The build also
+    * pins the column expression row-for-row against the driver-side
+    * [[graft.mwa.GraftConfig.derivedSuffix]], so the oracle certifies the
+    * relational twin AND the typed API in one gate entry. */
+  private val mwa24 = QueryDef("mwa24_suffix",
+    (s, d) => {
+      import s.implicits._
+      import graft.mwa._
+      val grid = Seq(
+        (1, "cross", true, Seq[Int](), Seq[Int](), Seq[String](), ""),
+        (2, "all", true, Seq[Int](), Seq[Int](), Seq[String](), ""),
+        (3, "auto", false, Seq(3), Seq[Int](), Seq("XX"), ""),
+        (4, "cross", true, Seq[Int](), Seq(7), Seq[String](), ""),
+        (5, "cross", true, Seq(1, 2), Seq[Int](), Seq[String](), ".x"),
+        (6, "all", false, Seq[Int](), Seq(4), Seq("YY"), ""),
+        (7, "auto", true, Seq(12), Seq[Int](), Seq("YY"), ""),
+        (8, "cross", false, Seq[Int](), Seq[Int](), Seq[String](), ""))
+      val types = Map[String, SpectrumType]("all" -> SpectrumType.All,
+        "auto" -> SpectrumType.Auto, "cross" -> SpectrumType.Cross)
+      val df = grid
+        .toDF("cfg_id", "spectrum_type", "diff", "sel_ants", "skip_ants",
+          "sel_pols", "base")
+        .select(col("cfg_id"), Model.suffixColumn(col("spectrum_type"),
+          col("diff"), col("sel_ants"), col("skip_ants"), col("sel_pols"),
+          col("base")).as("suffix"))
+        .orderBy("cfg_id")
+      val viaColumn = df.collect().map(_.getString(1))
+      val viaModel = grid.map { case (_, ty, diff, sel, skip, pols, base) =>
+        GraftConfig(diff = diff, selAnts = sel, skipAnts = skip,
+          selPols = pols, suffix = base, spectrumType = types(ty)).derivedSuffix
+      }
+      require(viaColumn.sameElements(viaModel),
+        "mwa24: suffixColumn drifted from GraftConfig.derivedSuffix")
+      df
+    },
+    Some("""WITH cfg(cfg_id, stype, diff, sel_n, sel1, skip_n, skip1,
+                     pol_n, pol1, base) AS (VALUES
+              (1, 'cross', true,  0, 0,  0, 0, 0, '',   ''),
+              (2, 'all',   true,  0, 0,  0, 0, 0, '',   ''),
+              (3, 'auto',  false, 1, 3,  0, 0, 1, 'XX', ''),
+              (4, 'cross', true,  0, 0,  1, 7, 0, '',   ''),
+              (5, 'cross', true,  2, 1,  0, 0, 0, '',   '.x'),
+              (6, 'all',   false, 0, 0,  1, 4, 1, 'YY', ''),
+              (7, 'auto',  true,  1, 12, 0, 0, 1, 'YY', ''),
+              (8, 'cross', false, 0, 0,  0, 0, 0, '',   '')),
+            s1 AS (SELECT *, CASE WHEN stype <> 'all' AND base = ''
+                     THEN '.' || stype ELSE base END AS a FROM cfg),
+            s2 AS (SELECT *, CASE WHEN diff THEN '.diff' || a ELSE a END AS b
+                   FROM s1),
+            s3 AS (SELECT *, CASE WHEN sel_n = 1 THEN b || '.' || sel1
+                     WHEN skip_n = 1 THEN b || '.no' || skip1
+                     ELSE b END AS c FROM s2)
+            SELECT cfg_id,
+              CASE WHEN pol_n = 1 THEN c || '.' || pol1 ELSE c END AS suffix
+            FROM s3 ORDER BY cfg_id"""))
+
+  /** mwa25 — F2 skip_ants (neither antenna in the skip list) + G3: the
+    * per-coarse-channel reduction over the surviving grid, amplitude
+    * sqrt(re^2+im^2) collapsing exactly to |re| on the portable fixture
+    * (re^2 is a 27-bit dyadic square, its correctly-rounded sqrt IS |re|),
+    * so sums stay order-independent exact under any partitioning. */
+  private val mwa25 = QueryDef("mwa25_channel_reduce",
+    (s, d) => {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 16)
+      val cfg = GraftConfig(skipAnts = Seq(0, 7), removeFlaggedAnts = false,
+        spectrumType = SpectrumType.All)
+      VisOps.selectSurface(VisGenerator.portable(s, spec), cfg)
+        .groupBy(col("coarse_chan"), col("pol"))
+        .agg(avg(sqrt(col("vis_re") * col("vis_re") +
+            col("vis_im") * col("vis_im"))).as("metric"),
+          count(lit(1)).as("n"))
+        .orderBy("coarse_chan", "pol")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(f.range // 8 AS INT) AS coarse_chan, p.pol AS pol,
+                ABS(((a1.range*7 + a2.range*11 + f.range*3 + p.pi*17) % 64)
+                + CASE WHEN f.range = 5 AND t.range BETWEEN 6 AND 9
+                       THEN 40.0 ELSE 0.0 END
+                + CASE WHEN t.range = 12 THEN 60.0 ELSE 0.0 END
+                + ((t.range*37 + a1.range*13 + a2.range*29 + f.range*53
+                    + p.pi*71) % 128 - 64) / 64.0) AS amp
+              FROM range(17) t, range(16) a1, range(16) a2, range(16) f,
+                   (VALUES ('XX', 0), ('YY', 1)) p(pol, pi)
+              WHERE a1.range <= a2.range
+                AND a1.range NOT IN (0, 7) AND a2.range NOT IN (0, 7))
+            SELECT coarse_chan, pol, AVG(amp) AS metric, COUNT(*) AS n
+            FROM g GROUP BY coarse_chan, pol ORDER BY coarse_chan, pol"""))
+
+  val all: Seq[QueryDef] = Seq(mwa17, mwa18, mwa19, mwa20, mwa21, mwa22,
+    mwa23, mwa24, mwa25)
+}

@@ -159,4 +159,35 @@ class MwaPipelineSpec extends SparkSpec {
     assert(GraftConfig(selPols = Seq("XX")).derivedSuffix == ".diff.cross.XX")
     assert(GraftConfig(suffix = ".x").derivedSuffix == ".diff.x")
   }
+
+  test("suffixColumn matches derivedSuffix over the full branch product") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // every combination of the five branch inputs (type x diff x sel/skip
+    // cardinality x pol cardinality x base), 216 configs — the relational
+    // twin must agree with the typed API on all of them
+    val types = Seq("all" -> SpectrumType.All, "auto" -> SpectrumType.Auto,
+      "cross" -> SpectrumType.Cross)
+    val grid = for {
+      (tn, _) <- types
+      diff <- Seq(true, false)
+      sel <- Seq(Seq.empty[Int], Seq(4), Seq(1, 2))
+      skip <- Seq(Seq.empty[Int], Seq(9))
+      pols <- Seq(Seq.empty[String], Seq("YY"))
+      base <- Seq("", ".b")
+    } yield (tn, diff, sel, skip, pols, base)
+    val withIds = grid.zipWithIndex.map { case ((tn, df, se, sk, po, ba), i) =>
+      (i, tn, df, se, sk, po, ba)
+    }
+    val got = withIds
+      .toDF("id", "stype", "diff", "sel", "skip", "pols", "base")
+      .select(col("id"), Model.suffixColumn(col("stype"), col("diff"),
+        col("sel"), col("skip"), col("pols"), col("base")).as("s"))
+      .orderBy("id").collect().map(_.getString(1))
+    val want = withIds.map { case (_, tn, df, se, sk, po, ba) =>
+      GraftConfig(diff = df, selAnts = se, skipAnts = sk, selPols = po,
+        suffix = ba, spectrumType = types.toMap.apply(tn)).derivedSuffix
+    }
+    assert(got.toSeq == want)
+  }
 }
