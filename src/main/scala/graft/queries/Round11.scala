@@ -31,21 +31,30 @@ object R11 {
       // semantics — left raised for the session because the limit is read
       // at EXECUTION, after a lazy build would have restored it.
       s.conf.set("spark.sql.cteRecursionRowLimit", "200000000")
+      // Pin the edge relation ONCE (d24's "edges checkpointed" rule applied
+      // to the SQL front-end): a plain CTE is inlined into the recursive
+      // step, so `dir` as a CTE would re-scan lineitem and re-run the
+      // DISTINCT shuffle on EVERY iteration — 4x the dominant cost. Built
+      // eagerly here and registered as the view the recursion joins, each
+      // iteration reads the materialized blocks instead.
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("a"),
+          (lit(1000000000L) + col("l_partkey")).as("b"))
+        .distinct()
+      val dir = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
       Catalog.scopedSql(s,
-      Seq("graft_q69_lineitem" -> Tables.lineitem(s, d),
+      Seq("graft_q69_dir" -> dir,
         "graft_q69_orders" -> Tables.orders(s, d)),
       """WITH RECURSIVE
-         e0 AS (SELECT DISTINCT l_orderkey AS a,
-                  1000000000 + l_partkey AS b FROM graft_q69_lineitem),
-         dir AS (SELECT a AS src, b AS dst FROM e0
-                 UNION ALL SELECT b, a FROM e0),
          seeds AS (SELECT o_orderkey AS id FROM graft_q69_orders
                    WHERE o_totalprice > 495000),
          walk(id, hops) AS (
            SELECT id, 0 FROM seeds
            UNION ALL
-           SELECT DISTINCT dir.dst, w.hops + 1 FROM walk w
-           JOIN dir ON dir.src = w.id WHERE w.hops < 3)
+           SELECT DISTINCT d.dst, w.hops + 1 FROM walk w
+           JOIN graft_q69_dir d ON d.src = w.id WHERE w.hops < 3)
          SELECT id, CAST(MIN(hops) AS INT) AS hops FROM walk
          GROUP BY id ORDER BY id""")
     },
