@@ -431,10 +431,19 @@ object Dedup {
     val ranked = graft.operators.Sampling.orderedRank(
         keyed, Seq(col("__key"), col("id")))
       .withColumn("__b", expr(s"(__rank - 1) div $window"))
-      .select(col("id"), col("__text"), col("__rank"), col("__b"))
-    val l = ranked.select(col("id").as("__ida"), col("__text").as("__ta"),
+      // shingle ONCE per document, AFTER the rank exchange (texts, not
+      // 3x-bulkier shingle arrays, ride the range shuffle) and BEFORE the
+      // pairing joins (which fan each row out to ~2*window candidates —
+      // shingling after them would re-run the tokenize+distinct kernel
+      // per candidate side, a ~2*window CPU multiplier on the verify).
+      // The eager checkpoint materializes the shingled rows once; both
+      // join sides read the blocks instead of re-deriving the rank.
+      .select(col("id"), TextFns.wordShingles(col("__text"), shingleN).as("__sh"),
+        col("__rank"), col("__b"))
+      .localCheckpoint(true)
+    val l = ranked.select(col("id").as("__ida"), col("__sh").as("__sa"),
       col("__rank").as("__ra"), col("__b").as("__ba"))
-    val r = ranked.select(col("id").as("__idb"), col("__text").as("__tb"),
+    val r = ranked.select(col("id").as("__idb"), col("__sh").as("__sb"),
       col("__rank").as("__rb"), col("__b").as("__bb"))
     // same-bucket + adjacent-bucket equi joins enumerate each pair with
     // 0 < rank distance <= window exactly once (never both joins)
@@ -445,9 +454,7 @@ object Dedup {
         col("__rb") <= col("__ra") + window)
     cand
       .withColumn("jaccard",
-        floor(TextFns.jaccard(
-          TextFns.wordShingles(col("__ta"), shingleN),
-          TextFns.wordShingles(col("__tb"), shingleN)) * 10000 + 0.5) / 10000)
+        floor(TextFns.jaccard(col("__sa"), col("__sb")) * 10000 + 0.5) / 10000)
       .filter(col("jaccard") >= threshold)
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"), col("jaccard"))
