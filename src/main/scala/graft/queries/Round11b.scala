@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.queries.Catalog.QueryDef
 
 /** Round-11 second wave: oracled certification for the SURVEY §2 rows that
@@ -321,6 +322,74 @@ object R11b {
             SELECT coarse_chan, pol, AVG(amp) AS metric, COUNT(*) AS n
             FROM g GROUP BY coarse_chan, pol ORDER BY coarse_chan, pol"""))
 
+  /** s22 — STREAMING AS-OF JOIN (J9's streaming execution —
+    * StatefulOps.StreamAsOfProcessor): purchases enriched with the latest
+    * at-or-before view per user, run as a two-phase time-ordered feed
+    * (all pre-cut events, processAllAvailable, controlled stop; post-cut
+    * events appended; RESTART from the checkpoint — so the O(1) per-key
+    * LOCF state is also recovered from RocksDB mid-stream). The oracle is
+    * the batch as-of twin in SQL with the identical inclusive bound and
+    * (ts, event_id) tie-break: an early/late/dropped emission, a
+    * wrong tie pick, or state lost across the restart is a hash
+    * mismatch. */
+  private val s22 = QueryDef("s22_stream_asof",
+    (s, d) => {
+      import graft.streaming.StatefulOps
+      val base = java.nio.file.Files.createTempDirectory("graft_s22_")
+      val (src, ck, sink) = (s"$base/src", s"$base/ck", s"$base/sink")
+      val cut = "2024-01-16 00:00:00"
+      val tagged = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), (col("event_type") === "view").as("is_ref"),
+          col("ts").cast("timestamp").as("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_centi"))
+      def run(): Unit = {
+        val conf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(conf)
+        s.conf.set(conf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val stream = s.readStream.schema(tagged.schema).parquet(src)
+            .as[StatefulOps.AsOfSideRow]
+          val q = StatefulOps.streamAsOfJoin(stream).toDF()
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ck)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        } finally prev match {
+          case Some(p) => s.conf.set(conf, p)
+          case None => s.conf.unset(conf)
+        }
+      }
+      tagged.filter(col("ts") < cut).repartition(2)
+        .write.mode("append").parquet(src)
+      run() // phase 1: every pre-cut event, then a controlled kill
+      tagged.filter(col("ts") >= cut).repartition(2)
+        .write.mode("append").parquet(src)
+      run() // restart: recover offsets + per-key LOCF state, finish the log
+      val out = s.read.parquet(sink).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      out.select(col("purchase_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("view_id"), col("view_value_centi"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH v AS (SELECT user_id, ts, event_id,
+                CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events WHERE event_type = 'view'),
+            t AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase'),
+            j AS (SELECT t.event_id AS pid, t.user_id AS uid, t.ts AS tts,
+                    v.event_id AS vid, v.ts AS vts, v.vc AS vvc
+                  FROM t LEFT JOIN v
+                    ON v.user_id = t.user_id AND v.ts <= t.ts),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                    ORDER BY vts DESC NULLS LAST, vid DESC) AS rn FROM j)
+            SELECT pid AS purchase_id, uid AS user_id, tts AS ts,
+              vid AS view_id, vvc AS view_value_centi
+            FROM r WHERE rn = 1 ORDER BY purchase_id"""))
+
   val all: Seq[QueryDef] = Seq(mwa17, mwa18, mwa19, mwa20, mwa21, mwa22,
-    mwa23, mwa24, mwa25)
+    mwa23, mwa24, mwa25, s22)
 }

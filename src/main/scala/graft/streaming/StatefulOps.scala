@@ -233,4 +233,83 @@ object StatefulOps {
       .transformWithState(new MgTopKProcessor(k, expected),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One tagged row of the streaming as-of join's merged input: reference
+    * rows (`is_ref = true` — the quote/dimension side) update per-key
+    * state; probe rows (`is_ref = false` — the trade/fact side) are
+    * enriched and emitted. */
+  final case class AsOfSideRow(user_id: Long, is_ref: Boolean,
+                               ts: java.sql.Timestamp, event_id: Long,
+                               value_centi: Long)
+
+  /** An enriched probe row: the latest reference row at-or-before its
+    * event time (LOCF), or nulls when none has occurred yet. */
+  final case class AsOfOut(purchase_id: Long, user_id: Long,
+                           ts: java.sql.Timestamp, view_id: Option[Long],
+                           view_value_centi: Option[Long])
+
+  /** STREAMING AS-OF JOIN (stream-stream temporal LOCF enrichment — the
+    * trades⋈quotes shape; the temporal-join class Spark's built-in
+    * interval stream-stream joins don't cover, J9's streaming execution).
+    *
+    * Both sides arrive merged and tagged per key. State per key is ONE
+    * value — the latest reference row seen — because the delivery
+    * contract is per-key event-time-monotone micro-batches (batch N's
+    * rows precede batch N+1's in event time, the ordering a
+    * watermark-gated ingestion or a time-bucketed bus replay provides;
+    * Flink's temporal join places the same contract on its build side).
+    * Under that contract a probe row's answer never needs a reference
+    * OLDER than the newest already seen, so state is O(1) per key — not
+    * a buffered history — and emission is eager (exactly-once per probe
+    * row, invariant to how rows split across batches AT OR ABOVE the
+    * contract's granularity).
+    *
+    * Within a batch, rows sort by (event time, references-first,
+    * event_id), so the inclusive bound (ref.ts <= probe.ts) and the
+    * equal-ts tie-break (largest event_id wins) are deterministic
+    * regardless of arrival order — the exact tie contract of the batch
+    * [[graft.operators.RelationalOps.asOfJoin]].
+    */
+  class StreamAsOfProcessor extends StatefulProcessor[Long, AsOfSideRow, AsOfOut] {
+    @transient private var latest: ValueState[(java.sql.Timestamp, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[(java.sql.Timestamp, Long, Long)](
+        "latest", Encoders.product[(java.sql.Timestamp, Long, Long)],
+        TTLConfig.NONE)
+
+    private def nanoKey(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+
+    override def handleInputRows(key: Long, rows: Iterator[AsOfSideRow],
+        timers: TimerValues): Iterator[AsOfOut] = {
+      var cur: (java.sql.Timestamp, Long, Long) =
+        if (latest.exists()) latest.get() else null
+      val out = Seq.newBuilder[AsOfOut]
+      // refs before probes at equal ts (inclusive bound), event_id
+      // ascending so the last equal-ts ref processed is the tie winner
+      rows.toArray.sortBy(r => (nanoKey(r.ts), !r.is_ref, r.event_id))
+        .foreach { r =>
+          if (r.is_ref) {
+            val rk = nanoKey(r.ts)
+            val newer = cur == null || rk > nanoKey(cur._1) ||
+              (rk == nanoKey(cur._1) && r.event_id > cur._2)
+            if (newer) cur = (r.ts, r.event_id, r.value_centi)
+          } else out += AsOfOut(r.event_id, key, r.ts,
+            Option(cur).map(_._2), Option(cur).map(_._3))
+        }
+      if (cur != null) latest.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** Wire the streaming as-of join over merged tagged rows keyed by
+    * user. Requires the per-key event-time-monotone batch contract
+    * documented on [[StreamAsOfProcessor]]. */
+  def streamAsOfJoin(rows: Dataset[AsOfSideRow]): Dataset[AsOfOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .transformWithState(new StreamAsOfProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

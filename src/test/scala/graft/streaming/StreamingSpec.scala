@@ -90,6 +90,46 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming as-of join: cross-batch LOCF, inclusive bound, tie-break") {
+    // time-ordered two-batch feed: the enrichment for a batch-2 probe must
+    // come from batch-1 state (LOCF across the restartable state cell);
+    // equal-ts ref is INCLUSIVE; equal-ts refs tie-break on max event_id
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StatefulOps.{AsOfSideRow => R}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
+      val mem = MemoryStream[R]
+      val q = StatefulOps.streamAsOfJoin(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName("asof_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          R(1, is_ref = true, t(10), 100, 1000), // view @10
+          R(1, is_ref = true, t(20), 101, 2000), // view @20 ...
+          R(1, is_ref = true, t(20), 102, 3000), // ... equal-ts: 102 wins
+          R(1, is_ref = false, t(20), 500, 0),   // probe @20 -> 102 (inclusive)
+          R(2, is_ref = false, t(15), 600, 0))   // probe, user with no view
+        q.processAllAvailable()
+        mem.addData(
+          R(1, is_ref = false, t(30), 501, 0),   // batch 2 -> batch-1 state
+          R(1, is_ref = true, t(40), 103, 4000),
+          R(1, is_ref = false, t(41), 502, 0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("asof_out").collect()
+        .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      assert(got == Set(
+        (500L, Some(102L), Some(3000L)),
+        (600L, None, None),
+        (501L, Some(102L), Some(3000L)),
+        (502L, Some(103L), Some(4000L))))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming MG sketch equals exact counts under adversarial batching") {
     // one bucket gets its items spread across 3 lopsided batches (1 item /
     // many / rest); in the exact regime (k >= per-bucket vocabulary) the
