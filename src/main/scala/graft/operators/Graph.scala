@@ -191,4 +191,67 @@ object Graph {
     }
     dist
   }
+
+  /** K-CORE decomposition membership (Seidman 1983; the Matula–Beck
+    * peeling fixpoint): the maximal subgraph in which every vertex has
+    * degree >= k — the standard density filter for duplicate/citation
+    * graphs (template communities survive, incidental links peel away).
+    *
+    * Iterated peeling: each round computes degrees over the surviving
+    * edge set (one map-side-combinable count aggregation) and drops
+    * vertices below k via two semi joins (an edge survives only if BOTH
+    * endpoints do), until the vertex count is stable. A round that
+    * removes nothing removes no edges either, so node-count stability IS
+    * the fixpoint. Per-round cost is O(surviving edges); `maxRounds` is
+    * the same bounded-fixpoint contract as [[boundedShortestPaths]] —
+    * the operator RAISES if the cascade outruns it rather than returning
+    * a non-core superset, because callers (and the unrolled SQL oracle)
+    * depend on the converged answer.
+    *
+    * localCheckpoint(true) pins each round (the shortestHops rationale:
+    * otherwise the plan stacks `rounds` join layers), and the count that
+    * drives convergence reads the pinned blocks.
+    *
+    * @param edges (src, dst); treated as undirected (mirrored + distinct)
+    * @param k     minimum within-core degree (counts DISTINCT neighbors,
+    *              since the mirrored edge set is deduplicated)
+    * @return one column (id) — the vertices of the k-core, possibly empty
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    // the edge table is pinned ONCE and never rewritten; each round
+    // re-derives the surviving NODE set from it, so per-round
+    // materialized state is O(V), not O(E) — at corpus scale the node
+    // set is the thing that fits, and (being the small side) it is the
+    // side AQE turns into broadcast semi joins against the static edges
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .distinct()
+      .localCheckpoint(true)
+    var nodes = dir.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var nNodes = nodes.count()
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      require(rounds < maxRounds,
+        s"kCore: cascade exceeded maxRounds=$maxRounds (still $nNodes nodes)")
+      rounds += 1
+      val alive = dir
+        .join(nodes, dir("src") === nodes("id"), "left_semi")
+      val next = alive
+        .join(nodes, alive("dst") === nodes("id"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("src").as("id"))
+        .localCheckpoint(true)
+      val n = next.count()
+      // node sets only shrink, so count equality IS set equality — and a
+      // round that drops no node drops no edge either: the fixpoint
+      stable = n == nNodes
+      nodes = next
+      nNodes = n
+    }
+    nodes
+  }
 }

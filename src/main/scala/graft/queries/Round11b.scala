@@ -390,6 +390,48 @@ object R11b {
               vid AS view_id, vvc AS view_value_centi
             FROM r WHERE rn = 1 ORDER BY purchase_id"""))
 
+  /** The d28 oracle: the k-core peeling fixpoint UNROLLED to `rounds`
+    * identical SQL rounds (degree filter + both-endpoints edge
+    * restriction). Rounds past convergence are no-ops, so the unrolled
+    * form equals the fixpoint whenever the cascade converges within
+    * `rounds` — which the OPERATOR enforces (Graph.kCore raises past
+    * maxRounds), making "oracle deep enough" a loud failure instead of a
+    * silent divergence. */
+  private def kCoreOracle(rounds: Int, k: Int): String = {
+    // AS MATERIALIZED is load-bearing: every round references the prior
+    // round twice, so inlined CTEs would expand the plan ~3^rounds scans
+    val sb = new StringBuilder(
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS a,
+                1000000000 + l_partkey AS b FROM lineitem),
+         d0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+                UNION ALL SELECT b, a FROM e0)""")
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+         n$i AS MATERIALIZED (SELECT src AS node FROM d${i - 1}
+                GROUP BY src HAVING COUNT(*) >= $k),
+         d$i AS MATERIALIZED (SELECT d.src, d.dst FROM d${i - 1} d
+                JOIN n$i x ON x.node = d.src
+                JOIN n$i y ON y.node = d.dst)"""
+    }
+    sb ++= s"\n SELECT DISTINCT src AS id FROM d$rounds ORDER BY id"
+    sb.result()
+  }
+
+  /** d28 — k-core decomposition (Graph.kCore) on the d24/q69 bipartite
+    * order↔part graph at k=6: a 10-round peel cascade at sf0.01 (12 at
+    * sf0.1), so the iterated fixpoint — not just one degree filter — is
+    * what the oracle certifies. The density filter for duplicate graphs:
+    * template communities survive, incidental links peel away. */
+  private val d28 = QueryDef("d28_kcore",
+    (s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("src"),
+          (lit(1000000000L) + col("l_partkey")).as("dst"))
+        .distinct()
+      graft.operators.Graph.kCore(e0, k = 6, maxRounds = 20).orderBy("id")
+    },
+    Some(kCoreOracle(rounds = 20, k = 6)), bench = true)
+
   val all: Seq[QueryDef] = Seq(mwa17, mwa18, mwa19, mwa20, mwa21, mwa22,
-    mwa23, mwa24, mwa25, s22)
+    mwa23, mwa24, mwa25, s22, d28)
 }

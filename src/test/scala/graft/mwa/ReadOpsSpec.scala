@@ -115,9 +115,17 @@ class ReadOpsSpec extends SparkSpec {
   test("van vleck correction is deterministic and sign-preserving") {
     val vis = VisGenerator.vis(spark, spec.copy(noiseSigma = 0.2, skyAmp = 0.3,
       rfiAmp = 0, streakAmp = 0))
-    val c1 = ReadOps.correctVanVleck(vis).agg(sum("vis_re")).head.getDouble(0)
-    val c2 = ReadOps.correctVanVleck(vis).agg(sum("vis_re")).head.getDouble(0)
-    assert(c1 == c2)
+    // per-ROW bit equality across two evaluations — an aggregate sum would
+    // also fold in shuffle-fetch arrival order, which is not deterministic
+    // under load and is not the correction's property being pinned here
+    val key = Seq("time_idx", "ant1", "ant2", "freq_hz", "pol")
+    val c1 = ReadOps.correctVanVleck(vis).alias("a")
+    val c2 = ReadOps.correctVanVleck(vis).alias("b")
+    val diff = c1.join(c2, key)
+      .filter(col("a.vis_re") =!= col("b.vis_re") ||
+        col("a.vis_im") =!= col("b.vis_im"))
+      .count()
+    assert(diff == 0)
     // sin(pi/2 * clamp(rho)) has rho's sign, and the raw-value guard is
     // trivially sign-preserving
     val signFlips = ReadOps.correctVanVleck(vis).alias("c")

@@ -61,4 +61,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(r === Array((5L, 1L), (6L, 1L), (7L, 1L)))
   }
+
+  test("kCore: the cascade removes what a single degree filter keeps") {
+    // K4 on {0,1,2,3} plus a pendant chain 3-10-11-12. At k=2 every chain
+    // vertex peels ITERATIVELY: after 12 goes, 11 has degree 1; after 11,
+    // 10 does — one degree filter would have kept 10 and 11 (degree 2).
+    val edges = (for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)).toDF("src", "dst")
+      .union(Seq((3L, 10L), (10L, 11L), (11L, 12L)).toDF("src", "dst"))
+    val core2 = Graph.kCore(edges, k = 2).orderBy("id")
+      .collect().map(_.getLong(0))
+    assert(core2 === Array(0L, 1L, 2L, 3L))
+    // K4's minimum degree is 3: the 4-core is empty
+    assert(Graph.kCore(edges, k = 4).isEmpty)
+    // and the bounded-fixpoint contract raises instead of under-peeling
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException](
+      Graph.kCore(chain, k = 2, maxRounds = 3))
+  }
 }
