@@ -212,6 +212,14 @@ object Graph {
     * otherwise the plan stacks `rounds` join layers), and the count that
     * drives convergence reads the pinned blocks.
     *
+    * Rejected alternative, measured: DELTA peeling (propagate degree
+    * losses only from last round's removed nodes, the sequential
+    * Matula–Beck trick) is 2x SLOWER here at 10x scale (25.8s vs 13.0s
+    * at sf1) — without an adjacency index, the "removed's incident
+    * edges" semi join still scans the full edge table every round, so
+    * the O(E)-total bound never materializes, and the running (id, deg)
+    * table adds an O(V) join + checkpoint per round on top.
+    *
     * @param edges (src, dst); treated as undirected (mirrored + distinct)
     * @param k     minimum within-core degree (counts DISTINCT neighbors,
     *              since the mirrored edge set is deduplicated)
