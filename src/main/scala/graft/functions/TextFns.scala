@@ -48,10 +48,16 @@ object TextFns {
   def wordShingles(text: Column, n: Int): Column =
     ArrayExprs.word_shingles(text, n)
 
-  /** Exact Jaccard similarity of two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard similarity of two distinct-element arrays. For
+    * distinct inputs |A∪B| = |A|+|B|-|A∩B|, so ONE intersect hash-set
+    * build replaces intersect+union (every caller feeds wordShingles
+    * output, which is distinct by construction; whole-stage codegen CSEs
+    * the repeated intersect). Same integers, same single division —
+    * bit-identical to the intersect/union form. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
 
   /** MinHash signature of length k over a shingle array — native Catalyst
     * expression (ArrayExprs.MinHashSig): one XxHash64 per shingle plus k

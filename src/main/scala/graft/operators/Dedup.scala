@@ -515,6 +515,10 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
         TextFns.wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      // pinned: referenced three times (token stream + both verification
+      // sides) — unpinned, the corpus would be re-scanned and re-shingled
+      // per reference
+      .localCheckpoint(true)
     val tokens = sets.select(col("id"), explode(col("sh")).as("tok"))
     // global document frequency per token — the ordering key
     val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -529,31 +533,53 @@ object Dedup {
         col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
     val prefixes = docArr
       .select(col("id"), col("sz"),
-        explode(slice(col("arr"), lit(1), col("p"))).as("e"))
-      .select(col("e.tok").as("tok"), col("id"), col("sz"))
-    // bucket by prefix token; expand to (id, sz) pairs with the length
-    // pre-filter. The epsilon keeps float rounding of t*max from ever
+        posexplode(slice(col("arr"), lit(1), col("p")))
+          .as(Seq("i0", "e")))
+      .select(col("e.tok").as("tok"), col("id"), col("sz"),
+        (col("i0") + 1).as("pos")) // 1-based position in the sorted set
+    // bucket by prefix token; expand to (id, sz, pos) pairs with the
+    // length pre-filter and PPJoin's POSITION filter (Xiao et al.
+    // WWW'08): a token at position i of A's rarest-first order leaves at
+    // most sa - i later elements, so a shared occurrence bounds the
+    // overlap by 1 + min(sa-i, sb-j); J >= t needs overlap >=
+    // t/(1+t)·(sa+sb). Keeping pairs where ANY shared occurrence passes
+    // is complete: the pair's FIRST common prefix token has no common
+    // element before it, so its bound is valid, and for a qualifying
+    // pair that bound exceeds the needed overlap — that occurrence
+    // always survives. The epsilons keep float rounding from ever
     // OVER-pruning (verification below restores exact precision).
     val buckets = prefixes
       .groupBy("tok")
-      .agg(collect_list(struct(col("id"), col("sz"))).as("ids"))
+      .agg(collect_list(struct(col("id"), col("sz"), col("pos"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      // pinned: the in-place and hot-bucket branches both read it —
+      // unpinned, the whole count→rebuild→prefix chain runs twice
+      .localCheckpoint(true)
     val inPlace = buckets.filter(size(col("ids")) <= hotBucketCap)
       .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
       .select(col("p.x.id").as("ia"), col("p.x.sz").as("sa"),
-        col("p.y.id").as("ib"), col("p.y.sz").as("sb"))
+        col("p.x.pos").as("pa"),
+        col("p.y.id").as("ib"), col("p.y.sz").as("sb"),
+        col("p.y.pos").as("pb"))
     // hot buckets (a prefix token landing in very many docs — a massive
     // templated near-dup cluster) stream through a token-keyed self
     // equi-join instead of one task-resident pair array, exactly like
     // [[bucketPairs]]' fallback
     val hot = buckets.filter(size(col("ids")) > hotBucketCap)
       .select(col("tok"), explode(col("ids")).as("e"))
-      .select(col("tok"), col("e.id").as("id"), col("e.sz").as("sz"))
+      .select(col("tok"), col("e.id").as("id"), col("e.sz").as("sz"),
+        col("e.pos").as("pos"))
     val hotPairs = hot.as("x").join(hot.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
       .select(col("x.id").as("ia"), col("x.sz").as("sa"),
-        col("y.id").as("ib"), col("y.sz").as("sb"))
+        col("x.pos").as("pa"),
+        col("y.id").as("ib"), col("y.sz").as("sb"),
+        col("y.pos").as("pb"))
     val candidates = inPlace.union(hotPairs)
+      .filter((lit(1.0) +
+          least(col("sa") - col("pa"), col("sb") - col("pb")).cast("double")) >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("sa") + col("sb")).cast("double") - lit(1e-9))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         least(col("sa"), col("sb")).as("mn"),
