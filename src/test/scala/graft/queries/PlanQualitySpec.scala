@@ -230,4 +230,20 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
         !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
   }
+
+  test("d27/d28/mwa22: candidate generation and peeling stay equi-join") {
+    // d27's lazy tail (hot-bucket fallback + verification joins) must
+    // stay keyed — a cartesian here is the exact failure the prefix
+    // design exists to prevent. d28's build runs the full peel loop at
+    // sf0.001 (its per-round joins execute inside; the returned plan is
+    // checkpoint-collapsed, so this doubles as a loop smoke-run). mwa22's
+    // flagged-ant anti join legitimately BNL-broadcasts its 1-row
+    // flagged dim, so only the cartesian check applies there.
+    for (q <- Seq("d27_prefix_jaccard", "d28_kcore")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    assert(!plan("mwa22_select_surface").contains("CartesianProduct"))
+  }
 }
