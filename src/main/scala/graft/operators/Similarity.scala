@@ -42,6 +42,36 @@ object Similarity {
       .select("vec_id", "nn_id", "sim", "rank")
   }
 
+  /** [[bruteForceKnn]] routed through the custom GroupTopK physical
+    * operator instead of a window: the same broadcast + dot-product
+    * scoring, but the per-query top-k comes from
+    * [[RelationalOps.topKPerGroupExec]] — partial BOUNDED heaps per map
+    * partition, a k-bounded exchange, no sort of the |queries| x |corpus|
+    * score space anywhere in the plan. The window form materializes and
+    * sorts every query's full score column before discarding all but k;
+    * at corpus scale the k-bounding BEFORE the exchange is the difference
+    * (the q57/WindowTopKRewrite rationale applied to the ANN path). Rank
+    * is re-derived by a window over exactly k rows per group —
+    * bit-identical to the window form by the GroupTopK ordering
+    * contract (x11 shares x01's oracle verbatim). */
+  def bruteForceKnnExec(queries: DataFrame, corpus: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        roundTo: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("vec_id"), col(vecCol).as("__qv"),
+      VectorFns.norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"),
+      VectorFns.norm(col(vecCol)).as("__cn"))
+    val scored = q.join(c, col("vec_id") =!= col("nn_id"))
+      .withColumn("sim", round(
+        VectorFns.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo))
+      .select("vec_id", "nn_id", "sim")
+    val top = RelationalOps.topKPerGroupExec(scored, Seq(col("vec_id")),
+      Seq(col("sim").desc, col("nn_id").asc), k)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select("vec_id", "nn_id", "sim", "rank")
+  }
+
   /** Approximate top-k: candidates restricted to vectors sharing the
     * query's bucket in ANY of `tables` independent random-hyperplane hash
     * tables (nPlanes sign bits each) — the classic (k, L) LSH scheme.

@@ -1227,6 +1227,18 @@ object Catalog {
 
   // ------------------------------------------------------- similarity [EXT]
 
+  /** Shared by x01 (window form) and x11 (custom GroupTopK exec form) —
+    * the two plans must be row-identical under the same oracle. */
+  private val x01Oracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             s AS (SELECT a.vec_id, b.vec_id AS nn_id, ROUND($duckCosine, 4) AS sim
+                   FROM v a JOIN v b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+             r AS (SELECT vec_id, nn_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rnk
+                   FROM s)
+             SELECT vec_id, nn_id, sim, CAST(rnk AS INT) AS rnk
+             FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk"""
+
   private val x01 = QueryDef("x01_knn5",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1234,14 +1246,22 @@ object Catalog {
         .select(col("vec_id"), col("nn_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("vec_id", "rnk")
     },
-    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             s AS (SELECT a.vec_id, b.vec_id AS nn_id, ROUND($duckCosine, 4) AS sim
-                   FROM v a JOIN v b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
-             r AS (SELECT vec_id, nn_id, sim,
-                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rnk
-                   FROM s)
-             SELECT vec_id, nn_id, sim, CAST(rnk AS INT) AS rnk
-             FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk"""))
+    Some(x01Oracle))
+
+  /** x11: the SAME exact brute-force kNN as x01 but executed through the
+    * custom GroupTopK SparkPlan (Similarity.bruteForceKnnExec) — partial
+    * bounded per-group heaps k-bound every map partition BEFORE the
+    * exchange, and nothing ever sorts the full score space. Shares x01's
+    * oracle verbatim: the custom operator must be row-identical to the
+    * window form on the ANN path, certified in the gate. */
+  private val x11 = QueryDef("x11_knn_grouptopk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceKnnExec(emb.filter(col("vec_id") < 20), emb, 5)
+        .select(col("vec_id"), col("nn_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy("vec_id", "rnk")
+    },
+    Some(x01Oracle))
 
   private val x02 = QueryDef("x02_lsh_knn",
     (s, d) => {
@@ -3923,7 +3943,7 @@ object Catalog {
     q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     d15, d16, d17, d18, d19, d20, d21, d22, d23,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, q50,
