@@ -187,21 +187,69 @@ object VisGenerator {
         spec.nFine * spec.dfHz / 2).as("chan_centre_hz"),
       (lit(spec.freq0Hz) + (col("id") + 1) * (spec.nFine * spec.dfHz)).as("chan_end_hz"))
 
-  /** Antenna dimension (schema: `utils.py:150-168`); antenna nAnts-1 is
-    * flagged so remove_flagged_ants (F6) has something to remove. */
+  /** Raw per-rfinput layer (two rows per antenna, pol X and Y) — the
+    * mwalib shape `utils.py:157-168` reads from: receiver fields live on
+    * the rfinput, `rec_type` carries the un-stripped enum token
+    * `ReceiverType.RRI`, and the x/y flag bits are INDEPENDENT. The
+    * antenna-level `flagged` must be DERIVED as `fx || fy`
+    * (`utils.py:160`), and `rec_type` by stripping the enum prefix
+    * (`utils.py:166-168`) — see [[antennas]]. The flag pattern puts the
+    * nAnts-1 bit on exactly one pol (X for odd ant index, Y for even), so
+    * the OR is load-bearing: dropping either side of it loses the flag and
+    * fails the mwa23 gate, while the derived antenna-level set stays
+    * `{nAnts-1}` for every spec (downstream F6 row sets unchanged). */
+  def rfinputs(spark: SparkSession, spec: Spec = Spec()): DataFrame =
+    spark.range(spec.nAnts)
+      .crossJoin(spark.range(2).select(
+        when(col("id") === 0, "X").otherwise("Y").as("pol")))
+      .select(
+        lit(spec.obsid).as("obsid"),
+        col("id").cast("int").as("ant"),
+        col("pol"),
+        (col("id") === spec.nAnts - 1 &&
+          when(col("pol") === "X", col("id") % 2 === 1)
+            .otherwise(col("id") % 2 === 0)).as("flagged"),
+        (col("id") % 8 + 1).cast("int").as("rec_number"),
+        lit("RG6_90").as("flavour"),
+        (col("id") % 2 === 0).as("has_whitening_filter"),
+        lit("ReceiverType.RRI").as("rec_type"))
+
+  /** Antenna dimension (schema: `utils.py:150-168`), DERIVED from the raw
+    * rfinput layer exactly as the reference derives it: `flagged` is the
+    * OR of the x and y flag bits (`utils.py:160`), receiver fields come
+    * from the X row ("assuming it's the same as rfinput_y",
+    * `utils.py:161-164`), and `rec_type` strips the `ReceiverType.` enum
+    * prefix (`utils.py:166-168`). Geometry columns are per-antenna;
+    * `north_m` is written as `0.0 - ant*2.0` (not `ant * -2.0`) so ant 0
+    * yields +0.0 — the JVM's `0 * -2.0` is IEEE -0.0, which hash-diverges
+    * from SQL engines that produce +0.0 (the round-11 mwa23 red row). */
   def antennas(spark: SparkSession, spec: Spec = Spec()): DataFrame =
-    spark.range(spec.nAnts).select(
-      lit(spec.obsid).as("obsid"),
-      col("id").cast("int").as("ant"),
-      (col("id") + 11).cast("int").as("tile_id"),
-      concat(lit("Tile"), format_string("%03d", col("id"))).as("tile_name"),
-      (col("id") * 10.0 + 100.0).as("electrical_length_m"),
-      (col("id") * 3.0).as("east_m"),
-      (col("id") * -2.0).as("north_m"),
-      lit(377.0).as("height_m"),
-      (col("id") === spec.nAnts - 1).as("flagged"),
-      (col("id") % 8 + 1).cast("int").as("rec_number"),
-      lit("RG6_90").as("flavour"),
-      (col("id") % 2 === 0).as("has_whitening_filter"),
-      lit("RRI").as("rec_type"))
+    rfinputs(spark, spec)
+      .groupBy(col("obsid"), col("ant"))
+      .agg(
+        bool_or(col("flagged")).as("flagged"),
+        first(when(col("pol") === "X", col("rec_number")),
+          ignoreNulls = true).as("rec_number"),
+        first(when(col("pol") === "X", col("flavour")),
+          ignoreNulls = true).as("flavour"),
+        first(when(col("pol") === "X", col("has_whitening_filter")),
+          ignoreNulls = true).as("has_whitening_filter"),
+        regexp_replace(
+          first(when(col("pol") === "X", col("rec_type")),
+            ignoreNulls = true),
+          "^ReceiverType\\.", "").as("rec_type"))
+      .select(
+        col("obsid"),
+        col("ant"),
+        (col("ant") + 11).cast("int").as("tile_id"),
+        concat(lit("Tile"), format_string("%03d", col("ant"))).as("tile_name"),
+        (col("ant") * 10.0 + 100.0).as("electrical_length_m"),
+        (col("ant") * 3.0).as("east_m"),
+        (lit(0.0) - col("ant") * 2.0).as("north_m"),
+        lit(377.0).as("height_m"),
+        col("flagged"),
+        col("rec_number"),
+        col("flavour"),
+        col("has_whitening_filter"),
+        col("rec_type"))
 }

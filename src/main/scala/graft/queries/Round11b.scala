@@ -211,25 +211,58 @@ object R11b {
                 AS vis_re
             FROM g ORDER BY time_idx, ant1, ant2, freq_hz"""))
 
-  /** mwa23 — S6: the antenna dimension schema (`utils.py:150-168`) with
-    * every derived column (tile naming, geometry, flag OR result, receiver
-    * fields) re-derived in SQL. */
+  /** mwa23 — S6 + C6/C7: the antenna dimension (`utils.py:150-168`)
+    * DERIVED from the raw rfinput layer, with the derivations themselves
+    * under the gate: the oracle rebuilds the per-pol rfinput rows (raw
+    * `ReceiverType.RRI` tokens, independent x/y flag bits) and re-derives
+    * `flagged = fx || fy` (C7, `utils.py:160`) and the enum-prefix strip
+    * (C6, `utils.py:166-168`) in SQL. Two specs are unioned so BOTH mixed
+    * OR branches execute under the hash: the default 6-ant spec flags ant
+    * 5 on X only (true||false), the 7-ant spec flags ant 6 on Y only
+    * (false||true) — dropping either side of the OR, or the strip, is a
+    * hash mismatch. Geometry uses `0.0 - ant*2.0` for north_m: the
+    * round-11 red row was `ant * -2.0` yielding IEEE -0.0 at ant 0 on the
+    * JVM vs +0.0 in DuckDB. */
   private val mwa23 = QueryDef("mwa23_antenna_dim",
-    (s, d) => graft.mwa.VisGenerator.antennas(s).orderBy("ant"),
-    Some("""SELECT CAST(1234567890 AS BIGINT) AS obsid,
-              CAST(r.range AS INT) AS ant,
-              CAST(r.range + 11 AS INT) AS tile_id,
-              'Tile' || lpad(CAST(r.range AS VARCHAR), 3, '0') AS tile_name,
-              r.range * 10.0 + 100.0 AS electrical_length_m,
-              r.range * 3.0 AS east_m,
-              r.range * -2.0 AS north_m,
+    (s, d) => {
+      import graft.mwa.VisGenerator
+      VisGenerator.antennas(s)
+        .unionAll(VisGenerator.antennas(s,
+          VisGenerator.Spec(obsid = 987654321L, nAnts = 7)))
+        .orderBy("obsid", "ant")
+    },
+    Some("""WITH specs AS (
+              SELECT * FROM (VALUES (1234567890, 6), (987654321, 7)) s(obsid, n)),
+            rf AS (
+              SELECT s.obsid, CAST(a.range AS INT) AS ant, p.pol,
+                a.range = s.n - 1 AND
+                  CASE WHEN p.pol = 'X' THEN a.range % 2 = 1
+                       ELSE a.range % 2 = 0 END AS flagged,
+                CAST(a.range % 8 + 1 AS INT) AS rec_number,
+                'RG6_90' AS flavour,
+                a.range % 2 = 0 AS has_whitening_filter,
+                'ReceiverType.RRI' AS rec_type
+              FROM specs s, range(7) a, (VALUES ('X'), ('Y')) p(pol)
+              WHERE a.range < s.n),
+            agg AS (
+              SELECT obsid, ant,
+                bool_or(flagged) AS flagged,
+                max(CASE WHEN pol = 'X' THEN rec_number END) AS rec_number,
+                max(CASE WHEN pol = 'X' THEN flavour END) AS flavour,
+                bool_or(CASE WHEN pol = 'X' THEN has_whitening_filter END)
+                  AS has_whitening_filter,
+                regexp_replace(max(CASE WHEN pol = 'X' THEN rec_type END),
+                  '^ReceiverType\.', '') AS rec_type
+              FROM rf GROUP BY obsid, ant)
+            SELECT CAST(obsid AS BIGINT) AS obsid, ant,
+              CAST(ant + 11 AS INT) AS tile_id,
+              'Tile' || lpad(CAST(ant AS VARCHAR), 3, '0') AS tile_name,
+              ant * 10.0 + 100.0 AS electrical_length_m,
+              ant * 3.0 AS east_m,
+              0.0 - ant * 2.0 AS north_m,
               377.0 AS height_m,
-              r.range = 5 AS flagged,
-              CAST(r.range % 8 + 1 AS INT) AS rec_number,
-              'RG6_90' AS flavour,
-              r.range % 2 = 0 AS has_whitening_filter,
-              'RRI' AS rec_type
-            FROM range(6) r ORDER BY ant"""))
+              flagged, rec_number, flavour, has_whitening_filter, rec_type
+            FROM agg ORDER BY obsid, ant"""))
 
   /** mwa24 — C5: suffix synthesis over a config grid covering every branch
     * of `configurators.py:125-134` (type prefix only onto an empty base,

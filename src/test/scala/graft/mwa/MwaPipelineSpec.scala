@@ -190,4 +190,32 @@ class MwaPipelineSpec extends SparkSpec {
     }
     assert(got.toSeq == want)
   }
+
+  test("antenna dim derives from raw rfinputs: flag OR (C7) + prefix strip (C6)") {
+    // raw layer: 2 rows/ant, un-stripped enum tokens, independent x/y bits
+    val rf = VisGenerator.rfinputs(spark, spec)
+    assert(rf.count() == spec.nAnts * 2L)
+    assert(rf.select("rec_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("ReceiverType.RRI"))
+    // the nAnts-1 flag bit sits on exactly ONE pol (X here: ant 5 is odd),
+    // so antennas' flagged column is reachable only through the OR
+    val bits = rf.filter(col("flagged"))
+      .select("ant", "pol").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(bits.toSeq == Seq((spec.nAnts - 1, "X")))
+    val ants = VisGenerator.antennas(spark, spec)
+    assert(ants.filter(col("flagged")).select("ant").collect()
+      .map(_.getInt(0)).toSeq == Seq(spec.nAnts - 1))
+    // ...and on the 7-ant spec the bit sits on Y (ant 6 is even) — the
+    // other mixed branch of the OR
+    val rf7 = VisGenerator.rfinputs(spark, spec.copy(nAnts = 7))
+    assert(rf7.filter(col("flagged")).select("ant", "pol").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((6, "Y")))
+    // C6: the derived dim carries the stripped form only
+    assert(ants.select("rec_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("RRI"))
+    // north_m at ant 0 must be POSITIVE zero bit-for-bit (round-11 red row)
+    val n0 = ants.filter(col("ant") === 0).select("north_m").head.getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(n0) == 0L,
+      s"north_m(0) must be +0.0, got bits ${java.lang.Double.doubleToRawLongBits(n0)}")
+  }
 }

@@ -3,9 +3,19 @@
 reads the Verify output dir (parquet per query + oracle_sql.json),
 runs each oracle SQL in DuckDB over the same sf dir, and compares
 values with columns sorted by name. NOT part of the engine."""
-import json, sys, math
+import json, sys, math, struct
 import duckdb
 import pandas as pd
+
+
+def floats_differ(a, b):
+    """Bit-pattern float compare mirroring the driver's hash gate:
+    -0.0 != +0.0 (Python's `!=` is blind to zero sign — the exact class
+    that produced the round-11 mwa23 red row), NaN == NaN (one carve-out,
+    matching the driver's canonical NaN)."""
+    if math.isnan(a) and math.isnan(b):
+        return False
+    return struct.pack("<d", a) != struct.pack("<d", b)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -47,13 +57,17 @@ def main(sf_dir, out_dir, skip=()):
             ev, gv = exp[c].tolist(), got[c].tolist()
             for i, (a, b) in enumerate(zip(ev, gv)):
                 if isinstance(a, float) and isinstance(b, float):
-                    if math.isnan(a) and math.isnan(b):
-                        continue
-                    if a != b:
+                    if floats_differ(a, b):
                         mismatch = (c, i, a, b)
                         break
                 elif hasattr(a, "__len__") and not isinstance(a, str):
-                    if list(a) != list(b):
+                    la, lb = list(a), list(b)
+                    if len(la) != len(lb) or any(
+                        floats_differ(x, y)
+                        if isinstance(x, float) and isinstance(y, float)
+                        else x != y
+                        for x, y in zip(la, lb)
+                    ):
                         mismatch = (c, i, a, b)
                         break
                 elif pd.isna(a) and pd.isna(b):
