@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PORTABLE deterministic k-means — the oracled twin of the engine-native
+  * k-means cells path ([[Ivf.fitCentroids]] / x09's SemDeDup clustering),
+  * built with the d12/d08 technique: every arithmetic step is either an
+  * exact integer operation or an IEEE double expression both engines
+  * evaluate identically, so the CELLS THEMSELVES re-derive bit-for-bit in
+  * DuckDB (x12's oracle unrolls the rounds as CTEs).
+  *
+  * Portability ingredients:
+  *  - coordinates quantized to ints in [0, 255] (`floor(x*256 + 0.5) +
+  *    128`, clamped): the one double expression, identical token-for-token
+  *    on both sides, floor'd before any arithmetic that could diverge;
+  *  - init = the k corpus vectors with the smallest `(md5(id), id)` — an
+  *    engine-independent pseudo-random draw (no RNG state, no xxhash64);
+  *  - Lloyd rounds fixed (no convergence test); distances are exact
+  *    integer sums; argmin tie-breaks on the FIRST (lowest) cell index;
+  *  - centroid update is the elementwise FLOOR-average (`sum DIV count`
+  *    on nonnegative ints — truncation == floor on both engines), so
+  *    centroids stay integer and round r+1 starts from identical state;
+  *  - an emptied cell keeps its previous centroid (the oracle's
+  *    `COALESCE` over a left join), so cell ids are stable 0..k-1.
+  *
+  * Scale posture (mirrors Ivf): each round is ONE map-side-combinable
+  * aggregation over the corpus — assignment is a zero-shuffle map against
+  * k x dim literal centroids, only k x dim longs ever reach the driver.
+  * This twin certifies the clustering semantics; [[Ivf]] (capped-sample
+  * training, double arithmetic) remains the production ANN path.
+  */
+object KmeansPortable {
+
+  /** Quantized copy of the embedding column: int coordinates in [0, 255].
+    * `(x * 256.0) + 0.5` is evaluated in double EXACTLY as DuckDB does
+    * (float widens exactly; *256 is a power-of-two scale) — both engines
+    * round identically, and floor lands the same integer. */
+  def quantize(corpus: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x =>
+        greatest(lit(0L), least(lit(255L),
+          floor(x.cast("double") * 256.0 + 0.5) + 128L))).as("__q"))
+
+  private def distTo(centroid: Array[Long]): Column =
+    aggregate(
+      zip_with(col("__q"), array(centroid.map(lit(_)): _*),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Zero-shuffle nearest-cell assignment against literal centroids;
+    * `array_position` of the min picks the FIRST minimum — tie goes to
+    * the lowest cell index, the oracle's `ORDER BY d, j` row_number. */
+  private def withCell(q: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val dists = array(cents.map(distTo): _*)
+    q.withColumn("__dists", dists)
+      .withColumn("cell",
+        (array_position(col("__dists"), array_min(col("__dists"))) - 1)
+          .cast("int"))
+  }
+
+  /** Fixed-round Lloyd iteration; returns the k integer centroids in cell
+    * order. One distributed aggregation per round; k x dim driver state
+    * (the Ivf literal-centroid contract). */
+  def fit(corpus: DataFrame, k: Int, rounds: Int,
+          idCol: String = "vec_id",
+          vecCol: String = "embedding"): Array[Array[Long]] = {
+    require(k > 0 && rounds >= 0, s"fit: k=$k rounds=$rounds")
+    val q = quantize(corpus, idCol, vecCol).localCheckpoint(true)
+    // init: k smallest (md5(id), id) — portable, order-independent
+    var cents: Array[Array[Long]] = q
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(k)
+      .select(col("__q"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cents.length == k,
+      s"fit: corpus has fewer than k=$k rows (${cents.length})")
+    val dim = cents.head.length
+    for (_ <- 1 to rounds) {
+      val sums = Seq.tabulate(dim)(i =>
+        sum(element_at(col("__q"), i + 1)).as(s"__s$i"))
+      val rows = withCell(q, cents)
+        .groupBy("cell").agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+      val next = cents.map(_.clone()) // emptied cell keeps its centroid
+      rows.foreach { r =>
+        val j = r.getInt(0)
+        val n = r.getLong(1)
+        next(j) = Array.tabulate(dim)(i => r.getLong(i + 2) / n)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Cells + SemDeDup-style drop rule at quantization resolution: each
+    * vector gets its final cell and exact integer distance; within a
+    * (cell, quantized-vector) group only the smallest id is `kept` —
+    * exact-duplicate collapse in the quantized space, the portable twin
+    * of x09's threshold rule. Output: (vec_id, cell, dist2, kept). */
+  def cells(corpus: DataFrame, k: Int, rounds: Int,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame = {
+    val cents = fit(corpus, k, rounds, idCol, vecCol)
+    val q = quantize(corpus, idCol, vecCol)
+    withCell(q, cents)
+      .withColumn("__qkey", array_join(col("__q").cast("array<string>"), ","))
+      .withColumn("dist2", element_at(col("__dists"), col("cell") + 1))
+      .withColumn("kept", col("__id") === min(col("__id"))
+        .over(Window.partitionBy(col("cell"), col("__qkey"))))
+      .select(col("__id").as(idCol), col("cell"), col("dist2"), col("kept"))
+  }
+}

@@ -1423,8 +1423,11 @@ object Catalog {
 
   /** SemDeDup with the paper's k-means clustering step
     * (Similarity.semanticDedupKmeans): deterministic-init k-means cells,
-    * same oracled drop rule as d15. Rows-only by design — k-means cells
-    * have no portable SQL twin; the drop semantics are pinned by
+    * same oracled drop rule as d15. Rows-only by design (double k-means);
+    * since round 12 the clustering ITSELF has a bit-exact oracled twin —
+    * x12 ([[graft.operators.KmeansPortable]]): integer-quantized
+    * coordinates, md5 init, floor-average Lloyd rounds, cells + drop rule
+    * hash-certified in DuckDB. The drop semantics here are pinned by
     * CurationOpsSpec on planted exact duplicates and the rule itself is
     * bit-exact-oracled through d15's sign-grid cells. */
   private val x09 = QueryDef("x09_semdedup_kmeans",
@@ -3951,7 +3954,8 @@ object Catalog {
     mwa13, mwa14, mwa15, mwa16,
     m01, m02, m03, e01, e02, e03, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s20, s21) ++
-    MoreQueries.all ++ FunctionSuites.all ++ R9.all ++ R11.all ++ R11b.all
+    MoreQueries.all ++ FunctionSuites.all ++ R9.all ++ R11.all ++ R11b.all ++
+    R12.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

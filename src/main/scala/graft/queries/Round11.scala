@@ -28,35 +28,45 @@ object R11 {
       // raise the recursion SAFETY VALVE: the walk's cumulative row count
       // legitimately passes the 1M default at sf>=1 (level sets are
       // |V|-bounded, but V itself is millions). Monotone guardrail, not
-      // semantics — left raised for the session because the limit is read
-      // at EXECUTION, after a lazy build would have restored it.
-      s.conf.set("spark.sql.cteRecursionRowLimit", "200000000")
-      // Pin the edge relation ONCE (d24's "edges checkpointed" rule applied
-      // to the SQL front-end): a plain CTE is inlined into the recursive
-      // step, so `dir` as a CTE would re-scan lineitem and re-run the
-      // DISTINCT shuffle on EVERY iteration — 4x the dominant cost. Built
-      // eagerly here and registered as the view the recursion joins, each
-      // iteration reads the materialized blocks instead.
-      val e0 = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("a"),
-          (lit(1000000000L) + col("l_partkey")).as("b"))
-        .distinct()
-      val dir = e0.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true)
-      Catalog.scopedSql(s,
-      Seq("graft_q69_dir" -> dir,
-        "graft_q69_orders" -> Tables.orders(s, d)),
-      """WITH RECURSIVE
-         seeds AS (SELECT o_orderkey AS id FROM graft_q69_orders
-                   WHERE o_totalprice > 495000),
-         walk(id, hops) AS (
-           SELECT id, 0 FROM seeds
-           UNION ALL
-           SELECT DISTINCT d.dst, w.hops + 1 FROM walk w
-           JOIN graft_q69_dir d ON d.src = w.id WHERE w.hops < 3)
-         SELECT id, CAST(MIN(hops) AS INT) AS hops FROM walk
-         GROUP BY id ORDER BY id""")
+      // semantics. The limit is read at EXECUTION, so the builder forces
+      // the (bounded, ordered) recursion eagerly via localCheckpoint and
+      // restores the conf in a finally — the raised valve never outlives
+      // this build (s22's state-store-provider pattern; HygieneSpec pins
+      // the restore).
+      val conf = "spark.sql.cteRecursionRowLimit"
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf, "200000000")
+      try {
+        // Pin the edge relation ONCE (d24's "edges checkpointed" rule
+        // applied to the SQL front-end): a plain CTE is inlined into the
+        // recursive step, so `dir` as a CTE would re-scan lineitem and
+        // re-run the DISTINCT shuffle on EVERY iteration — 4x the dominant
+        // cost. Built eagerly here and registered as the view the
+        // recursion joins, each iteration reads the materialized blocks.
+        val e0 = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("a"),
+            (lit(1000000000L) + col("l_partkey")).as("b"))
+          .distinct()
+        val dir = e0.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
+        Catalog.scopedSql(s,
+        Seq("graft_q69_dir" -> dir,
+          "graft_q69_orders" -> Tables.orders(s, d)),
+        """WITH RECURSIVE
+           seeds AS (SELECT o_orderkey AS id FROM graft_q69_orders
+                     WHERE o_totalprice > 495000),
+           walk(id, hops) AS (
+             SELECT id, 0 FROM seeds
+             UNION ALL
+             SELECT DISTINCT d.dst, w.hops + 1 FROM walk w
+             JOIN graft_q69_dir d ON d.src = w.id WHERE w.hops < 3)
+           SELECT id, CAST(MIN(hops) AS INT) AS hops FROM walk
+           GROUP BY id ORDER BY id""").localCheckpoint(true)
+      } finally prev match {
+        case Some(p) => s.conf.set(conf, p)
+        case None => s.conf.unset(conf)
+      }
     },
     Some("""WITH RECURSIVE
             e0 AS (SELECT DISTINCT l_orderkey AS a,

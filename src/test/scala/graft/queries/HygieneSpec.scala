@@ -28,6 +28,24 @@ class HygieneSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked temp dirs: $leaked")
   }
 
+  test("q69 restores the recursion safety valve after the build") {
+    // the builder raises spark.sql.cteRecursionRowLimit to run the
+    // recursion (executed eagerly inside the builder), and must put the
+    // session-global safety valve back before returning — a later query's
+    // runaway recursion must still hit the default 1M guard
+    val conf = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.getOption(conf)
+    val df = Catalog.queries("q69_recursive_sql")(spark,
+      "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    assert(spark.conf.getOption(conf) == before,
+      s"q69 left $conf = ${spark.conf.getOption(conf)} (was $before)")
+    // and the returned frame stays executable AFTER the restore (it was
+    // materialized inside the builder, not re-run lazily under the
+    // restored limit)
+    assert(df.count() > 0)
+  }
+
   test("q68 drops its query-scoped views and never shadows user names") {
     // a user's own view named "customer" must survive a q68 build
     spark.range(1).createOrReplaceTempView("customer")
