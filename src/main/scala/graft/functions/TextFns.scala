@@ -48,13 +48,22 @@ object TextFns {
   def wordShingles(text: Column, n: Int): Column =
     ArrayExprs.word_shingles(text, n)
 
-  /** Exact Jaccard similarity of two distinct-element arrays. For
-    * distinct inputs |A∪B| = |A|+|B|-|A∩B|, so ONE intersect hash-set
-    * build replaces intersect+union (every caller feeds wordShingles
-    * output, which is distinct by construction; whole-stage codegen CSEs
-    * the repeated intersect). Same integers, same single division —
-    * bit-identical to the intersect/union form. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Exact Jaccard similarity — the GENERAL form: inputs are treated as
+    * sets (deduplicated first), so raw token arrays with repeats get the
+    * correct answer. Hot paths that already hold distinct arrays should
+    * call [[jaccardDistinct]] and skip the two array_distinct builds. */
+  def jaccard(a: Column, b: Column): Column =
+    jaccardDistinct(array_distinct(a), array_distinct(b))
+
+  /** Exact Jaccard similarity of two DISTINCT-element arrays — the fast
+    * path, with the precondition in the name (round-11 ADVICE: the old
+    * `jaccard` name silently mis-scored non-distinct inputs, since
+    * |A∪B| = |A|+|B|-|A∩B| only holds for sets). For distinct inputs ONE
+    * intersect hash-set build replaces intersect+union (every internal
+    * caller feeds wordShingles output, distinct by construction;
+    * whole-stage codegen CSEs the repeated intersect). Same integers,
+    * same single division — bit-identical to the intersect/union form. */
+  def jaccardDistinct(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }

@@ -80,6 +80,15 @@ object ReadOps {
     * their own normalizer and pass through unchanged. Rows whose autos are
     * missing or non-positive (pure-noise fixtures) keep the raw value.
     *
+    * CONTRACT NOTE: this is the 1-bit (hard-quantizer) law. pyuvdata's
+    * `mwa_corr_fits` implements the multi-level 4+4-bit integer-quantizer
+    * correction instead, whose bias is far smaller — on many-level data
+    * the arcsine form OVER-corrects weak coefficients by up to pi/2
+    * (ReadOpsSpec pins both the exact 1-bit inversion and this divergence
+    * factor). The true MWA integer-level curve is deliberately out of
+    * scope: no pyuvdata reference outputs are available offline to
+    * certify an implementation against (the ms-descope evidence bar).
+    *
     * Scale shape: the auto table is |ants|/|baselines| ~ 2/n_ants of the
     * vis table — NOT broadcastable at scale (it grows with times x freqs)
     * — so both joins are equi shuffle joins on (obsid, time, freq, pol

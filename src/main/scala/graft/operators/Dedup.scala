@@ -128,7 +128,7 @@ object Dedup {
     candidates
       .join(texts.select(col("id").as("id_a"), col("__text").as("__ta")), Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("__text").as("__tb")), Seq("id_b"))
-      .withColumn("jaccard", TextFns.jaccard(
+      .withColumn("jaccard", TextFns.jaccardDistinct(
         TextFns.wordShingles(col("__ta"), shingleN),
         TextFns.wordShingles(col("__tb"), shingleN)))
       .filter(col("jaccard") >= threshold)
@@ -454,7 +454,7 @@ object Dedup {
         col("__rb") <= col("__ra") + window)
     cand
       .withColumn("jaccard",
-        floor(TextFns.jaccard(col("__sa"), col("__sb")) * 10000 + 0.5) / 10000)
+        floor(TextFns.jaccardDistinct(col("__sa"), col("__sb")) * 10000 + 0.5) / 10000)
       .filter(col("jaccard") >= threshold)
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"), col("jaccard"))
@@ -470,7 +470,7 @@ object Dedup {
     sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         // midpoint-safe 4-decimal rounding (integer-ratio values)
-        (floor(TextFns.jaccard(col("x.sh"), col("y.sh")) * 10000 + 0.5) / 10000)
+        (floor(TextFns.jaccardDistinct(col("x.sh"), col("y.sh")) * 10000 + 0.5) / 10000)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -592,7 +592,7 @@ object Dedup {
     val r = sets.select(col("id").as("id_b"), col("sh").as("__sb"))
     candidates.join(l, Seq("id_a")).join(r, Seq("id_b"))
       .withColumn("jaccard",
-        floor(TextFns.jaccard(col("__sa"), col("__sb")) * 10000 + 0.5) / 10000)
+        floor(TextFns.jaccardDistinct(col("__sa"), col("__sb")) * 10000 + 0.5) / 10000)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -709,7 +709,7 @@ object Dedup {
       .join(corpusTexts.select(col(idCol).as("__cand_cid"),
         TextFns.wordShingles(col(textCol), shingleN).as("__shb")),
         Seq("__cand_cid"))
-      .filter(TextFns.jaccard(col("__sha"), col("__shb")) >= threshold)
+      .filter(TextFns.jaccardDistinct(col("__sha"), col("__shb")) >= threshold)
       .groupBy(col("__id")).agg(min(col("__cand_cid")).as("__near_id"))
     batch.select(col(idCol).as("__id"),
         md5(col(textCol).cast("binary")).as("__dig"))

@@ -232,9 +232,14 @@ object Graph {
     // materialized state is O(V), not O(E) — at corpus scale the node
     // set is the thing that fits, and (being the small side) it is the
     // side AQE turns into broadcast semi joins against the static edges
+    // distinct() hash-partitions on (src, dst) itself — an explicit
+    // repartition(src) before it would be a wasted extra full shuffle of
+    // the mirrored edge set (round-11 ADVICE), and src-partitioning buys
+    // nothing here anyway: the per-round joins are semi joins against the
+    // NODE set, which AQE broadcasts (unlike the BFS pin above, where the
+    // repartition layout is genuinely reused)
     val dir = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
       .distinct()
       .localCheckpoint(true)
     var nodes = dir.select(col("src").as("id")).distinct().localCheckpoint(true)

@@ -41,6 +41,14 @@ object Catalog {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Half-away-from-zero cents, matching DuckDB's `ROUND(v * 100)` for
+    * EVERY sign: plain `floor(v*100 + 0.5)` is half-UP, which diverges
+    * for negative values — a latent hash hazard if a fixture ever grows
+    * them (round-11 ADVICE). Monotone, so MIN/MAX/ORDER BY over the
+    * rounded values are unaffected. */
+  private[queries] def centi(c: Column): Column =
+    (signum(c) * floor(abs(c) * 100 + 0.5)).cast("long")
+
   // ---------------------------------------------------------------- core
 
   private val q01 = QueryDef("q01_count",

@@ -101,7 +101,7 @@ object R11 {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       back.select(col("event_id"), col("user_id"),
           col("ts").cast("timestamp_ntz").as("ts"),
-          floor(col("value") * 100 + 0.5).cast("long").as("value_centi"))
+          Catalog.centi(col("value")).as("value_centi"))
         .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id, ts,
@@ -155,10 +155,10 @@ object R11 {
         "user_id", "ts", "value", "day", "event_id")
       .select(col("user_id"),
         col("bucket_ts").cast("timestamp_ntz").as("bucket_ts"),
-        floor(col("open") * 100 + 0.5).cast("long").as("open_centi"),
-        floor(col("high") * 100 + 0.5).cast("long").as("high_centi"),
-        floor(col("low") * 100 + 0.5).cast("long").as("low_centi"),
-        floor(col("close") * 100 + 0.5).cast("long").as("close_centi"),
+        Catalog.centi(col("open")).as("open_centi"),
+        Catalog.centi(col("high")).as("high_centi"),
+        Catalog.centi(col("low")).as("low_centi"),
+        Catalog.centi(col("close")).as("close_centi"),
         col("n"))
       .orderBy("user_id", "bucket_ts"),
     Some("""SELECT user_id, DATE_TRUNC('day', ts) AS bucket_ts,
@@ -213,7 +213,7 @@ object R11 {
         .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id, event_type FROM events
-            ORDER BY event_id"""))
+            ORDER BY event_id"""), bench = true)
 
   /** d27: EXACT set-similarity self-join via prefix filtering
     * (Dedup.prefixJaccardPairs — the AllPairs/PPJoin family): every

@@ -375,7 +375,7 @@ object R11b {
         .filter(col("event_type").isin("view", "purchase"))
         .select(col("user_id"), (col("event_type") === "view").as("is_ref"),
           col("ts").cast("timestamp").as("ts"), col("event_id"),
-          floor(col("value") * 100 + 0.5).cast("long").as("value_centi"))
+          Catalog.centi(col("value")).as("value_centi"))
       def run(): Unit = {
         val conf = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(conf)
@@ -421,7 +421,7 @@ object R11b {
                     ORDER BY vts DESC NULLS LAST, vid DESC) AS rn FROM j)
             SELECT pid AS purchase_id, uid AS user_id, tts AS ts,
               vid AS view_id, vvc AS view_value_centi
-            FROM r WHERE rn = 1 ORDER BY purchase_id"""))
+            FROM r WHERE rn = 1 ORDER BY purchase_id"""), bench = true)
 
   /** The d28 oracle: the k-core peeling fixpoint UNROLLED to `rounds`
     * identical SQL rounds (degree filter + both-endpoints edge

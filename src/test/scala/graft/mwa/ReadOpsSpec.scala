@@ -91,6 +91,43 @@ class ReadOpsSpec extends SparkSpec {
     assert(math.abs(im - math.sin(math.Pi / 2 * 0.25) * 6.0) < 1e-15)
   }
 
+  test("van vleck CONTRACT: exact 1-bit inversion; named divergence from " +
+      "pyuvdata's multi-level correction") {
+    import spark.implicits._
+    def mkVis(cross: Double) = Seq(
+      (1L, 0, 2460000.5, 0, 0, 0L, 0, 1.0e8, "XX", 4.0, 0.0, false, 1.0),
+      (1L, 0, 2460000.5, 1, 1, 2049L, 0, 1.0e8, "XX", 9.0, 0.0, false, 1.0),
+      (1L, 0, 2460000.5, 0, 1, 1L, 0, 1.0e8, "XX", cross, 0.0, false, 1.0))
+      .toDF("obsid", "time_idx", "time_jd", "ant1", "ant2", "baseline",
+        "coarse_chan", "freq_hz", "pol", "vis_re", "vis_im", "flag", "nsample")
+    def corrected(cross: Double): Double =
+      ReadOps.correctVanVleck(mkVis(cross))
+        .filter(col("ant1") =!= col("ant2"))
+        .select("vis_re").head.getDouble(0)
+    // (1) the curve is certified against the PUBLISHED law, not its own
+    // output: a hard (1-bit) quantizer measures m = (2/pi)*asin(rho)
+    // (Van Vleck & Middleton 1966); feeding that measurement in must
+    // recover the true rho exactly
+    val rho = 0.6
+    val m = 2.0 / math.Pi * math.asin(rho)
+    assert(math.abs(corrected(m * 6.0) - rho * 6.0) < 1e-12,
+      "arcsine inversion must invert the 1-bit quantizer law")
+    // (2) the DIVERGENCE, named and sized: pyuvdata's mwa_corr_fits
+    // implements the MULTI-LEVEL (4+4-bit integer) correction, whose
+    // quantization bias vanishes as levels grow — the correct multi-level
+    // correction of a small coefficient tends to the identity. The 1-bit
+    // law instead scales small coefficients by sin(pi/2 m)/m -> pi/2
+    // (~1.5708x). This pins that worst-case over-correction factor: the
+    // contract is the 1966 arcsine law; enabling it on many-level data
+    // inflates weak correlations by up to this factor. (Implementing the
+    // true MWA integer-level curve needs pyuvdata's reference outputs to
+    // certify against, which are unavailable offline — same evidence bar
+    // as the ms descope.)
+    val tiny = 0.01
+    assert(math.abs(corrected(tiny * 6.0) / (tiny * 6.0) - math.Pi / 2) < 1e-3,
+      "small-coefficient over-correction factor must be pi/2")
+  }
+
   test("van vleck: clamps |rho|>1 and keeps raw value on non-positive autos") {
     import spark.implicits._
     val vis = Seq(

@@ -136,6 +136,24 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("jaccard general form deduplicates; jaccardDistinct is the fast path") {
+    // raw token arrays WITH repeats: the general form must treat them as
+    // sets ({a,b,c} vs {b,c,d} -> 2/4), where the distinct-only fast path
+    // fed the same raw arrays would mis-score (the round-11 ADVICE trap)
+    val df = Seq((Seq("a", "b", "b", "c"), Seq("b", "c", "c", "c", "d")))
+      .toDF("x", "y")
+      .select(TextFns.jaccard(col("x"), col("y")).as("general"),
+        TextFns.jaccardDistinct(col("x"), col("y")).as("rawFast"))
+    val r = df.head
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) != 0.5) // the fast path needs distinct inputs
+    // on distinct inputs the two agree bit-for-bit
+    val d = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(TextFns.jaccard(col("x"), col("y")),
+        TextFns.jaccardDistinct(col("x"), col("y"))).head
+    assert(d.getDouble(0) == d.getDouble(1))
+  }
+
   test("minhash estimate approximates exact jaccard") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
@@ -148,7 +166,7 @@ class OperatorsSpec extends SparkSpec {
     val pairs = withSig.as("a").join(withSig.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
-        TextFns.jaccard(col("a.sh"), col("b.sh")).as("exact"),
+        TextFns.jaccardDistinct(col("a.sh"), col("b.sh")).as("exact"),
         TextFns.minhashEstimate(col("a.sig"), col("b.sig")).as("est"))
       .collect()
     pairs.foreach { r =>
