@@ -504,6 +504,19 @@ object Dedup {
     * rebuild, prefix bucket group, verify join — each linear in corpus
     * size + candidate count, never n^2.
     *
+    * MEASURED REJECTION — accumulated/suffix filters (round-12 audit,
+    * the d28 delta-peeling precedent): PPJoin's accumulated positional
+    * filter (per-pair shared-prefix-token count alpha plus the
+    * last-shared-position tail bound, one extra pair-keyed aggregation
+    * in place of the distinct) was profiled off-engine on the sf0.1
+    * corpus at t=0.5: it cuts candidates 124,979 -> 119,907 (~4%) —
+    * this corpus's candidate mass shares MANY moderately-common tokens,
+    * so joint positional bounds barely tighten the single-occurrence
+    * bound. PPJoin+'s suffix filter would spend per-candidate array
+    * probes comparable to the exact array_intersect verification it
+    * tries to avoid. Both rejected on measurement; the per-occurrence
+    * position filter stays.
+    *
     * @return (id_a, id_b, jaccard) — id_a < id_b, exact verified
     *         jaccard >= threshold, 4-decimal midpoint-safe rounding
     */

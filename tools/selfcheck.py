@@ -30,16 +30,20 @@ def main(sf_dir, out_dir, skip=()):
         if name in skip:
             print(f"skip {name}")
             continue
-        try:
-            exp = con.execute(sql).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            bad += 1
-            continue
+        # read the engine output FIRST: a scoped Verify run dumps only a
+        # few queries, and running every other oracle (some are ~30 min
+        # all-pairs joins) just to report "output missing" wastes the
+        # whole iteration loop
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            bad += 1
+            continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
             bad += 1
             continue
         exp = exp.reindex(sorted(exp.columns), axis=1)
