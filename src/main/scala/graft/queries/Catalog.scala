@@ -16,7 +16,13 @@ import graft.functions.VectorFns
   *  - money aggregations go through DECIMAL(18,2) on BOTH engines — the
   *    inputs are exact 2-decimal values, so decimal sums are exact and
   *    order-independent, immune to parallel-summation float drift;
-  *  - column names identical on both sides (the driver hashes by name).
+  *  - column names identical on both sides (the driver hashes by name);
+  *  - ZERO SIGN is normalized wherever a float output can be zero: a
+  *    rounded near-zero negative is -0.0 in DuckDB but +0.0 through
+  *    Spark's BigDecimal round (and `0 * -c` is -0.0 on the JVM but
+  *    +0.0 in DuckDB — the mwa23 direction). `+ 0.0` on both sides (or
+  *    `0.0 - expr` in generators) forces +0.0; the round-12 sf0.1
+  *    bit-level sweep is the net that catches violations (q22/q41/q50).
   */
 object Catalog {
 
@@ -311,10 +317,14 @@ object Catalog {
     (s, d) => Tables.embeddings(s, d)
       .select(col("vec_id"),
         size(col("embedding")).cast("int").as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+        // + 0.0 zero-sign-normalizes on BOTH sides: a small negative
+        // rounds to -0.0 in DuckDB but +0.0 through Spark's BigDecimal
+        // round — a bit-level hash mismatch (first triggered at sf0.1)
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0))
+          .as("e0"))
       .orderBy("vec_id"),
     Some("""SELECT vec_id, CAST(LEN(embedding) AS INT) AS dim,
-              ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0
+              ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e0
             FROM embeddings ORDER BY vec_id"""))
 
   private val q23 = QueryDef("q23_json",
@@ -2387,14 +2397,19 @@ object Catalog {
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("c0"),
-        round(avg(element_at(col("embedding"), 32).cast("double")), 4).as("c31"),
-        round(avg(element_at(col("embedding"), 64).cast("double")), 4).as("c63"))
+        // + 0.0: zero-sign-normal (q22's rationale — a near-zero negative
+        // mean rounds to -0.0 in DuckDB, +0.0 in Spark)
+        (round(avg(element_at(col("embedding"), 1).cast("double")), 4)
+          + lit(0.0)).as("c0"),
+        (round(avg(element_at(col("embedding"), 32).cast("double")), 4)
+          + lit(0.0)).as("c31"),
+        (round(avg(element_at(col("embedding"), 64).cast("double")), 4)
+          + lit(0.0)).as("c63"))
       .orderBy("label"),
     Some("""SELECT label, COUNT(*) AS n,
-              ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
-              ROUND(AVG(CAST(embedding[32] AS DOUBLE)), 4) AS c31,
-              ROUND(AVG(CAST(embedding[64] AS DOUBLE)), 4) AS c63
+              ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) + 0.0 AS c0,
+              ROUND(AVG(CAST(embedding[32] AS DOUBLE)), 4) + 0.0 AS c31,
+              ROUND(AVG(CAST(embedding[64] AS DOUBLE)), 4) + 0.0 AS c63
             FROM embeddings GROUP BY label ORDER BY label"""))
 
   // ------------------------------------------------------------- mwa domain

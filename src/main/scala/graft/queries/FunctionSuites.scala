@@ -17,7 +17,8 @@ object FunctionSuites {
       Tables.embeddings(s, d).select(
         col("vec_id"),
         size(flatten(array(slice(ed, 1, 2), slice(ed, 3, 2)))).cast("int").as("flat4"),
-        round(element_at(reverse(ed), 1).cast("double"), 4).as("last_e"),
+        (round(element_at(reverse(ed), 1).cast("double"), 4) + lit(0.0))
+          .as("last_e"), // + 0.0: zero-sign-normal, like joined below
         // + 0.0 normalizes negative zero (-0.0 stringifies differently
         // between engines)
         array_join(transform(slice(ed, 1, 3), x => (round(x, 2) + lit(0.0)).cast("string")), ",")
@@ -28,7 +29,7 @@ object FunctionSuites {
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
             SELECT vec_id,
               CAST(len(list_concat(ed[1:2], ed[3:4])) AS INT) AS flat4,
-              ROUND(list_reverse(ed)[1], 4) AS last_e,
+              ROUND(list_reverse(ed)[1], 4) + 0.0 AS last_e,
               array_to_string(list_transform(ed[1:3], x -> CAST(ROUND(x, 2) + 0.0 AS VARCHAR)), ',') AS joined,
               CAST(len(list_filter(range(1, 11), x -> x <> 5)) AS INT) AS seq9
             FROM e ORDER BY vec_id"""))
