@@ -80,4 +80,22 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.kCore(chain, k = 2, maxRounds = 3))
   }
+
+  test("kCore edge pin: repartition(src) + distinct plans ONE exchange") {
+    // pins the mechanism the kCore scaladoc claims (and the round-12 A/B
+    // measured): HashPartitioning(src) co-locates equal (src, dst) rows,
+    // so it satisfies the distinct aggregate's ClusteredDistribution —
+    // the distinct reuses the repartition exchange instead of adding a
+    // (src, dst) exchange of its own, and the pinned layout stays
+    // src-partitioned for the peel rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .distinct()
+    val plan = dir.queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"expected exactly one Exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(src"), plan)
+  }
 }
