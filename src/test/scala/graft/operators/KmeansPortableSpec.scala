@@ -58,6 +58,21 @@ class KmeansPortableSpec extends SparkSpec {
     assert(out.agg(max(col("dist2"))).head.getLong(0) == 0L)
   }
 
+  test("cells are invariant under input partitioning (the 1000-executor property)") {
+    // every stage must be order/partitioning-independent: md5 init is a
+    // global TakeOrdered, centroid sums are exact integer aggregations,
+    // assignment is per-row — so a repartitioned corpus must produce
+    // BIT-identical cells, distances and kept flags
+    val rows = (0L until 64L).map(i =>
+      (i, Seq.tabulate(4)(j => ((i * 7 + j * 13) % 19 - 9) / 20.0f)))
+    val base = KmeansPortable.cells(frame(rows), k = 3, rounds = 2)
+      .orderBy("vec_id").collect().toSeq
+    val shuffled = KmeansPortable.cells(frame(rows.reverse).repartition(7),
+        k = 3, rounds = 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(base == shuffled)
+  }
+
   test("fit rejects a corpus smaller than k") {
     val tiny = frame(Seq((1L, Seq(0.1f, 0.1f))))
     intercept[IllegalArgumentException] {
