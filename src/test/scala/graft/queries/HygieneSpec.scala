@@ -20,7 +20,8 @@ class HygieneSpec extends SparkSpec {
     // finding, generalized in round 11)
     val before = graftTmpDirs
     for (q <- Seq("s18_stream_funnel", "q58_tsv_sink", "mwa13_spectrum_tsv",
-        "q70_zorder_write", "s08_stream_restart", "s22_stream_asof")) {
+        "q70_zorder_write", "s08_stream_restart", "s22_stream_asof",
+        "s19_bus_connector")) {
       val n = Catalog.queries(q)(spark, "/root/testdata/sf0.001").count()
       assert(n > 0, s"$q returned no rows")
     }
