@@ -234,10 +234,14 @@ object VisGenerator {
           ignoreNulls = true).as("flavour"),
         first(when(col("pol") === "X", col("has_whitening_filter")),
           ignoreNulls = true).as("has_whitening_filter"),
-        regexp_replace(
+        // literal substring replace (not an anchored regexp): the reference
+        // does str.replace("ReceiverType.", "") which removes the literal
+        // token ANYWHERE in the string — identical on real enum reprs, but
+        // the literal form is the exact transform (utils.py:166-168)
+        replace(
           first(when(col("pol") === "X", col("rec_type")),
             ignoreNulls = true),
-          "^ReceiverType\\.", "").as("rec_type"))
+          lit("ReceiverType."), lit("")).as("rec_type"))
       .select(
         col("obsid"),
         col("ant"),

@@ -617,6 +617,13 @@ object Dedup {
     // distinct tokens, one hash — astronomically unlikely but checked)
     // verification falls back to the raw string arrays, so the exact
     // contract is unconditional.
+    // NOTE: this `.head()` makes the BUILDER eager — constructing the d27
+    // DataFrame executes a corpus-scale aggregation (one output row, but a
+    // full dictionary scan) before anything subscribes to the plan. That
+    // is the price of a *certified* relabeling: the bijection must be
+    // proven against the actual corpus before the plan that depends on it
+    // can be chosen. Callers composing d27 lazily should build it once and
+    // reuse the frame.
     val bij = freq.agg(count(lit(1)).as("n"),
       countDistinct(xxhash64(col("tok"))).as("nh")).head()
     val vsets =

@@ -251,8 +251,8 @@ object R11b {
                 max(CASE WHEN pol = 'X' THEN flavour END) AS flavour,
                 bool_or(CASE WHEN pol = 'X' THEN has_whitening_filter END)
                   AS has_whitening_filter,
-                regexp_replace(max(CASE WHEN pol = 'X' THEN rec_type END),
-                  '^ReceiverType\.', '') AS rec_type
+                replace(max(CASE WHEN pol = 'X' THEN rec_type END),
+                  'ReceiverType.', '') AS rec_type
               FROM rf GROUP BY obsid, ant)
             SELECT CAST(obsid AS BIGINT) AS obsid, ant,
               CAST(ant + 11 AS INT) AS tile_id,

@@ -93,9 +93,22 @@ class GraphSpec extends SparkSpec {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .distinct()
-    val plan = dir.queryExecution.executedPlan.toString
-    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
-    assert(exchanges == 1, s"expected exactly one Exchange:\n$plan")
-    assert(plan.contains("hashpartitioning(src"), plan)
+    // count actual ShuffleExchangeExec NODES in the tree, not "Exchange"
+    // substrings of the rendered plan (which would flake on any Spark/AQE
+    // rendering change rather than on a real regression); AQE wraps the
+    // plan in AdaptiveSparkPlanExec, a LeafExecNode, so descend explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val plan = dir.queryExecution.executedPlan
+    val ex = shuffles(plan)
+    assert(ex.size == 1, s"expected exactly one ShuffleExchangeExec:\n$plan")
+    assert(ex.head.outputPartitioning.toString.contains("src"),
+      s"the single exchange must hash-partition on src: ${ex.head.outputPartitioning}")
   }
 }

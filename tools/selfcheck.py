@@ -5,6 +5,7 @@ runs each oracle SQL in DuckDB over the same sf dir, and compares
 values with columns sorted by name. NOT part of the engine."""
 import json, sys, math, struct
 import duckdb
+import numpy as np
 import pandas as pd
 
 
@@ -66,9 +67,14 @@ def main(sf_dir, out_dir, skip=()):
                         break
                 elif hasattr(a, "__len__") and not isinstance(a, str):
                     la, lb = list(a), list(b)
+                    # np.float32/float64 array elements are np.floating, NOT
+                    # Python-float subclasses — without the coercion they'd
+                    # fall to value compare where -0.0 == +0.0, bypassing the
+                    # bit-pattern check for exactly the list columns
                     if len(la) != len(lb) or any(
-                        floats_differ(x, y)
-                        if isinstance(x, float) and isinstance(y, float)
+                        floats_differ(float(x), float(y))
+                        if isinstance(x, (float, np.floating))
+                        and isinstance(y, (float, np.floating))
                         else x != y
                         for x, y in zip(la, lb)
                     ):
