@@ -79,7 +79,15 @@ object Bench {
     val filtered = if (only.isDefined)
       s""","filtered":true,"filtered_to":${names.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"median_total":$medTotal%.3f,"sf":"$sfDir"$filtered%s}""")
+    // per-query interpretability breakdowns (e.g. the streaming queries'
+    // scaffold-vs-stream split and records/s) registered via BenchAux
+    val auxEntries = names.flatMap(n => graft.queries.BenchAux.get(n).map { fs =>
+      "\"" + n + "\":" + fs.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+    })
+    val aux = if (auxEntries.nonEmpty)
+      s""","aux":${auxEntries.mkString("{", ",", "}")}""" else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"median_total":$medTotal%.3f,"sf":"$sfDir"$filtered%s$aux%s}""")
     spark.stop()
   }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only A/B harness for VERDICT r12 task 3: re-measure DELTA peeling
+  * for k-core against the full-rescan peel (graft.operators.Graph.kCore)
+  * at sf1, where the d28 cascade is deep (d28 is the repo's worst scale
+  * slope). Not part of the engine surface; the kept winner lives in
+  * Graph.scala with the measurement in its scaladoc.
+  *
+  * The delta variant is the Matula–Beck trick expressed relationally:
+  * keep a running (id, deg) table, and each round subtract from the
+  * still-alive nodes only the edges they lose to the nodes removed LAST
+  * round (one semi join of the pinned edge set against the removed set,
+  * one count, one left join), instead of recounting every alive degree
+  * from scratch. Same fixpoint, same result set.
+  *
+  * Usage: runMain graft.ProbeKcoreDelta [sfDir] [k]
+  */
+object ProbeKcoreDelta {
+
+  /** Delta-peeling k-core: identical contract to Graph.kCore. */
+  def kCoreDelta(edges: DataFrame, k: Int, maxRounds: Int = 40): DataFrame = {
+    require(k >= 1, "kCoreDelta: k must be >= 1")
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .distinct()
+      .localCheckpoint(true)
+    val degs = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+      .localCheckpoint(true)
+    var removed = degs.filter(col("deg") < k).select("id").localCheckpoint(true)
+    var alive = degs.filter(col("deg") >= k).localCheckpoint(true)
+    var nRemoved = removed.count()
+    var rounds = 0
+    while (nRemoved > 0) {
+      require(rounds < maxRounds,
+        s"kCoreDelta: cascade exceeded maxRounds=$maxRounds")
+      rounds += 1
+      // edges whose dst was just removed, grouped by surviving src:
+      // exactly the degree each alive node loses this round
+      val losses = dir
+        .join(removed, dir("dst") === removed("id"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("__loss"))
+      val updated = alive
+        .join(losses, alive("id") === losses("src"), "left")
+        .select(alive("id"),
+          (col("deg") - coalesce(col("__loss"), lit(0L))).as("deg"))
+        .localCheckpoint(true)
+      removed = updated.filter(col("deg") < k).select("id")
+        .localCheckpoint(true)
+      alive = updated.filter(col("deg") >= k).localCheckpoint(true)
+      nRemoved = removed.count()
+    }
+    alive.select("id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val k = if (args.length > 1) args(1).toInt else 6
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "4g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def edges() = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("src"),
+        (lit(1000000000L) + col("l_partkey")).as("dst"))
+      .distinct()
+
+    def time(name: String)(f: => Long): Unit = {
+      val warm = f // warmup (JIT + codegen)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        assert(n == warm, s"$name: nondeterministic result $n vs $warm")
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(
+        f"[kcore-ab] $name%-12s best ${ts.min}%6.2fs  median ${ts.sorted.apply(1)}%6.2fs  core=$warm rows")
+    }
+
+    time("full-rescan") { graft.operators.Graph.kCore(edges(), k).count() }
+    time("delta-peel") { kCoreDelta(edges(), k).count() }
+    // cross-check the two variants agree exactly
+    val a = graft.operators.Graph.kCore(edges(), k)
+    val b = kCoreDelta(edges(), k)
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    assert(diff == 0, s"variants disagree by $diff rows")
+    System.err.println("[kcore-ab] variants agree exactly")
+    spark.stop()
+  }
+}

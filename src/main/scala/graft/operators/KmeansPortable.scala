@@ -96,6 +96,50 @@ object KmeansPortable {
     cents
   }
 
+  /** Portable IVF search — the oracled twin of [[Ivf.ivfKnn]] (x03's last
+    * uncertified stage): [[fit]] is the coarse quantizer, each query
+    * probes its `nprobe` nearest cells (exact integer centroid distance,
+    * ties to the lowest cell index), and candidates in those cells are
+    * reranked by exact integer L2² with a (dist2, nn_id) tie-break — so
+    * cells, probe ranking AND in-cell distances all re-derive in DuckDB.
+    *
+    * Scale posture mirrors the production path, and improves on it where
+    * portability allows: the probed (query, cell) pairs are BROADCAST, so
+    * the candidate join is a zero-shuffle map over the corpus (the corpus
+    * never exchanges; only the bounded candidate set — |queries| x
+    * nprobe/k of the corpus — reaches the top-k exchange).
+    *
+    * @return (idCol, nn_id, dist2, rnk), rnk in 1..topK per query
+    */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, topK: Int,
+                k: Int = 4, rounds: Int = 3, nprobe: Int = 2,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k, s"ivfSearch: nprobe=$nprobe k=$k")
+    val cents = fit(corpus, k, rounds, idCol, vecCol)
+    val corpusCells = withCell(quantize(corpus, idCol, vecCol), cents)
+      .select(col("__id").as("nn_id"), col("__q").as("__cv"), col("cell"))
+    // probe ranking: array_sort over (dist, cell) structs is exactly the
+    // oracle's row_number() ORDER BY d, j — first-nprobe prefix after sort
+    val probeStructs = array(cents.zipWithIndex.map { case (c, j) =>
+      struct(distTo(c).as("d"), lit(j).as("j")) }: _*)
+    val qProbes = quantize(queries, idCol, vecCol)
+      .withColumn("__probe",
+        explode(transform(slice(array_sort(probeStructs), 1, nprobe),
+          p => p.getField("j"))))
+      .select(col("__id"), col("__q"), col("__probe").as("cell"))
+    val cand = broadcast(qProbes).join(corpusCells, Seq("cell"))
+      .filter(col("__id") =!= col("nn_id"))
+    val scored = cand.withColumn("dist2",
+      aggregate(zip_with(col("__q"), col("__cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("dist2"), col("nn_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("__id").as(idCol), col("nn_id"), col("dist2"), col("rnk"))
+  }
+
   /** Cells + SemDeDup-style drop rule at quantization resolution: each
     * vector gets its final cell and exact integer distance; within a
     * (cell, quantized-vector) group only the smallest id is `kept` —

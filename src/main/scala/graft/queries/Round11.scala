@@ -185,6 +185,8 @@ object R11 {
     * discovery. */
   private val s19 = QueryDef("s19_bus_connector",
     (s, d) => {
+      val t0 = System.nanoTime()
+      var streamNanos = 0L // time INSIDE processAllAvailable
       val base = java.nio.file.Files.createTempDirectory("graft_s19_")
       val (root, ck, sink) = (s"$base/log", s"$base/ck", s"$base/sink")
       val ev = Tables.events(s, d).select("event_id", "user_id", "event_type")
@@ -196,7 +198,9 @@ object R11 {
           .writeStream.format("parquet")
           .option("path", sink).option("checkpointLocation", ck)
           .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        val s0 = System.nanoTime()
+        try q.processAllAvailable()
+        finally { streamNanos += System.nanoTime() - s0; q.stop() }
       }
       graft.sources.Bus.produce(ev.filter(col("event_id") % 2 === 0),
         root, "events", 4, col("event_id"), payload, col("event_id"))
@@ -205,6 +209,13 @@ object R11 {
         root, "events", 4, col("event_id"), payload, col("event_id"))
       run() // restart: resume mid-log from checkpointed offsets
       val out = s.read.parquet(sink).localCheckpoint(true)
+      val nIn = out.count() // full record fidelity: sink rows == produced records
+      val streamSec = streamNanos / 1e9
+      BenchAux.put("s19_bus_connector",
+        "stream_sec" -> streamSec,
+        "scaffold_sec" -> ((System.nanoTime() - t0) / 1e9 - streamSec),
+        "input_records" -> nIn.toDouble,
+        "records_per_sec" -> (if (streamSec > 0) nIn / streamSec else 0.0))
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
       out.select(split(col("v"), ",").as("f"))
         .select(element_at(col("f"), 1).cast("long").as("event_id"),

@@ -73,6 +73,51 @@ class KmeansPortableSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  private def quant(v: Seq[Float]): Seq[Long] =
+    v.map(x => math.max(0L, math.min(255L,
+      math.floor(x * 256.0 + 0.5).toLong + 128L)))
+
+  test("ivfSearch with nprobe=k equals brute-force integer kNN") {
+    // probing every cell makes the candidate set the whole corpus, so the
+    // result must be EXACTLY the quantized-space kNN with the (dist2,
+    // nn_id) tie-break — certifying probe ranking, candidate join and
+    // rerank in one shot
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(j => ((i * 11 + j * 5) % 23 - 11) / 12.0f)))
+    val got = KmeansPortable.ivfSearch(frame(rows.take(5)), frame(rows),
+        topK = 3, k = 3, rounds = 2, nprobe = 3)
+      .orderBy("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val qv = rows.map { case (id, v) => id -> quant(v) }.toMap
+    val expect = rows.take(5).flatMap { case (qid, _) =>
+      rows.filter(_._1 != qid).map { case (nid, _) =>
+        (nid, qv(qid).zip(qv(nid)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (nid, d) => (d, nid) }.take(3)
+        .zipWithIndex.map { case ((nid, d), i) => (qid, nid, d, i + 1) }
+    }
+    assert(got == expect)
+  }
+
+  test("ivfSearch candidates stay inside probed cells; partition-invariant") {
+    // two well-separated clusters, nprobe=1: every neighbor must share
+    // the query's cell (a cross-cell candidate leak would surface the
+    // far cluster), and a repartitioned corpus gives bit-identical output
+    val near = (0L until 6L).map(i => (i, Seq(0.3f + i * 0.01f, 0.3f)))
+    val far = (10L until 16L).map(i => (i, Seq(-0.3f - (i - 10) * 0.01f, -0.3f)))
+    val rows = near ++ far
+    val res = KmeansPortable.ivfSearch(frame(rows.take(2)), frame(rows),
+        topK = 4, k = 2, rounds = 2, nprobe = 1)
+      .orderBy("vec_id", "rnk").collect().toSeq
+    assert(res.nonEmpty)
+    assert(res.forall(_.getLong(1) < 10L),
+      s"nprobe=1 neighbors must stay in the query's (near) cell: $res")
+    val shuffled = KmeansPortable.ivfSearch(frame(rows.take(2)),
+        frame(rows.reverse).repartition(5), topK = 4, k = 2, rounds = 2,
+        nprobe = 1)
+      .orderBy("vec_id", "rnk").collect().toSeq
+    assert(res == shuffled)
+  }
+
   test("fit rejects a corpus smaller than k") {
     val tiny = frame(Seq((1L, Seq(0.1f, 0.1f))))
     intercept[IllegalArgumentException] {

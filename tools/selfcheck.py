@@ -21,7 +21,7 @@ def floats_differ(a, b):
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir, skip=()):
+def main(sf_dir, out_dir, skip=(), scoped=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -38,6 +38,8 @@ def main(sf_dir, out_dir, skip=()):
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
+            if scoped:  # a scoped Verify dumped only the queries under test
+                continue
             print(f"FAIL {name}: spark output missing: {e}")
             bad += 1
             continue
@@ -98,4 +100,10 @@ def main(sf_dir, out_dir, skip=()):
     return 1 if bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ()))
+    # usage: selfcheck.py SF_DIR OUT_DIR [skip1,skip2,...] [--scoped]
+    # --scoped: silently skip queries with no engine output (a scoped
+    # Verify run dumped only the queries under test) instead of failing
+    argv = [a for a in sys.argv[1:] if a != "--scoped"]
+    scoped = "--scoped" in sys.argv
+    skip = tuple(argv[2].split(",")) if len(argv) > 2 and argv[2] else ()
+    sys.exit(main(argv[0], argv[1], skip, scoped))
