@@ -57,6 +57,48 @@ object ProbeKcoreDelta {
     alive.select("id")
   }
 
+  /** Third variant: full-rescan peel that SHRINKS the pinned edge set
+    * whenever the surviving node count halves since the last pin — later
+    * rounds scan a smaller table, at the price of an O(E_surviving)
+    * re-checkpoint per shrink. Same fixpoint, same result. */
+  def kCoreShrink(edges: DataFrame, k: Int, maxRounds: Int = 40): DataFrame = {
+    require(k >= 1, "kCoreShrink: k must be >= 1")
+    var dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .distinct()
+      .localCheckpoint(true)
+    var nodes = dir.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var nNodes = nodes.count()
+    var pinnedAt = nNodes
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      require(rounds < maxRounds,
+        s"kCoreShrink: cascade exceeded maxRounds=$maxRounds")
+      rounds += 1
+      if (nNodes * 2 < pinnedAt) {
+        // surviving nodes halved: re-pin the edge set restricted to them
+        val a = dir.join(nodes, dir("src") === nodes("id"), "left_semi")
+        dir = a.join(nodes, a("dst") === nodes("id"), "left_semi")
+          .localCheckpoint(true)
+        pinnedAt = nNodes
+      }
+      val alive = dir.join(nodes, dir("src") === nodes("id"), "left_semi")
+      val next = alive
+        .join(nodes, alive("dst") === nodes("id"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("src").as("id"))
+        .localCheckpoint(true)
+      val n = next.count()
+      stable = n == nNodes
+      nodes = next
+      nNodes = n
+    }
+    nodes
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val k = if (args.length > 1) args(1).toInt else 6
@@ -91,6 +133,7 @@ object ProbeKcoreDelta {
 
     time("full-rescan") { graft.operators.Graph.kCore(edges(), k).count() }
     time("delta-peel") { kCoreDelta(edges(), k).count() }
+    time("shrink-pin") { kCoreShrink(edges(), k).count() }
     // cross-check the two variants agree exactly
     val a = graft.operators.Graph.kCore(edges(), k)
     val b = kCoreDelta(edges(), k)

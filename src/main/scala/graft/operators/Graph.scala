@@ -212,13 +212,17 @@ object Graph {
     * otherwise the plan stacks `rounds` join layers), and the count that
     * drives convergence reads the pinned blocks.
     *
-    * Rejected alternative, measured: DELTA peeling (propagate degree
-    * losses only from last round's removed nodes, the sequential
-    * Matula–Beck trick) is 2x SLOWER here at 10x scale (25.8s vs 13.0s
-    * at sf1) — without an adjacency index, the "removed's incident
-    * edges" semi join still scans the full edge table every round, so
-    * the O(E)-total bound never materializes, and the running (id, deg)
-    * table adds an O(V) join + checkpoint per round on top.
+    * Rejected alternative, measured TWICE at sf1 (the deep-cascade
+    * regime): DELTA peeling (propagate degree losses only from last
+    * round's removed nodes, the sequential Matula–Beck trick) lost both
+    * times — 25.8s vs 13.0s with the round-11 variant, and 14.29s/16.43s
+    * vs 13.58s/15.43s (best/median of 3, identical 494,310-row core)
+    * with a leaner round-13 rewrite (graft.ProbeKcoreDelta, kept as the
+    * re-runnable A/B harness). The mechanism holds at any depth: without
+    * an adjacency index, the "removed's incident edges" semi join still
+    * scans the full pinned edge table every round, so the O(E)-total
+    * bound never materializes, and the running (id, deg) table adds an
+    * O(V) join + checkpoint per round on top.
     *
     * @param edges (src, dst); treated as undirected (mirrored + distinct)
     * @param k     minimum within-core degree (counts DISTINCT neighbors,

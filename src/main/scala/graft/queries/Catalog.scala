@@ -3636,8 +3636,9 @@ object Catalog {
     (s, d) => {
       import graft.streaming.EventStreams.runToBatch
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      // layout-adaptive: bare-file AND directory table layouts both work
+      val docs = graft.streaming.EventStreams.streamTable(
+        s, d, "documents.parquet", schema)
       runToBatch(s,
         graft.operators.Sampling.hashSample(docs, col("doc_id"), 100),
         outputMode = "append")

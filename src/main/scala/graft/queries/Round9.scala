@@ -203,10 +203,17 @@ object R9 {
       val base = java.nio.file.Files.createTempDirectory("graft_s18_")
       val out = s"$base/staged"
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
+      // layout-adaptive (see EventStreams.streamTable — the glob-filter
+      // form streamed ZERO batches from a directory table at sf1);
+      // maxFilesPerTrigger keeps multiple micro-batches in play when the
+      // table has multiple part files
+      val stream = {
+        val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        if (new java.io.File(d.stripPrefix("file:"),
+            "documents.parquet").isDirectory)
+          src.parquet(s"$d/documents.parquet")
+        else src.option("pathGlobFilter", "documents.parquet").parquet(d)
+      }
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ck")
         .foreachBatch { (b: DataFrame, _: Long) =>

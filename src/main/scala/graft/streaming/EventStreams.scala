@@ -19,17 +19,32 @@ object EventStreams {
     * normalization as the batch reader (nanos-as-long or native micros) —
     * streaming time semantics (watermarks, windows) need a real timestamp
     * type, and stream/batch parity needs the identical rebuild. */
+  /** Layout-adaptive file-source stream over one table of an sf dir.
+    * Testdata tables come in two layouts: a bare `<name>.parquet` FILE
+    * (driver-written) and a `<name>.parquet/` DIRECTORY of part files
+    * (Spark-written, e.g. the ScaleUp sf1 derivation). The file-stream
+    * source requires a directory basePath, so a directory table streams
+    * directly; a bare file streams via its parent dir + a name glob.
+    * Using the glob form unconditionally silently streamed ZERO batches
+    * from directory tables (no part file is named `<name>.parquet`) —
+    * eleven streaming queries returned empty at sf1 until the round-13
+    * sf1 correctness sweep caught it. */
+  private[graft] def streamTable(spark: SparkSession, dir: String,
+      name: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val src = spark.readStream.schema(schema)
+    if (new java.io.File(dir.stripPrefix("file:"), name).isDirectory)
+      src.parquet(s"$dir/$name")
+    else
+      src.option("pathGlobFilter", name).parquet(dir)
+  }
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file-stream source needs a directory: stream the sf dir filtered
-    // down to the events file
     // Watermarks reject TIMESTAMP_NTZ — the stream carries LTZ instead;
     // the session runs UTC so the instants line up with the NTZ batch twins.
     graft.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      streamTable(spark, dir, "events.parquet", schema))
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 

@@ -23,8 +23,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sf_dir, out_dir, skip=(), scoped=False):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # layout-adaptive: a table is a bare file (driver testdata) or a
+        # Spark-written directory of part files (e.g. the ScaleUp sf1 dir)
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
