@@ -222,7 +222,14 @@ object Graph {
     * an adjacency index, the "removed's incident edges" semi join still
     * scans the full pinned edge table every round, so the O(E)-total
     * bound never materializes, and the running (id, deg) table adds an
-    * O(V) join + checkpoint per round on top.
+    * O(V) join + checkpoint per round on top. A third variant —
+    * re-pinning the edge set restricted to survivors whenever the alive
+    * node count halves — measured 14.44s/14.92s vs full-rescan's
+    * 14.47s/15.40s in the same session: inside the ~1.2x session-variance
+    * band, because d28's core retains most of the graph so the shrink
+    * rarely fires; kept OUT for simplicity, but it is the variant to
+    * revisit if a workload peels away most of the graph (the probe
+    * harness retains all three).
     *
     * @param edges (src, dst); treated as undirected (mirrored + distinct)
     * @param k     minimum within-core degree (counts DISTINCT neighbors,

@@ -258,4 +258,17 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     // a centroid JOIN would add a second join-side exchange
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
+
+  test("x13: portable IVF candidate join broadcasts the probes — corpus never shuffles for it") {
+    // the scale contract in KmeansPortable.ivfSearch's scaladoc: the
+    // (query, probed-cell) side is broadcast, so the candidate join is a
+    // zero-shuffle map over the corpus; only the bounded candidate set
+    // reaches the top-k window exchange. A SortMergeJoin/ShuffledHashJoin
+    // here would mean the CORPUS exchanges on cell — the shape that dies
+    // at 100 TB (k cells ≪ partitions ⇒ skew).
+    val p = plan("x13_ivf_portable")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }
