@@ -44,7 +44,7 @@ object KmeansPortable {
         greatest(lit(0L), least(lit(255L),
           floor(x.cast("double") * 256.0 + 0.5) + 128L))).as("__q"))
 
-  private def distTo(centroid: Array[Long]): Column =
+  private[operators] def distTo(centroid: Array[Long]): Column =
     aggregate(
       zip_with(col("__q"), array(centroid.map(lit(_)): _*),
         (a, b) => (a - b) * (a - b)),
@@ -53,7 +53,7 @@ object KmeansPortable {
   /** Zero-shuffle nearest-cell assignment against literal centroids;
     * `array_position` of the min picks the FIRST minimum — tie goes to
     * the lowest cell index, the oracle's `ORDER BY d, j` row_number. */
-  private def withCell(q: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+  private[operators] def withCell(q: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val dists = array(cents.map(distTo): _*)
     q.withColumn("__dists", dists)
       .withColumn("cell",

@@ -52,6 +52,62 @@ object Sq {
         }).as("codes"))
   }
 
+  /** PORTABLE scalar-quantization twin (x16; the oracled sibling of
+    * [[sq8Knn]]/x06, whose float cosine over the midpoint-dequantized
+    * corpus has no portable SQL form). Same asymmetric semantics, exact
+    * integer arithmetic throughout (the x12 regime): coordinates are
+    * [[KmeansPortable.quantize]]d ints; the per-dimension grid is the
+    * corpus [lo, hi] (exact integer min/max — the sq8Encode grid);
+    * `code = ((v - lo) * levels) div (hi - lo + 1)` lands in
+    * [0, levels-1] with NO clamp; reconstruction is the integer cell
+    * midpoint `lo + ((2*code + 1) * (hi - lo + 1)) div (2*levels)`;
+    * search is exact integer L2² of full-precision queries against the
+    * reconstructed corpus, ties on (dist2, nn_id). The two divisions are
+    * evaluated as floor-of-double — exact here because the true quotient
+    * is at least 1/(hi-lo+1) ≥ 1/256 away from the next integer, far
+    * beyond double rounding error, so floor == integer division on both
+    * engines. Scale shape matches sq8Knn: the corpus scans compressed
+    * (grid is a broadcast single row), queries broadcast, and only
+    * k-bounded rows reach the top-k exchange.
+    * @return (idCol, nn_id, dist2, rnk), rnk in 1..topK per query */
+  def sqSearch(queries: DataFrame, corpus: DataFrame, topK: Int,
+               levels: Int = 16, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 2 && levels <= 256, s"sqSearch: levels=$levels")
+    val qc = KmeansPortable.quantize(corpus, idCol, vecCol)
+    // per-dim [lo, hi]: posexplode -> min/max hash agg -> ordered arrays
+    // (map-side combinable; one broadcastable row, same as sq8's grid)
+    val grid = qc.select(posexplode(col("__q")).as(Seq("__p", "__x")))
+      .groupBy("__p").agg(min("__x").as("__lo"), max("__x").as("__hi"))
+      .groupBy()
+      .agg(array_sort(collect_list(
+        struct(col("__p"), col("__lo"), col("__hi")))).as("__s"))
+      .select(
+        transform(col("__s"), e => e.getField("__lo")).as("__los"),
+        transform(col("__s"), e => e.getField("__hi")).as("__his"))
+    val recon = qc.crossJoin(broadcast(grid))
+      .select(col("__id").as("nn_id"),
+        transform(col("__q"), (x, i) => {
+          val lo = element_at(col("__los"), i + 1)
+          val width = element_at(col("__his"), i + 1) - lo + lit(1L)
+          val code = floor((x - lo) * levels / width)
+          lo + floor((code * 2 + 1) * width / lit(2L * levels))
+        }).as("__rv"))
+    val qdf = KmeansPortable.quantize(queries, idCol, vecCol)
+      .select(col("__id").as("__qid"), col("__q"))
+    val scored = broadcast(qdf)
+      .join(recon, col("__qid") =!= col("nn_id"))
+      .withColumn("dist2",
+        aggregate(zip_with(col("__q"), col("__rv"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("dist2"), col("nn_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("__qid").as(idCol), col("nn_id"), col("dist2"),
+        col("rnk"))
+  }
+
   /** SQ8 ANN: top-k by cosine between full-precision queries and the
     * midpoint-dequantized SQ8 corpus. Same output contract as the exact
     * twin `Similarity.bruteForceKnn` — (vec_id, nn_id, sim, rank), ranked

@@ -2,13 +2,16 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.KmeansPortable
+import graft.operators.{KmeansPortable, PqPortable, Sq}
 import graft.queries.Catalog.QueryDef
 
-/** Round-13 additions: the portable IVF search twin — x12's machinery
-  * applied to the ANN path, certifying x03's last uncertified stage
-  * (cell-pruned kNN) end-to-end in DuckDB: coarse-quantizer cells,
-  * nprobe cell ranking, and exact in-cell distances.
+/** Round-13 additions: the portable twins that close the ANN design
+  * family — x12's machinery applied stage by stage until every
+  * `no_oracle` ANN row has a bit-certified sibling:
+  *   - x13 `ivf_portable`   — cell-pruned kNN (x03's twin);
+  *   - x14 `pq_portable`    — PQ/ADC compression search (x04's twin);
+  *   - x15 `ivfadc_portable`— IVF pruning × PQ scoring composed (x05's);
+  *   - x16 `sq_portable`    — scalar-quantized asymmetric search (x06's).
   */
 object R13 {
 
@@ -115,5 +118,262 @@ object R13 {
             WHERE rn <= 5
             ORDER BY vec_id, rnk"""), bench = true)
 
-  val all: Seq[QueryDef] = Seq(x13)
+  /** x14: deterministic portable PQ/ADC over the embedding corpus
+    * ([[PqPortable.pqSearch]], m=4 subspaces of 16 dims, 4 codes per
+    * book, 2 Lloyd rounds, md5 init). The oracle re-derives every stage
+    * with the subspace threaded through each key: the shared 4-seed init,
+    * both per-subspace Lloyd rounds (assignment pa/pg, floor-average ps,
+    * carry-over b), the final corpus codes (enc), the query ADC partial
+    * table (paf restricted to vec_id < 20 — queries are corpus members,
+    * so their subvector-to-centroid distances are already in paf), and
+    * the m-lookup summed distances with (approx_d2, nn_id) tie-break. A
+    * wrong codebook, code, table entry, or tie is a hash mismatch. x04
+    * (engine-seeded double k-means) stays the production PQ path. */
+  private val x14 = QueryDef("x14_pq_portable",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      PqPortable.pqSearch(emb.filter(col("vec_id") < 20), emb,
+          topK = 5, m = 4, codes = 4, rounds = 2)
+        .orderBy("vec_id", "rnk")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> GREATEST(0, LEAST(255,
+                  CAST(floor(CAST(x AS DOUBLE) * 256.0 + 0.5) AS BIGINT)
+                    + 128))) AS qv
+              FROM embeddings),
+            qe AS (
+              SELECT vec_id, CAST(p.range + 1 AS INT) AS pos,
+                     CAST(p.range // 16 AS INT) AS sub,
+                     qv[CAST(p.range + 1 AS INT)] AS val
+              FROM q, range(64) p),
+            init AS (
+              SELECT row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+                vec_id
+              FROM q QUALIFY c <= 3),
+            b0 AS (SELECT i.c, e.sub, e.pos, e.val
+                   FROM init i JOIN qe e USING (vec_id)),
+            pa1 AS (SELECT e.vec_id, e.sub, b.c,
+                      CAST(SUM((e.val - b.val) * (e.val - b.val)) AS BIGINT) AS d
+                    FROM qe e JOIN b0 b USING (pos) GROUP BY 1, 2, 3),
+            pg1 AS (SELECT vec_id, sub, c FROM (
+                      SELECT vec_id, sub, c, row_number() OVER (
+                        PARTITION BY vec_id, sub ORDER BY d, c) AS rn FROM pa1)
+                    WHERE rn = 1),
+            ps1 AS (SELECT g.c, e.pos,
+                      CAST(SUM(e.val) // COUNT(*) AS BIGINT) AS val
+                    FROM pg1 g JOIN qe e
+                      ON e.vec_id = g.vec_id AND e.sub = g.sub
+                    GROUP BY 1, 2),
+            b1 AS (SELECT b0.c, b0.sub, b0.pos, COALESCE(ps1.val, b0.val) AS val
+                   FROM b0 LEFT JOIN ps1
+                     ON ps1.c = b0.c AND ps1.pos = b0.pos),
+            pa2 AS (SELECT e.vec_id, e.sub, b.c,
+                      CAST(SUM((e.val - b.val) * (e.val - b.val)) AS BIGINT) AS d
+                    FROM qe e JOIN b1 b USING (pos) GROUP BY 1, 2, 3),
+            pg2 AS (SELECT vec_id, sub, c FROM (
+                      SELECT vec_id, sub, c, row_number() OVER (
+                        PARTITION BY vec_id, sub ORDER BY d, c) AS rn FROM pa2)
+                    WHERE rn = 1),
+            ps2 AS (SELECT g.c, e.pos,
+                      CAST(SUM(e.val) // COUNT(*) AS BIGINT) AS val
+                    FROM pg2 g JOIN qe e
+                      ON e.vec_id = g.vec_id AND e.sub = g.sub
+                    GROUP BY 1, 2),
+            b2 AS (SELECT b1.c, b1.sub, b1.pos, COALESCE(ps2.val, b1.val) AS val
+                   FROM b1 LEFT JOIN ps2
+                     ON ps2.c = b1.c AND ps2.pos = b1.pos),
+            paf AS (SELECT e.vec_id, e.sub, b.c,
+                      CAST(SUM((e.val - b.val) * (e.val - b.val)) AS BIGINT) AS d
+                    FROM qe e JOIN b2 b USING (pos) GROUP BY 1, 2, 3),
+            enc AS (SELECT vec_id, sub, c FROM (
+                      SELECT vec_id, sub, c, row_number() OVER (
+                        PARTITION BY vec_id, sub ORDER BY d, c) AS rn FROM paf)
+                    WHERE rn = 1),
+            score AS (SELECT a.vec_id AS qid, n.vec_id AS nn,
+                        CAST(SUM(a.d) AS BIGINT) AS s
+                      FROM enc n JOIN paf a
+                        ON a.sub = n.sub AND a.c = n.c
+                          AND a.vec_id < 20 AND a.vec_id <> n.vec_id
+                      GROUP BY 1, 2)
+            SELECT qid AS vec_id, nn AS nn_id, s AS approx_d2,
+              CAST(rn AS INT) AS rnk
+            FROM (SELECT qid, nn, s, row_number() OVER (
+                    PARTITION BY qid ORDER BY s, nn) AS rn FROM score)
+            WHERE rn <= 5
+            ORDER BY vec_id, rnk"""))
+
+  /** x15: deterministic portable IVFADC — the composed billion-vector
+    * shape with both stages certified: x13's coarse chain (k=4 cells,
+    * 2 Lloyd rounds here) prunes candidates to nprobe=2 probed cells,
+    * x14's PQ chain (m=4, 4 codes, 2 rounds) scores them by summed ADC
+    * lookups. Coarse and fine share the same md5 4-seed init CTE. A
+    * candidate leaking across unprobed cells, a wrong cell, code, or ADC
+    * entry is a hash mismatch. x05 stays the production path. */
+  private val x15 = QueryDef("x15_ivfadc_portable",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      PqPortable.ivfAdcSearch(emb.filter(col("vec_id") < 20), emb,
+          topK = 5, kCells = 4, coarseRounds = 2, nprobe = 2,
+          m = 4, codes = 4, pqRounds = 2)
+        .orderBy("vec_id", "rnk")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> GREATEST(0, LEAST(255,
+                  CAST(floor(CAST(x AS DOUBLE) * 256.0 + 0.5) AS BIGINT)
+                    + 128))) AS qv
+              FROM embeddings),
+            qe AS (
+              SELECT vec_id, CAST(p.range + 1 AS INT) AS pos,
+                     CAST(p.range // 16 AS INT) AS sub,
+                     qv[CAST(p.range + 1 AS INT)] AS val
+              FROM q, range(64) p),
+            init AS (
+              SELECT row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+                vec_id
+              FROM q QUALIFY j <= 3),
+            cc0 AS (SELECT i.j, e.pos, e.val
+                    FROM init i JOIN qe e USING (vec_id)),
+            ca1 AS (SELECT e.vec_id, c.j,
+                      CAST(SUM((e.val - c.val) * (e.val - c.val)) AS BIGINT) AS d
+                    FROM qe e JOIN cc0 c USING (pos) GROUP BY 1, 2),
+            cg1 AS (SELECT vec_id, j FROM (
+                      SELECT vec_id, j, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY d, j) AS rn FROM ca1)
+                    WHERE rn = 1),
+            cs1 AS (SELECT g.j, e.pos,
+                      CAST(SUM(e.val) // COUNT(*) AS BIGINT) AS val
+                    FROM cg1 g JOIN qe e USING (vec_id) GROUP BY 1, 2),
+            cc1 AS (SELECT cc0.j, cc0.pos, COALESCE(cs1.val, cc0.val) AS val
+                    FROM cc0 LEFT JOIN cs1
+                      ON cs1.j = cc0.j AND cs1.pos = cc0.pos),
+            ca2 AS (SELECT e.vec_id, c.j,
+                      CAST(SUM((e.val - c.val) * (e.val - c.val)) AS BIGINT) AS d
+                    FROM qe e JOIN cc1 c USING (pos) GROUP BY 1, 2),
+            cg2 AS (SELECT vec_id, j FROM (
+                      SELECT vec_id, j, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY d, j) AS rn FROM ca2)
+                    WHERE rn = 1),
+            cs2 AS (SELECT g.j, e.pos,
+                      CAST(SUM(e.val) // COUNT(*) AS BIGINT) AS val
+                    FROM cg2 g JOIN qe e USING (vec_id) GROUP BY 1, 2),
+            cc2 AS (SELECT cc1.j, cc1.pos, COALESCE(cs2.val, cc1.val) AS val
+                    FROM cc1 LEFT JOIN cs2
+                      ON cs2.j = cc1.j AND cs2.pos = cc1.pos),
+            caf AS (SELECT e.vec_id, c.j,
+                      CAST(SUM((e.val - c.val) * (e.val - c.val)) AS BIGINT) AS d
+                    FROM qe e JOIN cc2 c USING (pos) GROUP BY 1, 2),
+            cgf AS (SELECT vec_id, j FROM (
+                      SELECT vec_id, j, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY d, j) AS rn FROM caf)
+                    WHERE rn = 1),
+            probe AS (SELECT vec_id AS qid, j FROM (
+                        SELECT vec_id, j, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY d, j) AS rn
+                        FROM caf WHERE vec_id < 20)
+                      WHERE rn <= 2),
+            b0 AS (SELECT i.j AS c, e.sub, e.pos, e.val
+                   FROM init i JOIN qe e USING (vec_id)),
+            pa1 AS (SELECT e.vec_id, e.sub, b.c,
+                      CAST(SUM((e.val - b.val) * (e.val - b.val)) AS BIGINT) AS d
+                    FROM qe e JOIN b0 b USING (pos) GROUP BY 1, 2, 3),
+            pg1 AS (SELECT vec_id, sub, c FROM (
+                      SELECT vec_id, sub, c, row_number() OVER (
+                        PARTITION BY vec_id, sub ORDER BY d, c) AS rn FROM pa1)
+                    WHERE rn = 1),
+            ps1 AS (SELECT g.c, e.pos,
+                      CAST(SUM(e.val) // COUNT(*) AS BIGINT) AS val
+                    FROM pg1 g JOIN qe e
+                      ON e.vec_id = g.vec_id AND e.sub = g.sub
+                    GROUP BY 1, 2),
+            b1 AS (SELECT b0.c, b0.sub, b0.pos, COALESCE(ps1.val, b0.val) AS val
+                   FROM b0 LEFT JOIN ps1
+                     ON ps1.c = b0.c AND ps1.pos = b0.pos),
+            pa2 AS (SELECT e.vec_id, e.sub, b.c,
+                      CAST(SUM((e.val - b.val) * (e.val - b.val)) AS BIGINT) AS d
+                    FROM qe e JOIN b1 b USING (pos) GROUP BY 1, 2, 3),
+            pg2 AS (SELECT vec_id, sub, c FROM (
+                      SELECT vec_id, sub, c, row_number() OVER (
+                        PARTITION BY vec_id, sub ORDER BY d, c) AS rn FROM pa2)
+                    WHERE rn = 1),
+            ps2 AS (SELECT g.c, e.pos,
+                      CAST(SUM(e.val) // COUNT(*) AS BIGINT) AS val
+                    FROM pg2 g JOIN qe e
+                      ON e.vec_id = g.vec_id AND e.sub = g.sub
+                    GROUP BY 1, 2),
+            b2 AS (SELECT b1.c, b1.sub, b1.pos, COALESCE(ps2.val, b1.val) AS val
+                   FROM b1 LEFT JOIN ps2
+                     ON ps2.c = b1.c AND ps2.pos = b1.pos),
+            paf AS (SELECT e.vec_id, e.sub, b.c,
+                      CAST(SUM((e.val - b.val) * (e.val - b.val)) AS BIGINT) AS d
+                    FROM qe e JOIN b2 b USING (pos) GROUP BY 1, 2, 3),
+            enc AS (SELECT vec_id, sub, c FROM (
+                      SELECT vec_id, sub, c, row_number() OVER (
+                        PARTITION BY vec_id, sub ORDER BY d, c) AS rn FROM paf)
+                    WHERE rn = 1),
+            cand AS (SELECT p.qid, g.vec_id AS nn
+                     FROM probe p JOIN cgf g USING (j)
+                     WHERE g.vec_id <> p.qid),
+            score AS (SELECT c.qid, c.nn, CAST(SUM(a.d) AS BIGINT) AS s
+                      FROM cand c
+                      JOIN enc n ON n.vec_id = c.nn
+                      JOIN paf a ON a.vec_id = c.qid
+                        AND a.sub = n.sub AND a.c = n.c
+                      GROUP BY 1, 2)
+            SELECT qid AS vec_id, nn AS nn_id, s AS approx_d2,
+              CAST(rn AS INT) AS rnk
+            FROM (SELECT qid, nn, s, row_number() OVER (
+                    PARTITION BY qid ORDER BY s, nn) AS rn FROM score)
+            WHERE rn <= 5
+            ORDER BY vec_id, rnk"""))
+
+  /** x16: deterministic portable scalar-quantization search
+    * ([[Sq.sqSearch]], 16 levels): per-dimension integer [lo, hi] grid,
+    * no-clamp code `((v-lo)*16) // (hi-lo+1)`, integer cell-midpoint
+    * reconstruction, exact integer L2² of full-precision queries against
+    * the reconstructed corpus, (dist2, nn_id) ties. The oracle re-derives
+    * grid, codes, reconstruction, and distances; a wrong grid bound or a
+    * midpoint off by one is a hash mismatch. x06 (float cosine over the
+    * midpoint-dequantized SQ8 corpus) stays the production path. */
+  private val x16 = QueryDef("x16_sq_portable",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      Sq.sqSearch(emb.filter(col("vec_id") < 20), emb, topK = 5,
+          levels = 16)
+        .orderBy("vec_id", "rnk")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> GREATEST(0, LEAST(255,
+                  CAST(floor(CAST(x AS DOUBLE) * 256.0 + 0.5) AS BIGINT)
+                    + 128))) AS qv
+              FROM embeddings),
+            qe AS (
+              SELECT vec_id, CAST(p.range + 1 AS INT) AS pos,
+                     qv[CAST(p.range + 1 AS INT)] AS val
+              FROM q, range(64) p),
+            grid AS (SELECT pos, MIN(val) AS lo, MAX(val) AS hi
+                     FROM qe GROUP BY pos),
+            enc AS (SELECT e.vec_id, e.pos,
+                      g.lo + (((2 * (((e.val - g.lo) * 16)
+                          // (g.hi - g.lo + 1))) + 1)
+                        * (g.hi - g.lo + 1)) // 32 AS recon
+                    FROM qe e JOIN grid g USING (pos)),
+            dist AS (SELECT a.vec_id AS qid, b.vec_id AS nn,
+                       CAST(SUM((a.val - b.recon) * (a.val - b.recon))
+                         AS BIGINT) AS d
+                     FROM qe a JOIN enc b
+                       ON b.pos = a.pos AND b.vec_id <> a.vec_id
+                     WHERE a.vec_id < 20 GROUP BY 1, 2)
+            SELECT qid AS vec_id, nn AS nn_id, d AS dist2,
+              CAST(rn AS INT) AS rnk
+            FROM (SELECT qid, nn, d, row_number() OVER (
+                    PARTITION BY qid ORDER BY d, nn) AS rn FROM dist)
+            WHERE rn <= 5
+            ORDER BY vec_id, rnk"""))
+
+  val all: Seq[QueryDef] = Seq(x13, x14, x15, x16)
 }
