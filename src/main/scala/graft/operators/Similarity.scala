@@ -110,6 +110,70 @@ object Similarity {
       .select("vec_id", "nn_id", "sim", "rank")
   }
 
+  /** PORTABLE hyperplane-LSH search (x17; [[lshKnn]]/x02's oracled twin,
+    * completing the ANN twin family x13-x16). Same bucket-join shape,
+    * exact integer arithmetic throughout (the x12 regime):
+    *  - coordinates are [[KmeansPortable.quantize]]d ints centered at 128;
+    *  - hyperplane coefficient (t, p, d) = first md5 byte of the literal
+    *    key "t:p:d", minus 128 — an engine-independent pseudo-random draw
+    *    DuckDB re-derives with `md5` + hex-char `strpos` parsing;
+    *  - bucket(v, t) = sum over planes p of 2^p * [dot(coef_tp, v-128) > 0]
+    *    (a zero dot is the 0 bit on both engines);
+    *  - candidates are the DISTINCT same-(table, bucket) pairs, reranked
+    *    by exact integer L2² with (dist2, nn_id) ties.
+    * Scale shape: the corpus side is a zero-shuffle map (literal
+    * coefficients — no hyperplane table join), queries broadcast into the
+    * bucket equi join; only the bounded candidate set reaches the dedup
+    * and top-k exchanges. A query whose buckets hold fewer than topK
+    * neighbors returns fewer rows — the method's semantics, re-derived
+    * identically by the oracle.
+    * @return (idCol, nn_id, dist2, rnk), rnk in 1..topK per query */
+  def lshPortable(queries: DataFrame, corpus: DataFrame, topK: Int,
+                  tables: Int = 4, nPlanes: Int = 6,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(tables >= 1 && nPlanes >= 1 && nPlanes <= 62,
+      s"lshPortable: tables=$tables nPlanes=$nPlanes")
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val coefs = Array.tabulate(tables, nPlanes, dim) { (t, p, d) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$t:$p:$d".getBytes("UTF-8"))
+      ((h(0) & 0xff) - 128).toLong
+    }
+    def withBuckets(df: DataFrame): DataFrame = {
+      val tb = (0 until tables).map { t =>
+        val bucket = (0 until nPlanes).map { p =>
+          val dot = aggregate(
+            zip_with(col("__q"), array(coefs(t)(p).map(lit(_)): _*),
+              (a, b) => (a - 128L) * b),
+            lit(0L), (acc, x) => acc + x)
+          when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("tbl"), bucket.as("bucket"))
+      }
+      df.withColumn("__tb", explode(array(tb: _*)))
+        .select(col("__id"), col("__q"),
+          col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
+    }
+    val c = withBuckets(KmeansPortable.quantize(corpus, idCol, vecCol))
+      .select(col("__id").as("nn_id"), col("__q").as("__cv"),
+        col("tbl"), col("bucket"))
+    val q = withBuckets(KmeansPortable.quantize(queries, idCol, vecCol))
+      .select(col("__id").as("__qid"), col("__q"), col("tbl"), col("bucket"))
+    val cand = broadcast(q).join(c, Seq("tbl", "bucket"))
+      .filter(col("__qid") =!= col("nn_id"))
+      .dropDuplicates("__qid", "nn_id")
+    val scored = cand.withColumn("dist2",
+      aggregate(zip_with(col("__q"), col("__cv"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("dist2"), col("nn_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("__qid").as(idCol), col("nn_id"), col("dist2"),
+        col("rnk"))
+  }
+
   /** Max-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998): after
     * retrieval, greedily select `k` of each query's candidates maximizing
     * lambda * rel(c) - (1 - lambda) * max sim(c, already-selected) — the

@@ -375,5 +375,73 @@ object R13 {
             WHERE rn <= 5
             ORDER BY vec_id, rnk"""))
 
-  val all: Seq[QueryDef] = Seq(x13, x14, x15, x16)
+  /** x17: deterministic portable hyperplane-LSH search
+    * ([[graft.operators.Similarity.lshPortable]], 4 tables × 6 planes):
+    * md5-derived integer hyperplanes, sign-bit buckets over the centered
+    * quantized coordinates, DISTINCT same-(table, bucket) candidate
+    * pairs, exact integer L2² rerank with (dist2, nn_id) ties. The
+    * oracle re-derives the coefficient bytes (hex-char strpos parsing of
+    * the same md5), every plane dot, every bucket id, the candidate
+    * join, and the rerank — a single flipped sign bit anywhere moves a
+    * vector across buckets and is a hash mismatch. x02 (seeded
+    * hyperplanes + float cosine) stays the production path; with x17 the
+    * whole ANN design family x02-x06 now has bit-certified twins. */
+  private val x17 = QueryDef("x17_lsh_portable",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      graft.operators.Similarity.lshPortable(
+          emb.filter(col("vec_id") < 20), emb,
+          topK = 5, tables = 4, nPlanes = 6)
+        .orderBy("vec_id", "rnk")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> GREATEST(0, LEAST(255,
+                  CAST(floor(CAST(x AS DOUBLE) * 256.0 + 0.5) AS BIGINT)
+                    + 128))) AS qv
+              FROM embeddings),
+            qe AS (
+              SELECT vec_id, CAST(p.range + 1 AS INT) AS pos,
+                     qv[CAST(p.range + 1 AS INT)] AS val
+              FROM q, range(64) p),
+            keys AS (
+              SELECT t.range AS tbl, p.range AS pl,
+                     CAST(d.range + 1 AS INT) AS pos,
+                     md5(CAST(t.range AS VARCHAR) || ':'
+                       || CAST(p.range AS VARCHAR) || ':'
+                       || CAST(d.range AS VARCHAR)) AS h
+              FROM range(4) t, range(6) p, range(64) d),
+            hp AS (
+              SELECT tbl, pl, pos,
+                CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                  - 128 AS BIGINT) AS coef
+              FROM keys),
+            dots AS (SELECT e.vec_id, c.tbl, c.pl,
+                       CAST(SUM((e.val - 128) * c.coef) AS BIGINT) AS dt
+                     FROM qe e JOIN hp c USING (pos) GROUP BY 1, 2, 3),
+            bk AS (SELECT vec_id, tbl,
+                     CAST(SUM(CASE WHEN dt > 0 THEN (1 << pl) ELSE 0 END)
+                       AS BIGINT) AS bucket
+                   FROM dots GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nn
+                     FROM bk a JOIN bk b
+                       ON b.tbl = a.tbl AND b.bucket = a.bucket
+                         AND b.vec_id <> a.vec_id
+                     WHERE a.vec_id < 20),
+            dist AS (SELECT c.qid, c.nn,
+                       CAST(SUM((x.val - y.val) * (x.val - y.val))
+                         AS BIGINT) AS d
+                     FROM cand c
+                     JOIN qe x ON x.vec_id = c.qid
+                     JOIN qe y ON y.vec_id = c.nn AND y.pos = x.pos
+                     GROUP BY 1, 2)
+            SELECT qid AS vec_id, nn AS nn_id, d AS dist2,
+              CAST(rn AS INT) AS rnk
+            FROM (SELECT qid, nn, d, row_number() OVER (
+                    PARTITION BY qid ORDER BY d, nn) AS rn FROM dist)
+            WHERE rn <= 5
+            ORDER BY vec_id, rnk"""))
+
+  val all: Seq[QueryDef] = Seq(x13, x14, x15, x16, x17)
 }

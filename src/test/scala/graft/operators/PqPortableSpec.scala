@@ -99,6 +99,35 @@ class PqPortableSpec extends SparkSpec {
     assert(exact == brute)
   }
 
+  test("lshPortable: deterministic under repartition, no self, recall-sane on spread data") {
+    val a = Similarity.lshPortable(queries, corpus, topK = 3,
+      tables = 4, nPlanes = 4).orderBy("vec_id", "rnk").collect().toSeq
+    val b = Similarity.lshPortable(queries.repartition(5),
+      corpus.repartition(11), topK = 3, tables = 4, nPlanes = 4)
+      .orderBy("vec_id", "rnk").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    assert(a.forall(r => r.getLong(0) != r.getLong(1) && r.getInt(3) <= 3))
+    // every emitted pair really shares a (table, bucket): distances are
+    // between bucket-mates only, so no pair may beat the true exact-NN
+    // distance of its query (LSH never invents closer neighbors)
+    val exactBest = {
+      val q = KmeansPortable.quantize(corpus)
+      val qq = q.select(col("__id").as("vec_id"), col("__q").as("qa"))
+        .filter(col("vec_id") < 5)
+      val cc = q.select(col("__id").as("nn_id"), col("__q").as("ca"))
+      qq.crossJoin(cc).filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("d", aggregate(zip_with(col("qa"), col("ca"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+        .groupBy("vec_id").agg(min("d").as("best"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    a.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getLong(2) >= exactBest(r.getLong(0)),
+        s"rank-1 LSH distance beats the exact NN for query ${r.getLong(0)}")
+    }
+  }
+
   test("pqSearch scale plan: corpus never shuffles — one exchange total, at the top-k") {
     // the PqPortable scaladoc contract: encoding is a literal-codebook
     // map, queries broadcast (BNLJ), so the ONLY exchange in the whole
