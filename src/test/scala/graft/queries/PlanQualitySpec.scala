@@ -259,6 +259,23 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("x14/x15/x17: the twin searches broadcast the query side — corpus never shuffles for candidates") {
+    // same scale contract as x13 across the rest of the twin family:
+    // x14's ADC scan and x17's bucket join build from a BROADCAST query
+    // side (BNLJ for the full-scan ADC, BHJ for bucket/cell equi joins);
+    // x15's cell join likewise. A SortMergeJoin/ShuffledHashJoin would
+    // mean the corpus exchanges for candidate generation — the shape
+    // that dies at 100 TB. (Codebooks/centroids/hyperplanes are literals
+    // by construction, so no join can even appear for them.)
+    for (q <- Seq("x14_pq_portable", "x15_ivfadc_portable",
+                  "x17_lsh_portable")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+        && !p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("Broadcast"), s"$q must broadcast the query side:\n$p")
+    }
+  }
+
   test("x13: portable IVF candidate join broadcasts the probes — corpus never shuffles for it") {
     // the scale contract in KmeansPortable.ivfSearch's scaladoc: the
     // (query, probed-cell) side is broadcast, so the candidate join is a
