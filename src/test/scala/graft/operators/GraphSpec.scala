@@ -81,6 +81,33 @@ class GraphSpec extends SparkSpec {
       Graph.kCore(chain, k = 2, maxRounds = 3))
   }
 
+  test("shortestHops: two-level anti-join window is exact on a cyclic pseudo-random graph") {
+    // the undirected loop anti-joins only the previous two levels (BFS
+    // level locality); certify exactness against a driver-side reference
+    // BFS over the full settled set, on a graph dense in back/cross
+    // edges and cycles — the shapes that would expose a wrong window
+    val n = 120
+    val raw = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i * 7 + 3) % n).toLong),
+          (i.toLong, ((i * 31 + 11) % n).toLong))
+    }.filter { case (a, b) => a != b }
+    val seeds = Seq(0L, 17L)
+    // reference: textbook BFS on the undirected adjacency
+    val adj = (raw ++ raw.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val expect = collection.mutable.Map(seeds.map(_ -> 0): _*)
+    var front = seeds.toSet
+    for (h <- 1 to 4; if front.nonEmpty) {
+      front = front.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(expect.contains)
+      front.foreach(v => expect(v) = h)
+    }
+    val got = Graph.shortestHops(raw.toDF("src", "dst"),
+        seeds.toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expect.toMap)
+  }
+
   test("kCore edge pin: repartition(src) + distinct plans ONE exchange") {
     // pins the mechanism the kCore scaladoc claims (and the round-12 A/B
     // measured): HashPartitioning(src) co-locates equal (src, dst) rows,
