@@ -44,11 +44,44 @@ object KmeansPortable {
         greatest(lit(0L), least(lit(255L),
           floor(x.cast("double") * 256.0 + 0.5) + 128L))).as("__q"))
 
-  private[operators] def distTo(centroid: Array[Long]): Column =
-    aggregate(
-      zip_with(col("__q"), array(centroid.map(lit(_)): _*),
-        (a, b) => (a - b) * (a - b)),
+  /** Exact integer L2² between two long-array columns — THE distance the
+    * portable-twin oracles certify (x12–x17). Every twin scores through
+    * this single definition so the certified semantics cannot drift
+    * apart between copies. */
+  private[operators] def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
+
+  /** Shared top-k epilogue of the twin searches: rnk = row_number over
+    * (distance, nn_id) per query — the oracle's tie-break — k-bounded
+    * (rides Spark's WindowGroupLimit partial bound before the exchange).
+    * Expects columns `__qid`, `nn_id` and `distName`. */
+  private[operators] def topKByDist(scored: DataFrame, topK: Int,
+                                    idCol: String,
+                                    distName: String): DataFrame = {
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col(distName), col("nn_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("__qid").as(idCol), col("nn_id"), col(distName),
+        col("rnk"))
+  }
+
+  /** The portable seed draw shared by the twin trainers: the k quantized
+    * corpus vectors with the smallest `(md5(id), id)` — engine-independent
+    * pseudo-randomness, identical for coarse cells and PQ codebooks so a
+    * composed index (x15) collects it once. */
+  private[operators] def seedRows(q: DataFrame, k: Int): Array[Array[Long]] = {
+    val s = q.orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(k).select(col("__q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(s.length == k,
+      s"seed draw: corpus has fewer than k=$k rows (${s.length})")
+    s
+  }
+
+  private[operators] def distTo(centroid: Array[Long]): Column =
+    l2(col("__q"), array(centroid.map(lit(_)): _*))
 
   /** Zero-shuffle nearest-cell assignment against literal centroids;
     * `array_position` of the min picks the FIRST minimum — tie goes to
@@ -67,15 +100,19 @@ object KmeansPortable {
   def fit(corpus: DataFrame, k: Int, rounds: Int,
           idCol: String = "vec_id",
           vecCol: String = "embedding"): Array[Array[Long]] = {
-    require(k > 0 && rounds >= 0, s"fit: k=$k rounds=$rounds")
     val q = quantize(corpus, idCol, vecCol).localCheckpoint(true)
+    fitQ(q, k, rounds, seedRows(q, k))
+  }
+
+  /** [[fit]] over a pre-quantized, pinned corpus with pre-collected
+    * seeds — lets a composed index (x15's ivfAdcSearch) share ONE
+    * quantize pass and ONE seed scan between the coarse quantizer and
+    * the PQ codebooks instead of re-running both per trainer. */
+  private[operators] def fitQ(q: DataFrame, k: Int, rounds: Int,
+                              seeds: Array[Array[Long]]): Array[Array[Long]] = {
+    require(k > 0 && rounds >= 0, s"fit: k=$k rounds=$rounds")
     // init: k smallest (md5(id), id) — portable, order-independent
-    var cents: Array[Array[Long]] = q
-      .orderBy(md5(col("__id").cast("string")), col("__id"))
-      .limit(k)
-      .select(col("__q"))
-      .collect()
-      .map(_.getSeq[Long](0).toArray)
+    var cents: Array[Array[Long]] = seeds.take(k).map(_.clone())
     require(cents.length == k,
       s"fit: corpus has fewer than k=$k rows (${cents.length})")
     val dim = cents.head.length

@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import KmeansPortable.{l2, topKByDist}
 
 /** PORTABLE deterministic product quantization — the oracled twins of the
   * compression ANN family ([[Pq.pqKnn]] / x04 and [[Pq.ivfAdcKnn]] / x05,
@@ -24,14 +24,12 @@ import org.apache.spark.sql.functions._
   *    (no codebook join — compare Pq.assign's broadcast join + window);
   *  - search broadcasts the per-query ADC tables (m x codes longs per
   *    query), so candidate scoring is a zero-shuffle map over the encoded
-  *    corpus; only k-bounded rows reach the top-k exchange.
+  *    corpus; only k-bounded rows reach the top-k exchange;
+  *  - the composed index ([[ivfAdcSearch]]) quantizes and pins the
+  *    corpus ONCE and collects ONE seed scan shared by the coarse
+  *    quantizer and the codebooks (the md5 draw is the same for both).
   */
 object PqPortable {
-
-  /** Exact integer L2² between two long arrays. */
-  private def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
 
   /** books[sub][code][pos] as one literal 3-D array column. */
   private def booksLit(books: Array[Array[Array[Long]]]): Column =
@@ -57,6 +55,11 @@ object PqPortable {
       transform(element_at(booksLit(books), s + 1),
         cb => l2(slice(qvec, s * dsub + 1, lit(dsub)), cb)))
 
+  /** ADC score of an encoded candidate: m table lookups, summed exactly. */
+  private def adcScore: Column =
+    aggregate(zip_with(col("__ptab"), col("__codes"),
+      (tab, c) => element_at(tab, c + 1)), lit(0L), (acc, x) => acc + x)
+
   /** Train all m codebooks jointly with fixed portable Lloyd rounds.
     * Init: the `codes` corpus vectors with the smallest `(md5(id), id)`
     * (the x12 draw), sliced per subspace — so all m books share seed ids.
@@ -66,13 +69,18 @@ object PqPortable {
   def fitBooks(corpus: DataFrame, m: Int, codes: Int, rounds: Int,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    val q = KmeansPortable.quantize(corpus, idCol, vecCol)
+    fitBooksQ(q, m, codes, rounds, KmeansPortable.seedRows(q, codes))
+  }
+
+  /** [[fitBooks]] over a pre-quantized corpus with pre-collected seeds
+    * (the fitQ sharing contract — see ivfAdcSearch). */
+  private[operators] def fitBooksQ(q: DataFrame, m: Int, codes: Int,
+      rounds: Int,
+      seeds: Array[Array[Long]]): Array[Array[Array[Long]]] = {
     require(m > 0 && codes > 0 && rounds >= 0,
       s"fitBooks: m=$m codes=$codes rounds=$rounds")
-    val q = KmeansPortable.quantize(corpus, idCol, vecCol)
-    val seeds = q.orderBy(md5(col("__id").cast("string")), col("__id"))
-      .limit(codes).select(col("__q")).collect()
-      .map(_.getSeq[Long](0).toArray)
-    require(seeds.length == codes,
+    require(seeds.length >= codes,
       s"fitBooks: corpus has fewer than codes=$codes rows (${seeds.length})")
     val dim = seeds.head.length
     require(dim % m == 0, s"fitBooks: dim $dim not divisible by m=$m")
@@ -117,25 +125,20 @@ object PqPortable {
                m: Int = 4, codes: Int = 4, rounds: Int = 2,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    val books = fitBooks(corpus, m, codes, rounds, idCol, vecCol)
+    val q = KmeansPortable.quantize(corpus, idCol, vecCol)
+      .localCheckpoint(true)
+    val books = fitBooksQ(q, m, codes, rounds,
+      KmeansPortable.seedRows(q, codes))
     val dsub = books.head.head.length
-    val enc = KmeansPortable.quantize(corpus, idCol, vecCol)
-      .select(col("__id").as("nn_id"),
-        codesOf(col("__q"), books, dsub).as("__codes"))
+    val enc = q.select(col("__id").as("nn_id"),
+      codesOf(col("__q"), books, dsub).as("__codes"))
     val qdf = KmeansPortable.quantize(queries, idCol, vecCol)
       .select(col("__id").as("__qid"),
         adcTable(col("__q"), books, dsub).as("__ptab"))
     val scored = broadcast(qdf)
       .join(enc, col("__qid") =!= col("nn_id"))
-      .withColumn("approx_d2",
-        aggregate(zip_with(col("__ptab"), col("__codes"),
-          (tab, c) => element_at(tab, c + 1)), lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(col("approx_d2"), col("nn_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("__qid").as(idCol), col("nn_id"), col("approx_d2"),
-        col("rnk"))
+      .withColumn("approx_d2", adcScore)
+    topKByDist(scored, topK, idCol, "approx_d2")
   }
 
   /** Portable IVFADC (x05's oracled twin): [[KmeansPortable.fit]] cells
@@ -144,6 +147,8 @@ object PqPortable {
     * COMPRESS the scoring of what remains — the composed billion-vector
     * shape, with every stage DuckDB-certifiable. Books are trained on the
     * raw (non-residual) corpus, matching [[Pq.ivfAdcKnn]]'s semantics.
+    * The corpus is quantized and pinned ONCE; coarse quantizer and
+    * codebooks share one collected md5 seed scan.
     * @return (idCol, nn_id, approx_d2, rnk), rnk in 1..topK per query */
   def ivfAdcSearch(queries: DataFrame, corpus: DataFrame, topK: Int,
                    kCells: Int = 4, coarseRounds: Int = 2, nprobe: Int = 2,
@@ -152,12 +157,15 @@ object PqPortable {
                    vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= kCells,
       s"ivfAdcSearch: nprobe=$nprobe kCells=$kCells")
-    val cents = KmeansPortable.fit(corpus, kCells, coarseRounds, idCol, vecCol)
-    val books = fitBooks(corpus, m, codes, pqRounds, idCol, vecCol)
+    val q = KmeansPortable.quantize(corpus, idCol, vecCol)
+      .localCheckpoint(true)
+    val seeds = KmeansPortable.seedRows(q, math.max(kCells, codes))
+    val cents = KmeansPortable.fitQ(q, kCells, coarseRounds, seeds)
+    val books = fitBooksQ(q, m, codes, pqRounds, seeds)
     val dsub = books.head.head.length
     // corpus: final cell + m codes, both zero-shuffle literal assigns
-    val enc = KmeansPortable
-      .withCell(KmeansPortable.quantize(corpus, idCol, vecCol), cents)
+    // over the single pinned quantized corpus
+    val enc = KmeansPortable.withCell(q, cents)
       .select(col("__id").as("nn_id"), col("cell"),
         codesOf(col("__q"), books, dsub).as("__codes"))
     // query probes (x13's array_sort prefix = the oracle's ORDER BY d, j)
@@ -172,14 +180,7 @@ object PqPortable {
       .select(col("__id").as("__qid"), col("__ptab"), col("cell"))
     val scored = broadcast(qProbes).join(enc, Seq("cell"))
       .filter(col("__qid") =!= col("nn_id"))
-      .withColumn("approx_d2",
-        aggregate(zip_with(col("__ptab"), col("__codes"),
-          (tab, c) => element_at(tab, c + 1)), lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(col("approx_d2"), col("nn_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("__qid").as(idCol), col("nn_id"), col("approx_d2"),
-        col("rnk"))
+      .withColumn("approx_d2", adcScore)
+    topKByDist(scored, topK, idCol, "approx_d2")
   }
 }

@@ -164,14 +164,8 @@ object Similarity {
       .filter(col("__qid") =!= col("nn_id"))
       .dropDuplicates("__qid", "nn_id")
     val scored = cand.withColumn("dist2",
-      aggregate(zip_with(col("__q"), col("__cv"),
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(col("dist2"), col("nn_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("__qid").as(idCol), col("nn_id"), col("dist2"),
-        col("rnk"))
+      KmeansPortable.l2(col("__q"), col("__cv")))
+    KmeansPortable.topKByDist(scored, topK, idCol, "dist2")
   }
 
   /** Max-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998): after

@@ -63,10 +63,13 @@ object Sq {
     * midpoint `lo + ((2*code + 1) * (hi - lo + 1)) div (2*levels)`;
     * search is exact integer L2² of full-precision queries against the
     * reconstructed corpus, ties on (dist2, nn_id). The two divisions are
-    * evaluated as floor-of-double — exact here because the true quotient
-    * is at least 1/(hi-lo+1) ≥ 1/256 away from the next integer, far
-    * beyond double rounding error, so floor == integer division on both
-    * engines. Scale shape matches sq8Knn: the corpus scans compressed
+    * evaluated as floor-of-double — exact because each true quotient is
+    * far from the next integer relative to double rounding error: the
+    * code division (by hi-lo+1 ≤ 256) by at least 1/(hi-lo+1) ≥ 1/256,
+    * the reconstruction division (by 2*levels) by at least
+    * 1/(2*levels) ≥ 1/512 — which is why `levels` is capped at 256; so
+    * floor == integer division on both engines. Scale shape matches
+    * sq8Knn: the corpus scans compressed
     * (grid is a broadcast single row), queries broadcast, and only
     * k-bounded rows reach the top-k exchange.
     * @return (idCol, nn_id, dist2, rnk), rnk in 1..topK per query */
@@ -97,15 +100,8 @@ object Sq {
       .select(col("__id").as("__qid"), col("__q"))
     val scored = broadcast(qdf)
       .join(recon, col("__qid") =!= col("nn_id"))
-      .withColumn("dist2",
-        aggregate(zip_with(col("__q"), col("__rv"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(col("dist2"), col("nn_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("__qid").as(idCol), col("nn_id"), col("dist2"),
-        col("rnk"))
+      .withColumn("dist2", KmeansPortable.l2(col("__q"), col("__rv")))
+    KmeansPortable.topKByDist(scored, topK, idCol, "dist2")
   }
 
   /** SQ8 ANN: top-k by cosine between full-precision queries and the

@@ -48,12 +48,27 @@ class PqPortableSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
     assert(a.forall(r => r.getLong(0) != r.getLong(1) && r.getInt(3) <= 3))
-    // pruning really prunes: candidates per query are bounded by the
-    // probed cells, so no query may see the whole corpus minus itself
-    // AND all of pqSearch's candidates unless every vector shares cells
-    val cells = KmeansPortable
-      .cells(corpus, k = 3, rounds = 2).select("cell").distinct().count()
-    assert(cells >= 2, "test corpus must spread over >= 2 cells")
+  }
+
+  test("ivfAdcSearch really prunes: nprobe=1 on a two-cluster corpus never crosses clusters") {
+    // two tight, well-separated clusters; kCells=2 splits them, so with
+    // nprobe=1 each query's candidates are its own cluster ONLY: with
+    // topK far above the in-cluster candidate count, a full-scan
+    // regression (cell join degrading to all cells) would return 15
+    // rows per query where pruning caps it at the 7 cluster-mates
+    val two = (0L until 16L).map { i =>
+      val base = if (i < 8) 0.4f else -0.4f
+      (i, Seq(base + (i % 8) * 0.005f, base - (i % 8) * 0.005f))
+    }.toDF("vec_id", "embedding")
+    val out = PqPortable.ivfAdcSearch(two.filter(col("vec_id") < 2), two,
+      topK = 15, kCells = 2, coarseRounds = 2, nprobe = 1,
+      m = 2, codes = 2, pqRounds = 1).collect()
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.nonEmpty && perQuery.values.forall(_ <= 7),
+      s"nprobe=1 must cap candidates at the 7 cluster-mates: $perQuery")
+    // and no returned neighbor crosses the cluster boundary
+    assert(out.forall(r => (r.getLong(0) < 8) == (r.getLong(1) < 8)),
+      out.mkString(", "))
   }
 
   test("sqSearch: deterministic under repartition, exact top-k, no self") {

@@ -259,16 +259,17 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
-  test("x14/x15/x17: the twin searches broadcast the query side — corpus never shuffles for candidates") {
+  test("x14/x15/x16/x17: the twin searches broadcast the query side — corpus never shuffles for candidates") {
     // same scale contract as x13 across the rest of the twin family:
-    // x14's ADC scan and x17's bucket join build from a BROADCAST query
-    // side (BNLJ for the full-scan ADC, BHJ for bucket/cell equi joins);
-    // x15's cell join likewise. A SortMergeJoin/ShuffledHashJoin would
-    // mean the corpus exchanges for candidate generation — the shape
-    // that dies at 100 TB. (Codebooks/centroids/hyperplanes are literals
-    // by construction, so no join can even appear for them.)
+    // x14's ADC scan, x16's reconstructed scan, and x17's bucket join
+    // build from a BROADCAST query side (BNLJ for the full scans, BHJ
+    // for bucket/cell equi joins); x15's cell join likewise. A
+    // SortMergeJoin/ShuffledHashJoin would mean the corpus exchanges for
+    // candidate generation — the shape that dies at 100 TB.
+    // (Codebooks/centroids/grids/hyperplanes are literals or broadcast
+    // single rows by construction, so no join can even appear for them.)
     for (q <- Seq("x14_pq_portable", "x15_ivfadc_portable",
-                  "x17_lsh_portable")) {
+                  "x16_sq_portable", "x17_lsh_portable")) {
       val p = plan(q)
       assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
         && !p.contains("CartesianProduct"), s"$q:\n$p")
