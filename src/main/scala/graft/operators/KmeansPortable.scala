@@ -100,6 +100,10 @@ object KmeansPortable {
   def fit(corpus: DataFrame, k: Int, rounds: Int,
           idCol: String = "vec_id",
           vecCol: String = "embedding"): Array[Array[Long]] = {
+    // validate BEFORE the eager checkpoint/seed-scan jobs: a bad k or
+    // rounds must fail instantly with IllegalArgumentException, not
+    // after materializing the corpus (or as limit()'s AnalysisException)
+    require(k > 0 && rounds >= 0, s"fit: k=$k rounds=$rounds")
     val q = quantize(corpus, idCol, vecCol).localCheckpoint(true)
     fitQ(q, k, rounds, seedRows(q, k))
   }
@@ -107,14 +111,16 @@ object KmeansPortable {
   /** [[fit]] over a pre-quantized, pinned corpus with pre-collected
     * seeds — lets a composed index (x15's ivfAdcSearch) share ONE
     * quantize pass and ONE seed scan between the coarse quantizer and
-    * the PQ codebooks instead of re-running both per trainer. */
+    * the PQ codebooks instead of re-running both per trainer. Callers
+    * validate k/rounds up front; `seeds` must carry at least k rows
+    * (seedRows enforces the corpus-size half of that contract). */
   private[operators] def fitQ(q: DataFrame, k: Int, rounds: Int,
                               seeds: Array[Array[Long]]): Array[Array[Long]] = {
     require(k > 0 && rounds >= 0, s"fit: k=$k rounds=$rounds")
+    require(seeds.length >= k,
+      s"fitQ: caller passed ${seeds.length} seeds for k=$k")
     // init: k smallest (md5(id), id) — portable, order-independent
     var cents: Array[Array[Long]] = seeds.take(k).map(_.clone())
-    require(cents.length == k,
-      s"fit: corpus has fewer than k=$k rows (${cents.length})")
     val dim = cents.head.length
     for (_ <- 1 to rounds) {
       val sums = Seq.tabulate(dim)(i =>
@@ -164,17 +170,11 @@ object KmeansPortable {
       .withColumn("__probe",
         explode(transform(slice(array_sort(probeStructs), 1, nprobe),
           p => p.getField("j"))))
-      .select(col("__id"), col("__q"), col("__probe").as("cell"))
+      .select(col("__id").as("__qid"), col("__q"), col("__probe").as("cell"))
     val cand = broadcast(qProbes).join(corpusCells, Seq("cell"))
-      .filter(col("__id") =!= col("nn_id"))
-    val scored = cand.withColumn("dist2",
-      aggregate(zip_with(col("__q"), col("__cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("dist2"), col("nn_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("__id").as(idCol), col("nn_id"), col("dist2"), col("rnk"))
+      .filter(col("__qid") =!= col("nn_id"))
+    val scored = cand.withColumn("dist2", l2(col("__q"), col("__cv")))
+    topKByDist(scored, topK, idCol, "dist2")
   }
 
   /** Cells + SemDeDup-style drop rule at quantization resolution: each

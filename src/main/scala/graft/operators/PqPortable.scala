@@ -69,6 +69,9 @@ object PqPortable {
   def fitBooks(corpus: DataFrame, m: Int, codes: Int, rounds: Int,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    // validate BEFORE the seed-scan job (the fit() rationale)
+    require(m > 0 && codes > 0 && rounds >= 0,
+      s"fitBooks: m=$m codes=$codes rounds=$rounds")
     val q = KmeansPortable.quantize(corpus, idCol, vecCol)
     fitBooksQ(q, m, codes, rounds, KmeansPortable.seedRows(q, codes))
   }
@@ -81,7 +84,7 @@ object PqPortable {
     require(m > 0 && codes > 0 && rounds >= 0,
       s"fitBooks: m=$m codes=$codes rounds=$rounds")
     require(seeds.length >= codes,
-      s"fitBooks: corpus has fewer than codes=$codes rows (${seeds.length})")
+      s"fitBooksQ: caller passed ${seeds.length} seeds for codes=$codes")
     val dim = seeds.head.length
     require(dim % m == 0, s"fitBooks: dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -125,6 +128,8 @@ object PqPortable {
                m: Int = 4, codes: Int = 4, rounds: Int = 2,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0 && m > 0 && codes > 0 && rounds >= 0,
+      s"pqSearch: topK=$topK m=$m codes=$codes rounds=$rounds")
     val q = KmeansPortable.quantize(corpus, idCol, vecCol)
       .localCheckpoint(true)
     val books = fitBooksQ(q, m, codes, rounds,
@@ -157,6 +162,10 @@ object PqPortable {
                    vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= kCells,
       s"ivfAdcSearch: nprobe=$nprobe kCells=$kCells")
+    require(topK > 0 && coarseRounds >= 0 && m > 0 && codes > 0
+        && pqRounds >= 0,
+      s"ivfAdcSearch: topK=$topK coarseRounds=$coarseRounds m=$m " +
+        s"codes=$codes pqRounds=$pqRounds")
     val q = KmeansPortable.quantize(corpus, idCol, vecCol)
       .localCheckpoint(true)
     val seeds = KmeansPortable.seedRows(q, math.max(kCells, codes))
