@@ -29,6 +29,36 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val names = only.getOrElse(graft.queries.Catalog.benchNames)
     val qmap = SparkEntry.queries
+
+    // Environment-drift control (round-14 verdict task 2): a pinned,
+    // bench-set- and data-independent probe measured at session start and
+    // end. Three round-13 drift episodes each cost a worktree rebuild to
+    // adjudicate "code regression vs environment epoch"; with the probe in
+    // the artifact the call is mechanical — probe moved with the queries
+    // => epoch; probe flat while queries moved => suspect the code. The
+    // probe exercises the three resources environment drift acts on:
+    // codegen'd CPU (range sum), the shuffle path (hash agg over 64k
+    // keys), and a broadcast join, all from spark.range — no data files,
+    // so testdata changes can never alias into the control.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1, 32)
+        .selectExpr("sum(id * 3 % 7)").collect()
+      spark.range(0L, 4000000L, 1, 32)
+        .selectExpr("id % 65536 AS k").groupBy("k").count()
+        .selectExpr("sum(count)").collect()
+      spark.range(0L, 2000000L, 1, 32).selectExpr("id", "id % 1000 AS k")
+        .join(spark.range(1000L).selectExpr("id AS k", "id * 2 AS v"), "k")
+        .selectExpr("sum(v)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probeMedian(): Double = {
+      probeOnce() // untimed warmup: codegen + JIT, same as the query protocol
+      val ts = (1 to 5).map(_ => probeOnce()).sorted
+      ts(ts.size / 2)
+    }
+    val probeStart = probeMedian()
+    System.err.println(f"[bench] drift probe (session start): $probeStart%.3fs")
     // steady-state methodology: per query, one untimed warmup run (codegen
     // compilation + JIT), then clear the block cache (so persisted
     // intermediates don't fake the measurement) and take the best of FIVE
@@ -87,7 +117,9 @@ object Bench {
     })
     val aux = if (auxEntries.nonEmpty)
       s""","aux":${auxEntries.mkString("{", ",", "}")}""" else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"median_total":$medTotal%.3f,"sf":"$sfDir"$filtered%s$aux%s}""")
+    val probeEnd = probeMedian()
+    System.err.println(f"[bench] drift probe (session end): $probeEnd%.3fs")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s}""")
     spark.stop()
   }
 }

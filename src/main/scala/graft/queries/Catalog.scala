@@ -578,7 +578,9 @@ object Catalog {
     * near-dup pairs over the survivors -> connected-components cluster
     * labels -> survivor selection (component minimum) -> token counting ->
     * language ID. The oracle independently re-derives EVERY stage in
-    * DuckDB (min-per-text dedup, all-pairs exact Jaccard, recursive-CTE
+    * DuckDB (min-per-text dedup, complete exact Jaccard via a
+    * shingle-keyed self-join — complete at the 0.7 threshold because any
+    * pair with Jaccard > 0 shares a shingle, see d06 — recursive-CTE
     * closure, the t05/t06 tokenization and stopword-argmax fragments), so
     * one hash match certifies the whole chain composes correctly. */
   private val d11 = QueryDef("d11_pipeline",
@@ -606,10 +608,14 @@ object Catalog {
             g AS (SELECT doc_id, list_distinct(list_transform(
                     range(1, len(w)-1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
-            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM g a JOIN g b ON a.doc_id < b.doc_id
-                  WHERE len(list_intersect(a.sh, b.sh)) /
-                        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+            ptok AS (SELECT doc_id, UNNEST(sh) AS t, len(sh) AS sz FROM g),
+            p AS (SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      COUNT(*) AS inter,
+                      ANY_VALUE(a.sz) AS sa, ANY_VALUE(b.sz) AS sb
+                    FROM ptok a JOIN ptok b ON a.t = b.t AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+                  WHERE inter / (sa + sb - inter) >= 0.7),
             e AS (SELECT id_a AS a, id_b AS b FROM p
                   UNION ALL SELECT id_b, id_a FROM p),
             reach(a, b) AS (SELECT a, b FROM e
@@ -985,8 +991,18 @@ object Catalog {
              ORDER BY sim DESC, id_a, id_b LIMIT 10"""))
 
   /** MinHash-LSH candidates verified by exact Jaccard; the oracle computes
-    * the same threshold over ALL pairs, so a hash-match also certifies LSH
-    * recall=1 on this corpus (k=128, b=32, r=4 -> P(miss | j>=0.7) < 1e-3). */
+    * the same threshold over EVERY pair with Jaccard > 0, so a hash-match
+    * also certifies LSH recall=1 on this corpus (k=128, b=32, r=4 ->
+    * P(miss | j>=0.7) < 1e-3). Candidate enumeration is a shingle-keyed
+    * self-join (the d27-oracle pattern), which is provably complete at the
+    * threshold: any pair with Jaccard >= 0.7 > 0 shares >= 1 shingle, and
+    * a pair sharing none has Jaccard 0 and can never pass the filter.
+    * inter/(sa+sb-inter) over the distinct-shingle counts is the same
+    * BIGINT-division as len(list_intersect)/len(list_distinct(concat)),
+    * so the emitted values are bit-identical to the former all-pairs form
+    * (verified by an A/B diff at sf0.01 and sf0.1 when this was rewritten
+    * in round 14; the rewrite makes the oracle tractable at sf1 — 50k docs
+    * is 1.25B all-pairs but only ~21M shingle-join rows). */
   private val d06 = QueryDef("d06_minhash_neardup",
     (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
         shingleN = 3, k = 128, bands = 32, threshold = 0.7)
@@ -995,13 +1011,17 @@ object Catalog {
       .orderBy("id_a", "id_b"),
     Some("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w FROM documents),
             g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              FLOOR(len(list_intersect(a.sh, b.sh)) /
-                    len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard
-            FROM g a JOIN g b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) /
-                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w),
+            tok AS (SELECT doc_id, UNNEST(sh) AS t, len(sh) AS sz FROM g),
+            pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                COUNT(*) AS inter,
+                ANY_VALUE(a.sz) AS sa, ANY_VALUE(b.sz) AS sb
+              FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+              FLOOR(inter / (sa + sb - inter) * 10000 + 0.5) / 10000 AS jaccard
+            FROM pair
+            WHERE inter / (sa + sb - inter) >= 0.7
             ORDER BY id_a, id_b"""),
     bench = true)
 
@@ -3430,6 +3450,7 @@ object Catalog {
           q.processAllAvailable()
           mem.addData(Seq(sentinel.copy(time_idx = 1)))
           q.processAllAvailable()
+          graft.streaming.EventStreams.assertDrained(q, "s07")
         } finally q.stop()
         s.table("s07_out").filter(col("obsid") =!= 9999L)
           .filter(col("flagged"))
@@ -3467,7 +3488,9 @@ object Catalog {
           .writeStream.format("parquet")
           .option("path", sink).option("checkpointLocation", ck)
           .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        try { q.processAllAvailable()
+          graft.streaming.EventStreams.assertDrained(q, "s08_restart")
+        } finally q.stop()
       }
       run() // half A, then the controlled kill
       events.filter(col("event_id") % 2 === 1)
@@ -3521,7 +3544,9 @@ object Catalog {
             .writeStream.format("parquet")
             .option("path", sink).option("checkpointLocation", ck)
             .outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
+          try { q.processAllAvailable()
+            graft.streaming.EventStreams.assertDrained(q, "s20_restart")
+          } finally q.stop()
         }
         // half the observation (8 of 16 diffed times), then the kill
         insDf.filter(col("time_idx") <= 8).repartition(2)
@@ -3606,7 +3631,9 @@ object Catalog {
             .writeStream.format("parquet")
             .option("path", sink).option("checkpointLocation", ck)
             .outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
+          try { q.processAllAvailable()
+            graft.streaming.EventStreams.assertDrained(q, "s21_restart")
+          } finally q.stop()
         }
         produce(insDf.filter(col("time_idx") <= 8))
         run()
@@ -3760,7 +3787,9 @@ object Catalog {
           ()
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try { q.processAllAvailable()
+        graft.streaming.EventStreams.assertDrained(q, "s11_upsert")
+      } finally q.stop()
       val fin = s.read.parquet(state).localCheckpoint(true)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
       fin.orderBy("user_id")
@@ -3955,7 +3984,9 @@ object Catalog {
           ()
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try { q.processAllAvailable()
+        graft.streaming.EventStreams.assertDrained(q, "s16_incr_dedup")
+      } finally q.stop()
       val fin = s.read.parquet(out).localCheckpoint(true)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
       fin.orderBy("doc_id")

@@ -199,8 +199,9 @@ object R11 {
           .option("path", sink).option("checkpointLocation", ck)
           .outputMode("append").start()
         val s0 = System.nanoTime()
-        try q.processAllAvailable()
-        finally { streamNanos += System.nanoTime() - s0; q.stop() }
+        try { q.processAllAvailable()
+          graft.streaming.EventStreams.assertDrained(q, "s19_bus")
+        } finally { streamNanos += System.nanoTime() - s0; q.stop() }
       }
       graft.sources.Bus.produce(ev.filter(col("event_id") % 2 === 0),
         root, "events", 4, col("event_id"), payload, col("event_id"))

@@ -392,8 +392,9 @@ object R11b {
             .option("path", sink).option("checkpointLocation", ck)
             .outputMode("append").start()
           val s0 = System.nanoTime()
-          try q.processAllAvailable()
-          finally { streamNanos += System.nanoTime() - s0; q.stop() }
+          try { q.processAllAvailable()
+            graft.streaming.EventStreams.assertDrained(q, "s22_asof")
+          } finally { streamNanos += System.nanoTime() - s0; q.stop() }
         } finally prev match {
           case Some(p) => s.conf.set(conf, p)
           case None => s.conf.unset(conf)

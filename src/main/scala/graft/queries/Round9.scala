@@ -223,7 +223,9 @@ object R9 {
           ()
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try { q.processAllAvailable()
+        graft.streaming.EventStreams.assertDrained(q, "s18_funnel")
+      } finally q.stop()
       // pin the staged survivors to executor storage, then remove the
       // staging + checkpoint dirs NOW: repeated verify/bench runs must
       // leave /tmp flat (round-9 leaked one dir per build)

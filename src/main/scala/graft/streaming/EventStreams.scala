@@ -229,6 +229,22 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Structural guard for the round-13 silent-empty class (commit
+    * 28ba634): a finite streaming run that ingested ZERO source rows is a
+    * harness bug (wrong glob, wrong basePath, wrong layout), never a
+    * result — an empty result table would sail through a rows-only check
+    * and even match an accidentally-empty oracle. Every drain site calls
+    * this after its final processAllAvailable, so Verify FAILS the query
+    * loudly instead of dumping an empty parquet. */
+  def assertDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
+                    what: String): Unit = {
+    val rows = q.recentProgress.map(_.numInputRows).sum
+    require(rows > 0,
+      s"streaming run '$what' drained ZERO input rows across " +
+        s"${q.recentProgress.length} progress updates - empty-source " +
+        "layout bug (round-13 class, commit 28ba634), not a result")
+  }
+
   /** Run a streaming transform to completion against the (finite) file
     * source via a memory sink, returning the final result table. This is
     * how the batch-parity queries execute a REAL streaming query inside
@@ -240,7 +256,7 @@ object EventStreams {
       .format("memory").queryName(name)
       .outputMode(outputMode)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); assertDrained(q, name) } finally q.stop()
     spark.table(name)
   }
 }

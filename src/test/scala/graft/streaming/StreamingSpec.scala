@@ -35,6 +35,21 @@ class StreamingSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("a zero-input stream FAILS loudly instead of returning empty (28ba634 class)") {
+    // the exact round-13 bug shape: a glob that matches no part file.
+    // Before the assertDrained guard this drained zero batches and
+    // returned an empty (but well-formed) result table; now the harness
+    // refuses to treat it as a result.
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val emptyGlob = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "no_such_table.parquet").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.runToBatch(spark,
+        emptyGlob.groupBy(col("event_type")).count())
+    }
+    assert(e.getMessage.contains("ZERO input rows"))
+  }
+
   test("dropDuplicatesWithinWatermark dedups (user_id, event_type)") {
     val out = EventStreams.runToBatch(spark,
       EventStreams.dedupedStream(EventStreams.eventsStream(spark, dir)),
