@@ -44,6 +44,16 @@ object KmeansPortable {
         greatest(lit(0L), least(lit(255L),
           floor(x.cast("double") * 256.0 + 0.5) + 128L))).as("__q"))
 
+  /** Vector dimension of `vecCol`, with a clear failure on an empty frame
+    * (a bare `.head` otherwise surfaces as a NoSuchElementException with
+    * no hint of which input was empty). */
+  private[operators] def vectorDim(df: DataFrame, vecCol: String,
+                                   what: String): Int =
+    df.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what is empty - cannot infer the $vecCol dimension"))
+
   /** Exact integer L2² between two long-array columns — THE distance the
     * portable-twin oracles certify (x12–x17). Every twin scores through
     * this single definition so the certified semantics cannot drift

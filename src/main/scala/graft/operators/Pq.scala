@@ -58,7 +58,7 @@ object Pq {
   def fitCodebooks(corpus: DataFrame, m: Int, codes: Int, iters: Int = 5,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = KmeansPortable.vectorDim(corpus, vecCol, "fitCodebooks corpus")
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     // deterministic seeds: first k ids; the pmod partition key names the
@@ -104,7 +104,7 @@ object Pq {
             m: Int = 8, codes: Int = 16, iters: Int = 5,
             idCol: String = "vec_id", vecCol: String = "embedding",
             roundTo: Int = 4): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = KmeansPortable.vectorDim(corpus, vecCol, "pqKnn corpus")
     val dsub = dim / m
     val books = fitCodebooks(corpus, m, codes, iters, idCol, vecCol)
     val corpusCodes = encode(corpus, books, m, dsub, idCol, vecCol)
@@ -141,7 +141,7 @@ object Pq {
                 m: Int = 16, codes: Int = 32, iters: Int = 3,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 roundTo: Int = 4): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = KmeansPortable.vectorDim(corpus, vecCol, "ivfPq corpus")
     val dsub = dim / m
     // coarse stage: IVF cells (broadcast centroids)
     val cents = Ivf.fitCentroids(corpus, nCells, iters, idCol, vecCol)

@@ -134,7 +134,16 @@ object Similarity {
                   vecCol: String = "embedding"): DataFrame = {
     require(tables >= 1 && nPlanes >= 1 && nPlanes <= 62,
       s"lshPortable: tables=$tables nPlanes=$nPlanes")
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = KmeansPortable.vectorDim(corpus, vecCol, "lshPortable corpus")
+    // a shorter/longer query vector would null-pad zip_with, making dist2
+    // NULL — and NULLS FIRST in the ascending top-k window would rank the
+    // malformed pair at rnk=1; reject the mismatch up front instead
+    locally {
+      val d = queries.select(min(size(col(vecCol))), max(size(col(vecCol)))).head
+      require(d.isNullAt(0) || (d.getInt(0) == dim && d.getInt(1) == dim),
+        s"lshPortable: query $vecCol dimension " +
+          s"${d.getInt(0)}..${d.getInt(1)} != corpus dimension $dim")
+    }
     val coefs = Array.tabulate(tables, nPlanes, dim) { (t, p, d) =>
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$t:$p:$d".getBytes("UTF-8"))

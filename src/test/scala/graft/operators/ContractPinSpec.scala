@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.File
+import java.nio.file.Files
+
+/** Single-source pin for the certified portable-twin contract (round-14
+  * verdict task 7): the integer L2², the quantization formula, the md5
+  * seed draw and the (distance, nn_id) top-k window are defined ONLY in
+  * KmeansPortable — every twin (x12–x17) scores through those four
+  * definitions, and the DuckDB oracles certify exactly those semantics.
+  * A second copy appearing anywhere else could drift from the certified
+  * one without any oracle noticing until the next full sweep, so this
+  * spec greps the main source tree and fails on any fork of the
+  * patterns. (Production ANN paths — cosine sim, float PQ ADC — keep
+  * their own scoring on purpose; the patterns below are specific to the
+  * integer-quantized twin contract.)
+  */
+class ContractPinSpec extends AnyFunSuite {
+
+  private val srcRoot = new File("src/main/scala/graft")
+  private val home = "KmeansPortable.scala"
+
+  private def scalaFiles(dir: File): Seq[File] = {
+    val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
+    files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
+  }
+
+  // (label, literal substring that constitutes a re-definition)
+  private val patterns = Seq(
+    "integer L2 squared-difference fold" -> "(x - y) * (x - y)",
+    "[0,255] quantization formula" -> "floor(x.cast(\"double\") * 256",
+    "md5(__id) seed draw" -> "md5(col(\"__id\")",
+    "per-query top-k window" -> "Window.partitionBy(col(\"__qid\")",
+  )
+
+  test("the certified twin contract has exactly one definition site") {
+    assert(srcRoot.isDirectory, s"source root moved: $srcRoot")
+    val sources = scalaFiles(srcRoot)
+      .map(f => f -> new String(Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(sources.size > 30, "suspiciously few sources scanned")
+    for ((label, needle) <- patterns) {
+      val hits = sources.collect { case (f, s) if s.contains(needle) => f.getName }
+      assert(hits == Seq(home),
+        s"$label ('$needle') must live ONLY in $home; found in: " +
+          hits.mkString(", ") +
+          ". Route new twins through KmeansPortable.l2/quantize/seedRows/" +
+          "topKByDist instead of copying the arithmetic.")
+    }
+  }
+}

@@ -164,8 +164,15 @@ class PqPortableSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan
     val ex = shuffles(plan)
     assert(ex.size == 1, s"expected exactly one ShuffleExchangeExec:\n$plan")
-    assert(ex.head.outputPartitioning.toString.contains("__qid"),
-      s"the single exchange must partition on the query id: ${ex.head.outputPartitioning}")
+    // match on the partitioning's attribute names, not its rendering —
+    // toString formats differ across Spark versions
+    val partAttrs = ex.head.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.flatMap(_.references.map(_.name))
+      case other => fail(s"expected HashPartitioning, got $other")
+    }
+    assert(partAttrs.contains("__qid"),
+      s"the single exchange must partition on the query id: $partAttrs")
     val rendered = plan.toString
     assert(!rendered.contains("SortMergeJoin") &&
       !rendered.contains("ShuffledHashJoin") &&
