@@ -47,7 +47,22 @@ object Ivf {
   def fitCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",
-                   trainCap: Long = 100000L): DataFrame = {
+                   trainCap: Long = 100000L): DataFrame =
+    fitCentroidsShared(corpus, k, iters, idCol, vecCol, trainCap)._1
+
+  /** [[fitCentroids]] plus the pinned cast corpus when the training
+    * sample WAS the whole corpus (modulus == 1, i.e. at or under
+    * trainCap): the caller's final cell assignment can then reuse the
+    * already-pinned (__id, __v) copy instead of re-scanning and
+    * re-casting the source — one fewer full pass in the small-corpus
+    * regime (round-14 x03 A/B). Above the cap this returns None and the
+    * caller streams the source as before — the 100 TB path never pins
+    * the full corpus. */
+  private[operators] def fitCentroidsShared(
+      corpus: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainCap: Long = 100000L): (DataFrame, Option[DataFrame]) = {
     val all = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     // sampling modulus from the optimizer's size estimate (file-footer
@@ -103,7 +118,8 @@ object Ivf {
         .select(col("cell"), array(Seq.tabulate(dim)(i =>
           col(s"__s$i") / col("__n")): _*).as("centroid"))
     }
-    centroids.localCheckpoint(true)
+    (centroids.localCheckpoint(true),
+      if (modulus == 1L) Some(vecs) else None)
   }
 
   /** Nearest-centroid assignment as a ZERO-SHUFFLE map: the centroid
@@ -188,10 +204,10 @@ object Ivf {
              nCells: Int = 16, nprobe: Int = 4, iters: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding",
              roundTo: Int = 4): DataFrame = {
-    val centroids = fitCentroids(corpus, nCells, iters, idCol, vecCol)
+    val (centroids, pinned) = fitCentroidsShared(corpus, nCells, iters, idCol, vecCol)
     val corpusCells = assign(
-      corpus.select(col(idCol).as("__id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v")), centroids)
+      pinned.getOrElse(corpus.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))), centroids)
       .select(col("__id").as("nn_id"), col("__v").as("__cv"), col("cell"))
       .withColumn("__cn", VectorFns.norm(col("__cv")))
     // query probes: nprobe nearest centroids
