@@ -99,6 +99,58 @@ object ProbeKcoreDelta {
     nodes
   }
 
+  /** Fourth variant (round-14 verdict task 4, "bucket peeling"): FUSE TWO
+    * cascade levels into every Spark round. The full-rescan peel already
+    * removes ALL deg<k vertices per round, so its round count equals the
+    * cascade depth — the measured cost driver (each round pays a fixed
+    * checkpoint + count + scheduling overhead). Here a round additionally
+    * peels, in the same job, the survivors whose degree minus the edges
+    * they just lost to this round's removals drops below k — one extra
+    * semi join + count + left join per round, for half the rounds. The
+    * fixpoint (and the k-core, which is unique) is unchanged: any node
+    * the 2-level peel removes would have been removed by two 1-level
+    * rounds, and stability (no removal in a fused round) implies
+    * stability of the 1-level peel. */
+  def kCoreFused(edges: DataFrame, k: Int, maxRounds: Int = 40): DataFrame = {
+    require(k >= 1, "kCoreFused: k must be >= 1")
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .distinct()
+      .localCheckpoint(true)
+    var nodes = dir.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var nNodes = nodes.count()
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      require(rounds < maxRounds,
+        s"kCoreFused: cascade exceeded maxRounds=$maxRounds")
+      rounds += 1
+      val alive = dir.join(nodes, dir("src") === nodes("id"), "left_semi")
+      val deg = alive
+        .join(nodes, alive("dst") === nodes("id"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("__deg"))
+      // level 1: this round's removals; level 2: survivors that fall
+      // below k once level-1's incident edges are subtracted
+      val rem1 = deg.filter(col("__deg") < k).select(col("src").as("rid"))
+      val surv1 = deg.filter(col("__deg") >= k)
+      val losses = dir
+        .join(rem1, dir("dst") === col("rid"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("__loss"))
+        .select(col("src").as("lid"), col("__loss"))
+      val next = surv1
+        .join(losses, surv1("src") === col("lid"), "left")
+        .filter(col("__deg") - coalesce(col("__loss"), lit(0L)) >= k)
+        .select(col("src").as("id"))
+        .localCheckpoint(true)
+      val n = next.count()
+      stable = n == nNodes
+      nodes = next
+      nNodes = n
+    }
+    nodes
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val k = if (args.length > 1) args(1).toInt else 6
@@ -134,11 +186,13 @@ object ProbeKcoreDelta {
     time("full-rescan") { graft.operators.Graph.kCore(edges(), k).count() }
     time("delta-peel") { kCoreDelta(edges(), k).count() }
     time("shrink-pin") { kCoreShrink(edges(), k).count() }
-    // cross-check the two variants agree exactly
+    time("fused-2lvl") { kCoreFused(edges(), k).count() }
+    // cross-check the variants agree exactly
     val a = graft.operators.Graph.kCore(edges(), k)
-    val b = kCoreDelta(edges(), k)
-    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
-    assert(diff == 0, s"variants disagree by $diff rows")
+    for (v <- Seq(kCoreDelta(edges(), k), kCoreFused(edges(), k))) {
+      val diff = a.exceptAll(v).count() + v.exceptAll(a).count()
+      assert(diff == 0, s"variants disagree by $diff rows")
+    }
     System.err.println("[kcore-ab] variants agree exactly")
     spark.stop()
   }

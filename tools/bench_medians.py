@@ -6,6 +6,16 @@ notes.json (optional) is a dict merged into the artifact verbatim
 (protocol string, adjudications, etc.)."""
 import json, sys
 
+# The drift-probe reference epoch, pinned in round 14: Bench's pinned
+# spark.range probe (CPU sum + 64k-key shuffle agg + broadcast join,
+# median of 5 after warmup) measured ~0.70s in the round-14 environment.
+# A future session's probe far off this value means the ENVIRONMENT
+# moved; per-query medians are reported both raw and probe-normalized
+# (median * PROBE_REF_SEC / session_probe) so a 1.2x wall shift with a
+# 1.2x probe shift reads as flat normalized — adjudicated by the
+# artifact instead of a worktree-rebuild A/B (three of those in r13).
+PROBE_REF_SEC = 0.70
+
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
 assert not a.get("filtered") and not b.get("filtered"), \
@@ -21,6 +31,19 @@ out = {
     "best_of_both": {k: min(ma[k], mb[k]) for k in ma},
 }
 out["best_of_both_total"] = round(sum(out["best_of_both"].values()), 3)
+out["probe_ref_sec"] = PROBE_REF_SEC
+for run, d in (("a", a), ("b", b)):
+    if "probe_start_sec" in d:
+        probe = (d["probe_start_sec"] + d["probe_end_sec"]) / 2
+        scale = PROBE_REF_SEC / probe
+        out[f"probe_run_{run}"] = {
+            "start_sec": d["probe_start_sec"], "end_sec": d["probe_end_sec"],
+            "vs_ref": round(probe / PROBE_REF_SEC, 3)}
+        m = d["medians"]
+        out[f"medians_normalized_run_{run}"] = {
+            k: round(v * scale, 3) for k, v in m.items()}
+        out[f"median_total_normalized_run_{run}"] = round(
+            sum(m.values()) * scale, 3)
 for run, d in (("a", a), ("b", b)):
     if "aux" in d:
         out[f"aux_run_{run}"] = d["aux"]

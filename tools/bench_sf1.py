@@ -26,6 +26,9 @@ out = {
 }
 if "aux" in sf1:
     out["aux_sf1"] = sf1["aux"]
+if "probe_start_sec" in sf1:
+    out["probe_sf1"] = {"start_sec": sf1["probe_start_sec"],
+                        "end_sec": sf1["probe_end_sec"]}
 if len(sys.argv) > 4:
     out.update(json.load(open(sys.argv[4])))
 json.dump(out, open(sys.argv[3], "w"), indent=1)
