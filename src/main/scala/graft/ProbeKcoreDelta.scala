@@ -183,10 +183,17 @@ object ProbeKcoreDelta {
         f"[kcore-ab] $name%-12s best ${ts.min}%6.2fs  median ${ts.sorted.apply(1)}%6.2fs  core=$warm rows")
     }
 
-    time("full-rescan") { graft.operators.Graph.kCore(edges(), k).count() }
-    time("delta-peel") { kCoreDelta(edges(), k).count() }
-    time("shrink-pin") { kCoreShrink(edges(), k).count() }
-    time("fused-2lvl") { kCoreFused(edges(), k).count() }
+    // order is reversible (3rd arg "reverse") to control for position-
+    // in-session bias: heap/GC state accumulates, so a variant's slot in
+    // the sequence is itself a treatment
+    val variants: Seq[(String, () => Long)] = Seq(
+      "full-rescan" -> (() => graft.operators.Graph.kCore(edges(), k).count()),
+      "delta-peel" -> (() => kCoreDelta(edges(), k).count()),
+      "shrink-pin" -> (() => kCoreShrink(edges(), k).count()),
+      "fused-2lvl" -> (() => kCoreFused(edges(), k).count()))
+    val ordered = if (args.length > 2 && args(2) == "reverse")
+      variants.reverse else variants
+    for ((name, f) <- ordered) time(name)(f())
     // cross-check the variants agree exactly
     val a = graft.operators.Graph.kCore(edges(), k)
     for (v <- Seq(kCoreDelta(edges(), k), kCoreFused(edges(), k))) {

@@ -253,6 +253,22 @@ object Graph {
     * revisit if a workload peels away most of the graph (the probe
     * harness retains all three).
     *
+    * Round-14 (verdict task 4) added a FOURTH variant and an order
+    * control: "bucket" peeling that fuses TWO cascade levels per Spark
+    * round (peel deg<k, then in the same job peel survivors whose
+    * degree minus just-lost edges drops below k — halving the round
+    * count for one extra semi join + left join per round). Measured at
+    * sf1 in two clean sessions with the variant ORDER REVERSED between
+    * them (position in session is itself a ~1.5-2s treatment: the
+    * first-run variant always reads worst, e.g. full-rescan 14.84s
+    * best when first vs 12.78s when last): best-of-both-sessions
+    * full-rescan 12.78s, shrink-pin 13.06s, delta-peel 13.32s,
+    * fused-2lvl 14.36s, all four producing the identical 494,310-row
+    * core. Fused REJECTED — the cascade here is shallow enough that
+    * halving rounds buys less than the extra per-round joins cost —
+    * and full-rescan KEPT a third time; no variant separates from it
+    * beyond the session-variance band.
+    *
     * @param edges (src, dst); treated as undirected (mirrored + distinct)
     * @param k     minimum within-core degree (counts DISTINCT neighbors,
     *              since the mirrored edge set is deduplicated)
