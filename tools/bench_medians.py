@@ -8,13 +8,14 @@ import json, sys
 
 # The drift-probe reference epoch, pinned in round 14: Bench's pinned
 # spark.range probe (CPU sum + 64k-key shuffle agg + broadcast join,
-# median of 5 after warmup) measured ~0.70s in the round-14 environment.
+# median of 5 after warmup) measured 0.64-0.74s across the two round-14
+# full sessions (mean 0.68).
 # A future session's probe far off this value means the ENVIRONMENT
 # moved; per-query medians are reported both raw and probe-normalized
 # (median * PROBE_REF_SEC / session_probe) so a 1.2x wall shift with a
 # 1.2x probe shift reads as flat normalized — adjudicated by the
 # artifact instead of a worktree-rebuild A/B (three of those in r13).
-PROBE_REF_SEC = 0.70
+PROBE_REF_SEC = 0.68
 
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
