@@ -50,7 +50,15 @@ object KmeansPortable {
   private[operators] def vectorDim(df: DataFrame, vecCol: String,
                                    what: String): Int =
     df.select(size(col(vecCol))).head(1).headOption
-      .map(_.getInt(0))
+      .map { r =>
+        // size(NULL) is NULL in Spark 3+: a NULL vector in the first row
+        // would otherwise surface as a bare NullPointerException from
+        // getInt, defeating this helper's clear-failure purpose
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"$what has a NULL $vecCol in its first row - cannot infer " +
+            "the vector dimension")
+        r.getInt(0)
+      }
       .getOrElse(throw new IllegalArgumentException(
         s"$what is empty - cannot infer the $vecCol dimension"))
 

@@ -143,10 +143,14 @@ object Pq {
                 roundTo: Int = 4): DataFrame = {
     val dim = KmeansPortable.vectorDim(corpus, vecCol, "ivfPq corpus")
     val dsub = dim / m
-    // coarse stage: IVF cells (broadcast centroids)
-    val cents = Ivf.fitCentroids(corpus, nCells, iters, idCol, vecCol)
-    val vecs = corpus.select(col(idCol).as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // coarse stage: IVF cells (broadcast centroids); when the training
+    // sample WAS the corpus (at/under trainCap) reuse the pinned cast
+    // copy for assignment instead of a second scan+cast — the same
+    // round-14 x03 shared-fit applied to ivfKnn (round-14 ADVICE asked
+    // for consistency); above the cap the 100 TB path streams as before
+    val (cents, pinned) = Ivf.fitCentroidsShared(corpus, nCells, iters, idCol, vecCol)
+    val vecs = pinned.getOrElse(corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v")))
     val corpusCells = Ivf.assign(vecs, cents)
       .select(col("__id").as("nn_id"), col("cell"))
     // fine stage: PQ codes per corpus vector

@@ -138,11 +138,21 @@ object Similarity {
     // a shorter/longer query vector would null-pad zip_with, making dist2
     // NULL — and NULLS FIRST in the ascending top-k window would rank the
     // malformed pair at rnk=1; reject the mismatch up front instead
+    // min/max SKIP nulls, so a NULL query embedding would sail past a
+    // min/max-only check and still produce the NULL-dist2 rnk=1 bug the
+    // guard exists to stop (round-14 ADVICE) — count NULLs in the same
+    // single-pass aggregate and reject them first
     locally {
-      val d = queries.select(min(size(col(vecCol))), max(size(col(vecCol)))).head
-      require(d.isNullAt(0) || (d.getInt(0) == dim && d.getInt(1) == dim),
+      val d = queries.select(
+        count(when(col(vecCol).isNull, 1)).as("__nulls"),
+        min(size(col(vecCol))), max(size(col(vecCol)))).head
+      require(d.getLong(0) == 0L,
+        s"lshPortable: ${d.getLong(0)} query rows have a NULL $vecCol - " +
+          "a NULL embedding yields NULL dist2 and would outrank every " +
+          "real neighbor under the ascending top-k window")
+      require(d.isNullAt(1) || (d.getInt(1) == dim && d.getInt(2) == dim),
         s"lshPortable: query $vecCol dimension " +
-          s"${d.getInt(0)}..${d.getInt(1)} != corpus dimension $dim")
+          s"${d.getInt(1)}..${d.getInt(2)} != corpus dimension $dim")
     }
     val coefs = Array.tabulate(tables, nPlanes, dim) { (t, p, d) =>
       val h = java.security.MessageDigest.getInstance("MD5")
@@ -291,9 +301,11 @@ object Similarity {
                           threshold: Double = 0.9, idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           roundTo: Int = 4): DataFrame = {
-    val cents = Ivf.fitCentroids(df, nCells, iters, idCol, vecCol)
-    val v = Ivf.assign(df.select(col(idCol).as("__id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v")), cents)
+    // shared-fit reuse as in Ivf.ivfKnn / Pq.ivfAdcKnn: sample==corpus →
+    // assign on the already-pinned cast copy, no second scan
+    val (cents, pinned) = Ivf.fitCentroidsShared(df, nCells, iters, idCol, vecCol)
+    val v = Ivf.assign(pinned.getOrElse(df.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))), cents)
       .select(col("__id").as("id"), col("__v").as("v"), col("cell"))
     semDedupDropRule(v, threshold, roundTo, idCol)
   }

@@ -238,11 +238,33 @@ object EventStreams {
     * loudly instead of dumping an empty parquet. */
   def assertDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
                     what: String): Unit = {
-    val rows = q.recentProgress.map(_.numInputRows).sum
+    val prog = q.recentProgress
+    val rows = prog.map(_.numInputRows).sum
+    // recentProgress is a RING BUFFER capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    // healthy run with maxFilesPerTrigger=1 and >cap micro-batches could
+    // evict every non-empty entry behind trailing zero-row updates and
+    // fail here spuriously (round-14 ADVICE). The harness sessions raise
+    // the cap well above any finite drain's batch count
+    // (Tables.session / the Verify+Bench builders); if a caller's
+    // session didn't, the error below names the knob instead of
+    // mis-blaming the source layout.
+    val cap =
+      try q.sparkSession.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates").toInt
+      catch { case _: Exception => 100 }
+    val wrapped = prog.length >= cap
     require(rows > 0,
-      s"streaming run '$what' drained ZERO input rows across " +
-        s"${q.recentProgress.length} progress updates - empty-source " +
-        "layout bug (round-13 class, commit 28ba634), not a result")
+      if (wrapped)
+        s"streaming run '$what' shows ZERO input rows but its progress " +
+          s"ring buffer is FULL (${prog.length} >= cap $cap) - the " +
+          "non-empty entries may have been evicted; raise " +
+          "spark.sql.streaming.numRecentProgressUpdates for this finite " +
+          "drain before trusting (or blaming) the source layout"
+      else
+        s"streaming run '$what' drained ZERO input rows across " +
+          s"${prog.length} progress updates - empty-source " +
+          "layout bug (round-13 class, commit 28ba634), not a result")
   }
 
   /** Run a streaming transform to completion against the (finite) file

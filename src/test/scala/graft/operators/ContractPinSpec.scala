@@ -18,8 +18,24 @@ import java.nio.file.Files
   */
 class ContractPinSpec extends AnyFunSuite {
 
-  private val srcRoot = new File("src/main/scala/graft")
+  // Resolve the source root independently of the process cwd (round-14
+  // ADVICE): prefer an explicit -Dgraft.sourceRoot, else climb from
+  // user.dir looking for src/main/scala/graft — sbt forks tests from the
+  // build root, but an IDE or a nested-module runner may not.
+  private val srcRoot: File = {
+    val rel = "src/main/scala/graft"
+    sys.props.get("graft.sourceRoot").map(new File(_)).orElse {
+      Iterator.iterate(new File(sys.props("user.dir")).getAbsoluteFile)(_.getParentFile)
+        .takeWhile(_ != null).take(6)
+        .map(d => new File(d, rel)).find(_.isDirectory)
+    }.getOrElse(new File(rel))
+  }
   private val home = "KmeansPortable.scala"
+
+  // Files OTHER than `home` where a needle is a legitimate non-contract
+  // use (e.g. unrelated squared-difference arithmetic). Extend this —
+  // with a justification comment — instead of weakening the needles.
+  private val allow: Map[String, Set[String]] = Map.empty.withDefaultValue(Set.empty)
 
   private def scalaFiles(dir: File): Seq[File] = {
     val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
@@ -41,6 +57,7 @@ class ContractPinSpec extends AnyFunSuite {
     assert(sources.size > 30, "suspiciously few sources scanned")
     for ((label, needle) <- patterns) {
       val hits = sources.collect { case (f, s) if s.contains(needle) => f.getName }
+        .filterNot(allow(needle).contains)
       assert(hits == Seq(home),
         s"$label ('$needle') must live ONLY in $home; found in: " +
           hits.mkString(", ") +
