@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Dev-only equivalence pin for rewritten oracle forms (round-14 d06/d11
+shingle-keyed candidate rewrite): runs TWO DuckDB SQL files over the same
+sf dir and asserts bit-identical output, so a future edit to the live
+oracle can't silently diverge from the proven all-pairs form. Invoked by
+graft.queries.OracleEquivalenceSpec with the LIVE SQL pulled from
+SparkEntry.oracleSql; NOT part of the engine.
+
+Usage: oracle_equivalence.py <sf_dir> <sql_a_file> <sql_b_file>
+Exit 0 = identical; nonzero = divergence (first differing row printed)."""
+import math
+import os
+import struct
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def cells_differ(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return False
+        return struct.pack("<d", a) != struct.pack("<d", b)
+    return a != b
+
+
+def main(sf_dir, sql_a, sql_b):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    ra = con.execute(open(sql_a).read()).fetchall()
+    rb = con.execute(open(sql_b).read()).fetchall()
+    if len(ra) != len(rb):
+        print(f"DIVERGED: {len(ra)} rows vs {len(rb)} rows")
+        return 1
+    for i, (x, y) in enumerate(zip(ra, rb)):
+        if len(x) != len(y) or any(cells_differ(a, b) for a, b in zip(x, y)):
+            print(f"DIVERGED at row {i}: {x} vs {y}")
+            return 1
+    print(f"identical: {len(ra)} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:4]))
