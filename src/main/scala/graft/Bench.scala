@@ -89,22 +89,26 @@ object Bench {
       spark.catalog.clearCache()
       if (failed != null) {
         System.err.println(s"[bench] $name FAILED: ${failed.getMessage.linesIterator.next()}")
-        (name, -1.0, -1.0)
+        (name, -1.0, -1.0, -1.0)
       } else {
       val dt = times.min
       // the 5-run median rides along so regressions are judged on medians
       // (the round-6 audit protocol): a min can flatter, a single run can
-      // slander; the median is the steady-state number
+      // slander; the median is the steady-state number. The max rides
+      // along too (round-15 verdict task 5) so "session variance"
+      // adjudications can cite the in-artifact min..max spread instead of
+      // cross-round precedent.
       val med = times.sorted.apply(times.size / 2)
-      System.err.println(f"[bench] $name%-22s $dt%8.2fs  (median $med%.2fs)")
-      (name, dt, med)
+      System.err.println(f"[bench] $name%-22s $dt%8.2fs  (median $med%.2fs, max ${times.max}%.2fs)")
+      (name, dt, med, times.max)
       }
     }
-    def obj(f: ((String, Double, Double)) => (String, Double)): String =
+    def obj(f: ((String, Double, Double, Double)) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     val qs = obj(r => (r._1, r._2))
     val meds = obj(r => (r._1, r._3))
+    val maxs = obj(r => (r._1, r._4))
     val total = results.map(_._2).sum
     val medTotal = results.map(_._3).sum
     val filtered = if (only.isDefined)
@@ -120,7 +124,7 @@ object Bench {
       s""","aux":${auxEntries.mkString("{", ",", "}")}""" else ""
     val probeEnd = probeMedian()
     System.err.println(f"[bench] drift probe (session end): $probeEnd%.3fs")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s}""")
     spark.stop()
   }
 }

@@ -23,8 +23,13 @@ assert not a.get("filtered") and not b.get("filtered"), \
     "refusing to build a medians artifact from a filtered (partial) session"
 ma, mb = a["medians"], b["medians"]
 assert set(ma) == set(mb), sorted(set(ma) ^ set(mb))
+# HEADLINE (round-15 verdict task 5): the probe-NORMALIZED totals lead the
+# artifact — raw totals stay alongside, but the number the round quotes is
+# median_total * PROBE_REF_SEC / session_probe, so an environment epoch
+# can't masquerade as a code movement (or vice versa).
 out = {
     "protocol": "",
+    "headline_normalized_totals": None,  # filled below when probes present
     "median_total_run_a": round(sum(ma.values()), 3),
     "median_total_run_b": round(sum(mb.values()), 3),
     "medians_run_a": ma,
@@ -45,11 +50,30 @@ for run, d in (("a", a), ("b", b)):
             k: round(v * scale, 3) for k, v in m.items()}
         out[f"median_total_normalized_run_{run}"] = round(
             sum(m.values()) * scale, 3)
+    # per-query run spread [min, max] of the 5 timed executions (verdict
+    # task 5): "session variance" adjudications cite this in-artifact
+    # spread instead of cross-round precedent
+    if "maxs" in d:
+        out[f"spread_run_{run}"] = {
+            k: [d["queries"][k], d["maxs"][k]] for k in d["maxs"]}
+if "median_total_normalized_run_a" in out and \
+        "median_total_normalized_run_b" in out:
+    out["headline_normalized_totals"] = {
+        "run_a": out["median_total_normalized_run_a"],
+        "run_b": out["median_total_normalized_run_b"],
+        "best_of_both_normalized": round(sum(
+            min(out["medians_normalized_run_a"][k],
+                out["medians_normalized_run_b"][k]) for k in ma), 3)}
+else:
+    del out["headline_normalized_totals"]
 for run, d in (("a", a), ("b", b)):
     if "aux" in d:
         out[f"aux_run_{run}"] = d["aux"]
 if len(sys.argv) > 4:
     out.update(json.load(open(sys.argv[4])))
 json.dump(out, open(sys.argv[3], "w"), indent=1)
+hn = out.get("headline_normalized_totals")
 print(f"wrote {sys.argv[3]}: totals a={out['median_total_run_a']} "
-      f"b={out['median_total_run_b']} best={out['best_of_both_total']}")
+      f"b={out['median_total_run_b']} best={out['best_of_both_total']}"
+      + (f" | NORMALIZED a={hn['run_a']} b={hn['run_b']} "
+         f"best={hn['best_of_both_normalized']}" if hn else ""))
