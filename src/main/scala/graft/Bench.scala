@@ -60,6 +60,26 @@ object Bench {
     }
     val probeStart = probeMedian()
     System.err.println(f"[bench] drift probe (session start): $probeStart%.3fs")
+    // Memory accounting (round-15 verdict task 2): the reference's stated
+    // north star is BOUNDED PEAK MEMORY (its README: "protect peak memory
+    // usage through automated batching"); the rebuild's answer is
+    // partitioning + spill. These counters put the evidence in every
+    // bench artifact: per-query shuffle/agg spill bytes (a query that
+    // completes by spilling is the design working; one that OOMs is the
+    // design failing) and the JVM's peak RSS at session end.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     // steady-state methodology: per query, one untimed warmup run (codegen
     // compilation + JIT), then clear the block cache (so persisted
     // intermediates don't fake the measurement) and take the best of FIVE
@@ -69,7 +89,16 @@ object Bench {
     // median swing on mwa06 under 3 runs with a bit-identical binary —
     // a 5-run median is the cheapest protocol whose per-query medians
     // stay within ~1.2x across back-to-back invocations).
+    // per-query spill deltas: listener posts are async, so settle briefly
+    // before reading the counters — attribution error is bounded by one
+    // bus drain, fine for an artifact whose signal is "orders of MB"
+    def spillSnapshot(): (Long, Long) = {
+      Thread.sleep(200)
+      (spillMem.get(), spillDisk.get())
+    }
+    val spillByQuery = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = names.map { name =>
+      val (m0, d0) = spillSnapshot()
       // a query that fails to plan or execute reports -1, never a fake
       // fast time: round-8's bench silently recorded 0.00s for five
       // queries broken by a testdata schema change.
@@ -87,6 +116,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()
+      locally {
+        val (m1, d1) = spillSnapshot()
+        spillByQuery(name) = (m1 - m0, d1 - d0)
+      }
       if (failed != null) {
         System.err.println(s"[bench] $name FAILED: ${failed.getMessage.linesIterator.next()}")
         (name, -1.0, -1.0, -1.0)
@@ -124,7 +157,21 @@ object Bench {
       s""","aux":${auxEntries.mkString("{", ",", "}")}""" else ""
     val probeEnd = probeMedian()
     System.err.println(f"[bench] drift probe (session end): $probeEnd%.3fs")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s}""")
+    // memory artifact: per-query spill MB (only queries that spilled),
+    // peak RSS (VmHWM from /proc — includes offheap + JVM overhead) and
+    // the configured heap ceiling
+    val spillObj = spillByQuery.collect {
+      case (n, (m, dk)) if m > 0 || dk > 0 =>
+        f""""$n":{"spill_mem_mb":${m / 1e6}%.1f,"spill_disk_mb":${dk / 1e6}%.1f}"""
+    }.mkString("{", ",", "}")
+    val peakRssMb =
+      try scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmHWM")).map(_.split("\\s+")(1).toLong / 1024)
+        .getOrElse(-1L)
+      catch { case _: Exception => -1L }
+    val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val mem = s""","mem":{"heap_max_mb":$heapMaxMb,"peak_rss_mb":$peakRssMb,"spill":$spillObj}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s$mem%s}""")
     spark.stop()
   }
 }
