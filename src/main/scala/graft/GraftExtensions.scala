@@ -9,13 +9,16 @@ import graft.functions.{GpsSeconds, MinHashText, RepetitionStats, WordShingles}
   * functions with the SQL function registry (so `SELECT gps_seconds(ts)`
   * works in spark.sql as well as the Column API) and graft's optimizer
   * rules (RangeJoinRewrite: un-keyed interval joins become bucketed equi
-  * joins instead of nested-loop O(n^2) plans).
+  * joins instead of nested-loop O(n^2) plans; EmptyGroupingSetsRewrite:
+  * standard-SQL grand-total rows for rollup/cube over empty input — a
+  * round-15 differential-fuzzer finding).
   *
   * Activate with .config("spark.sql.extensions", "graft.GraftExtensions").
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.sqlFunctions.foreach(ext.injectFunction)
+    ext.injectPostHocResolutionRule(_ => graft.plans.EmptyGroupingSetsRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectOptimizerRule(s => new graft.plans.BloomJoinRewrite(s))

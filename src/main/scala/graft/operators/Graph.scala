@@ -10,6 +10,33 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Pin a STATIC table (the edge set every round re-reads) via the SQL
+    * COLUMNAR cache instead of `localCheckpoint(true)`.
+    *
+    * Round-15 scale finding (sf10, 8 GiB heap): localCheckpoint stores
+    * raw deserialized UnsafeRow blocks at MEMORY_AND_DISK; once the edge
+    * set outgrows storage memory the blocks land on disk, and EVERY
+    * subsequent read re-promotes 200 MiB+ blocks into the heap through
+    * row-by-row Java deserialization (`BlockManager.
+    * maybeCacheDiskValuesInMemory` -> `putIteratorAsValues`) — 32
+    * concurrent tasks doing that OOM'd d28_kcore at sf10 (120 M mirrored
+    * edges). The SQL cache stores compressed COLUMNAR batches (delta/RLE
+    * on the long keys — several times smaller), reads them as byte
+    * buffers without per-row promotion, and keeps lineage so an evicted
+    * batch falls back to recompute-from-parquet instead of a lost block.
+    * The cached relation also preserves the child's outputPartitioning,
+    * so the repartition(src) layout the per-round joins rely on
+    * survives. Lineage truncation — the reason the ITERATIVE node state
+    * uses localCheckpoint — is not load-bearing here: the edge pin's
+    * lineage is a constant-depth scan->mirror->repartition->distinct.
+    * The eager count() materializes the cache once, outside the first
+    * round's join. Callers unpersist on exit. */
+  private def pinStatic(df: DataFrame): DataFrame = {
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    pinned
+  }
+
   /** PageRank in EXACT integer arithmetic: ranks are maintained as scaled
     * BIGINTs (`scale` = 1.0) and every step uses integral division, so the
     * result is bit-identical across engines, run orders, and partition
@@ -37,9 +64,8 @@ object Graph {
   def pageRankScaled(edges: DataFrame, idA: String = "id_a",
                      idB: String = "id_b", iters: Int = 3,
                      scale: Long = 1000000000000L): DataFrame = {
-    val dir = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint(true) // evaluated every round: pin it once
+    val dir = pinStatic(edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst"))))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
     // node count: one tiny agg — a scalar, same class as tfIdf's N
     val n = deg.count()
@@ -55,6 +81,7 @@ object Graph {
         .select(col("dst").as("id"), col("pr"))
         .localCheckpoint(true)
     }
+    dir.unpersist(false) // ranks is checkpoint-materialized; pin no longer needed
     ranks
   }
 
@@ -126,7 +153,7 @@ object Graph {
     // hash-partition the edge table on src ONCE: every round's
     // frontier-expansion join then reuses this partitioning (only the
     // small frontier moves), instead of re-shuffling the edges per round
-    val dir = (if (directed) fwd
+    val dir = pinStatic((if (directed) fwd
                else fwd.unionByName(
                  edges.select(col("dst").as("src"), col("src").as("dst"))))
       // repartition FIRST: hash-partitioning on src co-locates equal
@@ -134,8 +161,7 @@ object Graph {
       // local on top of it — one exchange, and the result stays
       // partitioned on src for every round's join
       .repartition(col("src"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var dist = seeds.select(col("id")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint(true)
     var frontier = dist
@@ -171,6 +197,7 @@ object Graph {
       prev2 = frontier
       frontier = next
     }
+    dir.unpersist(false) // every level in dist is checkpoint-materialized
     dist
   }
 
@@ -197,11 +224,10 @@ object Graph {
   def boundedShortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int,
                            directed: Boolean = false): DataFrame = {
     val fwd = edges.select(col("src"), col("dst"), col("w"))
-    val dir = (if (directed) fwd
+    val dir = pinStatic((if (directed) fwd
                else fwd.unionByName(edges.select(col("dst").as("src"),
                  col("src").as("dst"), col("w"))))
-      .repartition(col("src")) // one-time: each round's relax join reuses it
-      .localCheckpoint(true)
+      .repartition(col("src"))) // one-time: each round's relax join reuses it
     var dist = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     for (_ <- 1 to rounds) {
@@ -211,6 +237,7 @@ object Graph {
         .groupBy("id").agg(min("dist").as("dist"))
         .localCheckpoint(true)
     }
+    dir.unpersist(false)
     dist
   }
 
@@ -285,17 +312,16 @@ object Graph {
     // (round-11 ADVICE suggested dropping it; MEASURED and kept): a
     // HashPartitioning on src already co-locates equal (src, dst) rows,
     // so it satisfies the distinct aggregate's ClusteredDistribution —
-    // the distinct adds NO exchange of its own and the checkpointed
+    // the distinct adds NO exchange of its own and the cached
     // layout stays src-partitioned, which the per-round joins then reuse
     // whenever the node side is past broadcast size (exactly the BFS pin
     // above). A/B at sf0.1, same session, best/median of 5: with the
     // repartition 3.82/4.09 s; without (distinct's own (src,dst)
     // exchange, rounds re-shuffling edges) 5.41/6.01 s.
-    val dir = edges.select(col("src"), col("dst"))
+    val dir = pinStatic(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var nodes = dir.select(col("src").as("id")).distinct().localCheckpoint(true)
     var nNodes = nodes.count()
     var rounds = 0
@@ -319,6 +345,7 @@ object Graph {
       nodes = next
       nNodes = n
     }
+    dir.unpersist(false)
     nodes
   }
 }

@@ -482,6 +482,25 @@ object R11b {
     },
     Some(kCoreOracle(rounds = 20, k = 6)), bench = true)
 
+  /** Round-15 fuzzer-finding regression (FUZZ_r15_sf01 f0068/f0137):
+    * standard-SQL grand-total row for ROLLUP over a runtime-empty input
+    * (filter satisfiable-looking but matching zero rows). Native Spark
+    * drops the ()-set row; `EmptyGroupingSetsRewrite` (GraftExtensions)
+    * restores it — this query certifies the fixed semantics against the
+    * DuckDB oracle every round, including the grouping() mask fold. */
+  private val q72 = QueryDef("q72_rollup_empty",
+    (s, d) => Tables.customer(s, d)
+      .filter(length(col("c_mktsegment")) > 11)
+      .rollup(col("c_nationkey"))
+      .agg(min(col("c_name")).as("min_name"), count(lit(1)).as("cnt"),
+        grouping(col("c_nationkey")).cast("int").as("g"))
+      .select(col("c_nationkey").as("nk"), col("min_name"), col("cnt"), col("g"))
+      .orderBy(col("nk").asc_nulls_first),
+    Some("""SELECT c_nationkey AS nk, MIN(c_name) AS min_name,
+            COUNT(*) AS cnt, CAST(GROUPING(c_nationkey) AS INT) AS g
+            FROM customer WHERE length(c_mktsegment) > 11
+            GROUP BY ROLLUP(c_nationkey) ORDER BY nk NULLS FIRST"""))
+
   val all: Seq[QueryDef] = Seq(mwa17, mwa18, mwa19, mwa20, mwa21, mwa22,
-    mwa23, mwa24, mwa25, s22, d28)
+    mwa23, mwa24, mwa25, s22, d28, q72)
 }
