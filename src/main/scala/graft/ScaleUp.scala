@@ -34,16 +34,57 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  // per-copy bijections on frequent letters ("etaoins" rotated): copy 0 is
-  // identity so the original corpus is a subset of the scaled one
-  private val alphabet = "etaoins"
-  private def perm(i: Int): String =
-    alphabet.drop(i % alphabet.length) + alphabet.take(i % alphabet.length)
+  // Per-copy letter bijections; copy 0 is identity so the original corpus
+  // is a subset of the scaled one.
+  //
+  // ROUND-15 FIX (found by the sf10 sweep, BENCH_sf10.json): the original
+  // family was ROTATIONS of "etaoins" — a cyclic group of order 7. Beyond
+  // 7 copies the family folds (copy 7 = copy 0, ...), and two-level
+  // derivations compose rotations, so sf1->sf10 mapped 100 (outer, inner)
+  // copy pairs onto only 7 distinct bijections: every base document
+  // existed in ~14 byte-identical variants, the corpus's TRUE near-dup
+  // pair count grew quadratically in the fold multiplicity, and the exact
+  // set-similarity join (d27) was forced to enumerate an answer that had
+  // itself exploded — the precise "swamp the linear-slope signal"
+  // failure mode the CONSTRUCTION note below exists to prevent. The
+  // family is now a seeded Fisher-Yates permutation of all 26 lowercase
+  // letters per copy index (splitmix64-mixed seed): 26! >> any factor, so
+  // neither the family nor its pairwise compositions collide in practice,
+  // and cross-copy texts stay dissimilar at every derivation depth.
+  // (/tmp/sf1 generated before this fix carries the old family's
+  // copy-7..9 fold; deriving sf10 FROM that sf1 keeps its certified
+  // answer as the base and grows it linearly, which is the trend the
+  // sweep measures.)
+  private[graft] val alphabet = "abcdefghijklmnopqrstuvwxyz"
+  private[graft] def perm(i: Int): String = {
+    if (i == 0) return alphabet
+    val a = alphabet.toCharArray
+    var s = i.toLong * 0x9E3779B97F4A7C15L
+    def next(bound: Int): Int = { // splitmix64 step, then bounded
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (((z >>> 1) % bound).toInt)
+    }
+    var j = a.length - 1
+    while (j > 0) {
+      val k = next(j + 1)
+      val t = a(j); a(j) = a(k); a(k) = t
+      j -= 1
+    }
+    new String(a)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
       "usage: ScaleUp <srcDir> <dstDir> <factor> [hot=<N>]")
     val (src, dst, n) = (args(0), args(1), args(2).toInt)
+    // the round-15 fold bug, made structural: a derivation whose copy
+    // bijections collide is generating a skew experiment, not a scale trend
+    require((0 until n).map(perm).distinct.size == n,
+      s"ScaleUp: permutation family collides within factor $n")
     val hot = args.drop(3).headOption
       .map { a => require(a.startsWith("hot="), s"bad arg $a"); a.drop(4).toInt }
       .getOrElse(0)
