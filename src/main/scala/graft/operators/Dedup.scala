@@ -630,8 +630,27 @@ object Dedup {
       if (bij.getLong(0) == bij.getLong(1))
         sets.select(col("id"), transform(col("sh"), t => xxhash64(t)).as("sh"))
       else sets
+    // SHUFFLE_HASH on the corpus side (round-15, measured at sf10 via
+    // ProbeD27/BENCH_sf10): sort-merge would SORT the candidate-many
+    // stream twice, and after the first join every stream row carries a
+    // full shingle array — at sf10 that sort alone spilled ~17 GB/run
+    // (103 GB over a 6-run bench session) and, on the pre-fix folded
+    // corpus, exhausted the sandbox disk. The hash join keeps both
+    // exchanges but eliminates both sorts: the build side is the CORPUS
+    // (bounded per partition by |corpus|/shuffle.partitions — partitions
+    // scale with the cluster at 100 TB), while the unbounded candidate
+    // stream only ever streams. Results are join-semantics-identical;
+    // the hint degrades to SMJ if the planner can't apply it.
+    // MEASURED (fresh-JVM sessions, same corpus): sf10 median 142.8s
+    // (SMJ) -> 96.2s (SHJ, 1.49x, under a SLOWER probe epoch 0.96 vs
+    // 0.76), session disk spill 103 GB -> 0.6 GB; sf1 is a tie (5.31 vs
+    // 5.08 — nothing spills there, so the sorts were never the cost).
+    // Plan pinned by PlanQualitySpec ("verification joins hash, never
+    // sort"); oracle-green at sf0.01 post-change.
     val l = vsets.select(col("id").as("id_a"), col("sh").as("__sa"))
+      .hint("SHUFFLE_HASH")
     val r = vsets.select(col("id").as("id_b"), col("sh").as("__sb"))
+      .hint("SHUFFLE_HASH")
     candidates.join(l, Seq("id_a")).join(r, Seq("id_b"))
       .withColumn("jaccard",
         floor(TextFns.jaccardDistinct(col("__sa"), col("__sb")) * 10000 + 0.5) / 10000)

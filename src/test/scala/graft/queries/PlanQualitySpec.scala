@@ -247,6 +247,33 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(!plan("mwa22_select_surface").contains("CartesianProduct"))
   }
 
+  test("d27: verification joins hash, never sort, the candidate stream") {
+    // round-15 sf10 finding: a sort-merge verify would SORT the
+    // candidate-many stream twice — and after the first join every row
+    // carries a full shingle array (103 GB of sort spill per sf10 bench
+    // session before the SHUFFLE_HASH hint; disk exhaustion on the
+    // pre-fix corpus). The corpus side is the bounded build side; the
+    // unbounded candidate stream must only ever stream.
+    // AQE's wrapper node has no children, so tree collect sees nothing —
+    // plan the query without it for this structural check
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec =
+      try Catalog.queries("d27_prefix_jaccard")(spark, dir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val shj = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(shj.count(_.output.exists(_.name.startsWith("__s"))) == 2,
+      s"d27 verify joins lost the SHUFFLE_HASH hint:\n$exec")
+    // other pipeline joins (token freq, hot-bucket fallback) may sort —
+    // their rows are bounded scalars; the ARRAY stream must not
+    val smj = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(!smj.exists(_.output.exists(_.name.startsWith("__s"))),
+      s"a sort-merge join touches the shingle-array stream:\n$exec")
+  }
+
   test("x12: portable k-means assigns with literal centroids — no join, no cartesian") {
     // the Lloyd rounds run eagerly inside the build (driver collects only
     // k x dim longs); the RETURNED plan is final-assignment + one window —
