@@ -124,7 +124,13 @@ object Dedup {
     // text first, THEN shingle — the shingle expressions sit above the
     // joins, so the array<string> sets exist only for the few candidate
     // rows, never for the full corpus
+    // SHUFFLE_HASH on the corpus side, same round-15 rationale as
+    // prefixJaccardPairs' verify (measured there: sf10 1.49x, disk spill
+    // 103 GB -> 0.6 GB): sort-merge would sort the candidate stream twice,
+    // the second time with each row carrying a full document text. The
+    // corpus side is bounded per partition; the candidate stream streams.
     val texts = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .hint("SHUFFLE_HASH")
     candidates
       .join(texts.select(col("id").as("id_a"), col("__text").as("__ta")), Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("__text").as("__tb")), Seq("id_b"))
@@ -231,9 +237,14 @@ object Dedup {
         .agg(collect_list(col("id")).as("ids"))
         .filter(size(col("ids")) > 1))
       .distinct()
+    // SHUFFLE_HASH on the signature side (round-15, same rationale as the
+    // verify joins above): never sort the candidate stream with signature
+    // arrays aboard
     cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
       .withColumn("est_jaccard",
         round(TextFns.minhashEstimate(col("sig_a"), col("sig_b")), 4))
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
@@ -853,9 +864,14 @@ object Dedup {
   def editDistanceVerify(candidates: DataFrame, docs: DataFrame,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame =
+    // SHUFFLE_HASH on the corpus side — same round-15 rationale as the
+    // other verify join-backs: the candidate stream must never be SORTED
+    // carrying document texts
     candidates
-      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
-      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
       .withColumn("edit_sim", editSimilarity(col("__ta"), col("__tb")))
       .drop("__ta", "__tb")
       .select(col("id_a"), col("id_b"), col("edit_sim"))

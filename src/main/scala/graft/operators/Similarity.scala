@@ -228,8 +228,12 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("__cv"))
     val paired = candidatePairs match {
+      // SHUFFLE_HASH on the vector sides (round-15, the d27 verify
+      // finding): the pair stream is the unbounded side and must never
+      // be SORTED carrying an embedding array; the vector tables build
       case Some(p) => p.select(col("qid"), col("cid"))
-        .join(q, Seq("qid")).join(c, Seq("cid"))
+        .join(q.hint("SHUFFLE_HASH"), Seq("qid"))
+        .join(c.hint("SHUFFLE_HASH"), Seq("cid"))
       case None => q.join(c)
     }
     val rel = paired
