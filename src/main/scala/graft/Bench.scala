@@ -8,10 +8,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE_PARTS (default = cpus, the pinned round
+    // protocol): partition-sizing experiments — at a fixed SF, per-task
+    // state is working-set/partitions, so a spill-bound query's penalty
+    // can be re-priced without touching memory (the 100 TB sizing lever
+    // the brief names). Off-protocol values mark the artifact via the
+    // extra "shuffle_partitions" field; the medians protocol stays 32.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -171,7 +178,10 @@ object Bench {
       catch { case _: Exception => -1L }
     val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val mem = s""","mem":{"heap_max_mb":$heapMaxMb,"peak_rss_mb":$peakRssMb,"spill":$spillObj}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s$mem%s}""")
+    // off-protocol partition counts must be visible in the artifact so a
+    // sizing experiment can never masquerade as a protocol session
+    val partsField = if (parts != cpus) s""","shuffle_partitions":$parts""" else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s$mem%s$partsField%s}""")
     spark.stop()
   }
 }
