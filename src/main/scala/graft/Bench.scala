@@ -15,10 +15,20 @@ object Bench {
     // the brief names). Off-protocol values mark the artifact via the
     // extra "shuffle_partitions" field; the medians protocol stays 32.
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_INIT_PARTS: sets AQE's coalescePartitions
+    // initialPartitionNum — shuffles START at this count and AQE
+    // coalesces per-stage by advisory size, which is the canonical
+    // cluster answer to the per-operator-family sizing split the sf10
+    // experiment measured (BENCH_sf10.json): iterative graph state wants
+    // many small tasks, in-memory hash verifies want few large ones.
+    val initParts = sys.env.get("SPARK_GRAFT_INIT_PARTS")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", parts)
+    initParts.foreach(n => builder.config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -180,7 +190,8 @@ object Bench {
     val mem = s""","mem":{"heap_max_mb":$heapMaxMb,"peak_rss_mb":$peakRssMb,"spill":$spillObj}"""
     // off-protocol partition counts must be visible in the artifact so a
     // sizing experiment can never masquerade as a protocol session
-    val partsField = if (parts != cpus) s""","shuffle_partitions":$parts""" else ""
+    val partsField = (if (parts != cpus) s""","shuffle_partitions":$parts""" else "") +
+      initParts.map(n => s""","aqe_initial_partitions":$n""").getOrElse("")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s$mem%s$partsField%s}""")
     spark.stop()
   }
