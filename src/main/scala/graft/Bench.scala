@@ -106,12 +106,26 @@ object Bench {
     // median swing on mwa06 under 3 runs with a bit-identical binary —
     // a 5-run median is the cheapest protocol whose per-query medians
     // stay within ~1.2x across back-to-back invocations).
-    // per-query spill deltas: listener posts are async, so settle briefly
-    // before reading the counters — attribution error is bounded by one
-    // bus drain, fine for an artifact whose signal is "orders of MB"
+    // per-query spill deltas: listener posts are async. A tiny barrier job
+    // is run first (the bus is FIFO, so its events queue behind every
+    // prior task-end), then the counters are polled to stability instead
+    // of a fixed sleep (round-15 ADVICE: a slow bus could bleed one
+    // query's spill into the next under the old 200ms guess). NOTE the
+    // window: each per-query delta spans the untimed warmup PLUS all 5
+    // timed runs — ~6x a single execution — which the artifact states via
+    // mem.spill_window so the numbers can't be misread as per-run.
     def spillSnapshot(): (Long, Long) = {
-      Thread.sleep(200)
-      (spillMem.get(), spillDisk.get())
+      spark.range(1).count()
+      var prev = (spillMem.get(), spillDisk.get())
+      var settled = false
+      var waited = 0
+      while (!settled && waited < 1000) {
+        Thread.sleep(50); waited += 50
+        val cur = (spillMem.get(), spillDisk.get())
+        settled = cur == prev
+        prev = cur
+      }
+      prev
     }
     val spillByQuery = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = names.map { name =>
@@ -187,7 +201,8 @@ object Bench {
         .getOrElse(-1L)
       catch { case _: Exception => -1L }
     val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val mem = s""","mem":{"heap_max_mb":$heapMaxMb,"peak_rss_mb":$peakRssMb,"spill":$spillObj}"""
+    val mem = s""","mem":{"heap_max_mb":$heapMaxMb,"peak_rss_mb":$peakRssMb,""" +
+      s""""spill_window":"warmup+5_timed_runs (~6x one execution)","spill":$spillObj}"""
     // off-protocol partition counts must be visible in the artifact so a
     // sizing experiment can never masquerade as a protocol session
     val partsField = (if (parts != cpus) s""","shuffle_partitions":$parts""" else "") +

@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(s => new graft.plans.BloomJoinRewrite(s))
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
     ext.injectCheckRule(session => graft.plans.StrictPlanChecks(session))
+    // bytes-aware exchange sizing (round-16): per-exchange partition counts
+    // derived from plan statistics — the engine-behavior answer to the r15
+    // sf10 partition-sizing experiment (BENCH_sf10.json)
+    ext.injectQueryStagePrepRule(s => new graft.plans.ExchangeSizingRule(s))
   }
 }
 

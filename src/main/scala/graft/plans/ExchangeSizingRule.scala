@@ -1,0 +1,361 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, BroadcastDistribution, Distribution, HashPartitioning, Partitioning, RangePartitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, REPARTITION_BY_COL, ShuffleExchangeExec, ShuffleOrigin}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
+
+/** Bytes-aware exchange sizing: derive each shuffle's partition count from
+  * the estimated bytes ENTERING it, instead of holding one global
+  * `spark.sql.shuffle.partitions` across operators whose per-task working
+  * sets differ by orders of magnitude.
+  *
+  * WHY (the round-15 sf10 experiment, `BENCH_sf10.json:
+  * partition_sizing_experiment_r15`): at 100x the gate scale the iterative
+  * graph family spilled catastrophically under the 32-partition protocol —
+  * d28_kcore 130.7s with 861 GB cumulative memory spill — because each peel
+  * round's per-task sort state is working-set/partitions, and 32 partitions
+  * of 120M mirrored edges do not fit the pooled execution budget. The same
+  * binary at 256 partitions: 33.6s, ~8 GB spill. Meanwhile d27's exact
+  * set-similarity verify join PREFERS 32 (96.2s vs 154-172s at 256): its
+  * exchanges carry shingle ARRAYS into an in-memory hash join, where more
+  * partitions only multiply per-task fixed costs (hash-slice builds,
+  * columnar scans, scheduling waves). One global knob cannot serve both;
+  * the right count is a function of the bytes and the ROW SHAPE entering
+  * each exchange — which the plan knows.
+  *
+  * WHAT: an AQE query-stage-prep rule (runs right after EnsureRequirements,
+  * and again on every AQE re-optimization, where materialized stages carry
+  * runtime stats). For each eligible `ShuffleExchangeExec` it estimates the
+  * input bytes from the child's Catalyst statistics, converts to an
+  * in-memory working-set estimate via a schema-aware expansion factor, and
+  * rounds UP to the next whole-scheduling-wave partition count (multiple
+  * of the session parallelism) that keeps the per-task working set under
+  * `targetTaskBytes` — never below the session default, never above
+  * `maxWaves` full waves. AQE's post-shuffle coalescing then
+  * trims over-estimates per stage (upscaling is a ceiling, coalesce is the
+  * floor — the two compose; this is exactly the measured
+  * `initialPartitionNum=256` arm of the r15 experiment, applied per
+  * exchange instead of per session).
+  *
+  * ELIGIBILITY (what the rule will NEVER touch):
+  *  - only ENSURE_REQUIREMENTS / REPARTITION_BY_COL origins — counts the
+  *    engine filled in from the session default. `repartition(n, ...)` /
+  *    `repartitionByRange(n, ...)` (REPARTITION_BY_NUM) are user choices.
+  *  - never an exchange whose parent distribution pins an exact partition
+  *    count (`Distribution.requiredNumPartitions` — stateful streaming
+  *    operators pin their state-store layout this way).
+  *  - never an exchange whose rows carry ARRAY/MAP columns (d27's shingle
+  *    streams and every collect_list partial-aggregation buffer): columnar
+  *    -> row expansion estimates are unreliable for nested payloads, and
+  *    the measured preference of the only such hot family is FEWER, larger
+  *    tasks.
+  *  - co-partitioned join sides are resized TOGETHER to one count, and only
+  *    when BOTH sides are eligible exchanges; if either side's partitioning
+  *    is dictated by something else (a cached relation's layout, a
+  *    materialized query stage), the whole group is left alone. A subtree
+  *    whose output partitioning feeds such a group is FROZEN on the way
+  *    down, so a deeper exchange can never break co-partitioning from
+  *    below (an exchange resets the freeze for its own child — its shuffle
+  *    masks everything beneath it).
+  *  - estimates above `maxTrustedBytes` are treated as absent, not huge:
+  *    they come from `defaultSizeInBytes` sentinels (stats-less DSv2
+  *    sources) or multiplicative join-output estimates, and a garbage
+  *    estimate must fail closed (keep the default), not open (explode the
+  *    partition count). Join blow-up is additionally capped at 4x the sum
+  *    of the subtree's LEAF estimates — a shuffle's input is linear in
+  *    what was read plus bounded expansion, not the Cartesian product
+  *    Catalyst's size-only visitor multiplies out.
+  *
+  * CALIBRATION: Catalyst's sizeInBytes for parquet/cached leaves is
+  * COMPRESSED bytes (delta/RLE on the long-keyed edge family compresses
+  * 10-20x), while the operational quantity is the per-task UnsafeRow
+  * sort/hash footprint. Only ALL-FIXED-WIDTH row schemas (the graph/edge
+  * shape, where that gap is largest and the r15 win was measured) may
+  * INITIATE an upscale — `fixedWidthExpansion` x estimate / 32 MB per
+  * task; string-bearing rows never initiate (upscaling d27's token-keyed
+  * string exchanges to 64-256 was measured at +30% median and fresh spill,
+  * r16) but may follow a fixed-width sibling in a co-partition group.
+  * With these constants the d28/d24 edge exchanges at sf10 land on 256 —
+  * the empirically-fastest arm of the r15 experiment, across all three
+  * estimate flavors the rule sees for the same stream (parquet-scaled
+  * 365-547 MB, runtime 1.30-1.46 GB) — while every sf0.1 and sf1 protocol
+  * exchange stays at the session default (flat protocol numbers, certified
+  * by the r16 bench artifacts). Pinned by ExchangeSizingSpec on the exact
+  * logged estimates.
+  *
+  * At 100 TB this policy is the difference between "completes by spilling"
+  * and "plans correctly": the reference's bounded-memory north star
+  * (`/root/reference/README.md:9-10`, automated batching to protect peak
+  * memory) re-expressed as Spark partitioning derived from plan
+  * statistics. Opt out: `spark.graft.sizing.enabled=false`.
+  */
+class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
+  import ExchangeSizing._
+
+  override def apply(plan: SparkPlan): SparkPlan = {
+    val c = session.sessionState.conf
+    if (!c.getConfString("spark.graft.sizing.enabled", "true").toBoolean) plan
+    else walk(plan, frozen = false, Params(c))
+  }
+
+  private def walk(p: SparkPlan, frozen: Boolean, prm: Params): SparkPlan = p match {
+    case ex: ShuffleExchangeExec =>
+      // the exchange re-partitions whatever is beneath it, so its child
+      // subtree is free regardless of constraints from above
+      val newChild = walk(ex.child, frozen = false, prm)
+      val ex2 =
+        if (newChild eq ex.child) ex
+        else ex.withNewChildren(Seq(newChild)).asInstanceOf[ShuffleExchangeExec]
+      if (frozen) ex2
+      else resized(ex2, prm).getOrElse(ex2)
+    case _ =>
+      val dists = p.requiredChildDistribution
+      val clusteredIdx = dists.zipWithIndex.collect {
+        case (d, i) if isPartitionConstraining(d) => i
+      }
+      // >= 2 partition-constraining children = a co-partition group (SMJ /
+      // SHJ sides, cogroup): members must keep EQUAL partition counts.
+      if (clusteredIdx.size >= 2) {
+        val members = clusteredIdx.map(p.children)
+        // each member's partition DEFINER: the exchange under any
+        // EnsureRequirements-inserted sorts (SMJ members are
+        // Sort(Exchange); SHJ members are bare exchanges)
+        val definers = members.map(partitionDefiner)
+        val resizable = !frozen &&
+          clusteredIdx.forall(i => dists(i).requiredNumPartitions.isEmpty) &&
+          definers.forall {
+            case ex: ShuffleExchangeExec => eligibleOrigin(ex.shuffleOrigin)
+            case _ => false
+          } &&
+          members.map(_.outputPartitioning.numPartitions).distinct.size == 1
+        val newChildren: Seq[SparkPlan] =
+          if (resizable) {
+            val exs = definers.map(_.asInstanceOf[ShuffleExchangeExec])
+            // one common count: the max of the members' own targets (a
+            // group is only as healthy as its biggest side). A member
+            // failing a GATE (arrays, untrusted estimate) vetoes the
+            // group so both sides stay put together; a member that merely
+            // doesn't NEED more partitions (tiny side of a join) follows
+            // the bigger sibling — resizing a small side up is harmless,
+            // and the big side is the one spilling.
+            val targets = exs.map(e => decide(e, prm))
+            val common =
+              if (targets.contains(ExchangeSizing.Veto)) None
+              else targets.collect { case ExchangeSizing.Up(n) => n }
+                .reduceOption(math.max)
+            p.children.zipWithIndex.map { case (c, i) =>
+              if (!clusteredIdx.contains(i)) walk(c, frozen, prm)
+              else rebuildMember(c, common, prm)
+            }
+          } else {
+            // group pinned from outside (cached layout, materialized
+            // stage, stateful requirement): everything that could define
+            // a member's partitioning is frozen below this node
+            p.children.zipWithIndex.map { case (c, i) =>
+              walk(c, frozen = frozen || clusteredIdx.contains(i), prm)
+            }
+          }
+        if (newChildren.zip(p.children).forall { case (a, b) => a eq b }) p
+        else p.withNewChildren(newChildren)
+      } else {
+        // solo constraint (aggregate / sort / window child) or none:
+        // children resize independently; a solo pinned count still freezes
+        val newChildren = p.children.zipWithIndex.map { case (c, i) =>
+          val pinned = i < dists.size && dists(i).requiredNumPartitions.isDefined
+          walk(c, frozen = frozen || pinned, prm)
+        }
+        if (newChildren.zip(p.children).forall { case (a, b) => a eq b }) p
+        else p.withNewChildren(newChildren)
+      }
+  }
+
+  /** The node that defines a join member's partitioning: peel the sorts
+    * EnsureRequirements inserts above the exchange (SortExec preserves its
+    * child's partitioning). */
+  private def partitionDefiner(p: SparkPlan): SparkPlan = p match {
+    case s: org.apache.spark.sql.execution.SortExec => partitionDefiner(s.child)
+    case other => other
+  }
+
+  /** Rebuild one co-partition-group member with its definer exchange
+    * resized to the group's common count (recursing below the exchange,
+    * which is un-frozen by its own shuffle). */
+  private def rebuildMember(member: SparkPlan, common: Option[Int],
+                            prm: Params): SparkPlan = member match {
+    case ex: ShuffleExchangeExec =>
+      val inner = walk(ex.child, frozen = false, prm)
+      val base =
+        if (inner eq ex.child) ex
+        else ex.withNewChildren(Seq(inner)).asInstanceOf[ShuffleExchangeExec]
+      common.flatMap(n => withCount(base, n, prm)).getOrElse(base)
+    case s: org.apache.spark.sql.execution.SortExec =>
+      val newChild = rebuildMember(s.child, common, prm)
+      if (newChild eq s.child) s else s.withNewChildren(Seq(newChild))
+    case other => other // unreachable when resizable held
+  }
+
+  /** Resize a standalone eligible exchange (not part of a join group). */
+  private def resized(ex: ShuffleExchangeExec, prm: Params): Option[SparkPlan] =
+    if (!eligibleOrigin(ex.shuffleOrigin)) None
+    else decide(ex, prm) match {
+      case Up(n) => withCount(ex, n, prm)
+      case _ => None
+    }
+
+  /** The sizing decision for one exchange. */
+  private def decide(ex: ShuffleExchangeExec, prm: Params): Decision = {
+    val schema = ex.child.schema
+    val current = ex.outputPartitioning.numPartitions
+    val est = estimateBytes(ex.child)
+    val d = est.map(b => targetCount(b, schema, current,
+      session.sparkContext.defaultParallelism, prm)).getOrElse(Veto)
+    if (prm.log) {
+      System.err.println(s"[graft-sizing] ${ex.nodeName} origin=${ex.shuffleOrigin} " +
+        s"current=$current est=${est.map(_.toString).getOrElse("n/a")} " +
+        s"wide=${hasWideColumns(schema)} fixed=${allFixedWidth(schema)} -> $d")
+    }
+    d
+  }
+
+  private def withCount(ex: ShuffleExchangeExec, n: Int,
+                        prm: Params): Option[SparkPlan] = {
+    if (n <= ex.outputPartitioning.numPartitions) None
+    else repartitioned(ex.outputPartitioning, n).map { newPart =>
+      ShuffleExchangeExec(newPart, ex.child, ex.shuffleOrigin,
+        ex.advisoryPartitionSize)
+    }
+  }
+
+  /** Bytes entering the exchange: the child's Catalyst estimate, capped at
+    * 4x the subtree's summed leaf estimates (join-output estimates are
+    * multiplicative and unusable raw). None when stats are absent or above
+    * the trust bound — fail CLOSED. */
+  private def estimateBytes(child: SparkPlan): Option[BigInt] = {
+    def statsOf(p: SparkPlan): Option[BigInt] =
+      p.logicalLink.map(_.stats.sizeInBytes)
+    val direct = statsOf(child)
+      .orElse(child.collectFirst {
+        case p if p.logicalLink.isDefined => p.logicalLink.get.stats.sizeInBytes
+      })
+    direct.map { d =>
+      val leaves = child.collectLeaves().map(statsOf)
+      if (leaves.nonEmpty && leaves.forall(_.isDefined))
+        d.min(leaves.flatten.sum * 4)
+      else d
+    }
+  }
+
+  private def repartitioned(part: Partitioning, n: Int): Option[Partitioning] =
+    part match {
+      case h: HashPartitioning => Some(h.copy(numPartitions = n))
+      case r: RangePartitioning => Some(r.copy(numPartitions = n))
+      case _ => None // SinglePartition / RoundRobin: semantics, not sizing
+    }
+}
+
+/** The pure decision core — unit-tested in isolation (ExchangeSizingSpec)
+  * and shared by the rule. */
+object ExchangeSizing {
+
+  /** Confs snapshot (read once per rule application). */
+  final case class Params(targetTaskBytes: Long, maxPartitions: Int,
+                          maxWaves: Int, fixedWidthExpansion: Int,
+                          maxTrustedBytes: Long, log: Boolean)
+  object Params {
+    def apply(c: SQLConf): Params = Params(
+      targetTaskBytes =
+        c.getConfString("spark.graft.sizing.targetTaskBytes",
+          (32L * 1024 * 1024).toString).toLong,
+      maxPartitions =
+        c.getConfString("spark.graft.sizing.maxPartitions", "1024").toInt,
+      maxWaves =
+        c.getConfString("spark.graft.sizing.maxWaves", "8").toInt,
+      fixedWidthExpansion =
+        c.getConfString("spark.graft.sizing.fixedWidthExpansion", "24").toInt,
+      maxTrustedBytes =
+        c.getConfString("spark.graft.sizing.maxTrustedBytes",
+          (1L << 40).toString).toLong, // 1 TiB: beyond it, assume sentinel
+      // env fallback: sbt's forked `run` JVM doesn't inherit -D flags, and
+      // probe sessions are driven by env (the SPARK_GRAFT_* convention)
+      log = c.getConfString("spark.graft.sizing.log",
+        sys.env.getOrElse("SPARK_GRAFT_SIZING_LOG", "false")).toBoolean)
+  }
+
+  def eligibleOrigin(o: ShuffleOrigin): Boolean =
+    o == ENSURE_REQUIREMENTS || o == REPARTITION_BY_COL
+
+  /** A distribution that constrains its child's partitioning (forms a
+    * co-partition group when a node has two or more). */
+  def isPartitionConstraining(d: Distribution): Boolean = d match {
+    case UnspecifiedDistribution => false
+    case AllTuples => false
+    case _: BroadcastDistribution => false
+    case _ => true
+  }
+
+  /** Rows with nested collections: expansion estimates unreliable AND the
+    * measured hot family (d27 verify) prefers fewer, larger tasks. */
+  def hasWideColumns(schema: StructType): Boolean = {
+    def wide(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType => true
+      case s: StructType => s.fields.exists(f => wide(f.dataType))
+      case _ => false
+    }
+    schema.fields.exists(f => wide(f.dataType))
+  }
+
+  /** All fixed-width primitives (the edge/long family): compressed->row
+    * expansion is at its largest there (delta/RLE on longs). */
+  def allFixedWidth(schema: StructType): Boolean = {
+    def fixed(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StringType => false
+      case s: StructType => s.fields.forall(f => fixed(f.dataType))
+      case _ => dt.defaultSize <= 16
+    }
+    schema.fields.forall(f => fixed(f.dataType))
+  }
+
+  /** Three-way decision: Veto = a GATE failed (nested collections,
+    * absent/untrusted estimate) — never resize, and veto any co-partition
+    * group this exchange belongs to; Keep = healthy but no more partitions
+    * needed (a group sibling may still pull it up); Up(n) = resize. */
+  sealed trait Decision
+  case object Veto extends Decision
+  case object Keep extends Decision
+  final case class Up(n: Int) extends Decision
+
+  /** The calibrated decision: estimated compressed bytes -> in-memory
+    * working set -> the smallest FULL-WAVE count (multiple of the session
+    * parallelism — whole scheduling waves, no straggler tail) whose
+    * per-task working set fits `targetTaskBytes`. A power-of-two ceiling
+    * was measured first and rejected: raw targets just past a boundary
+    * (274 -> 512) doubled the task count and cost d28 ~2x at sf10 versus
+    * the measured-optimal 256. */
+  def targetCount(estBytes: BigInt, schema: StructType, current: Int,
+                  parallelism: Int, prm: Params): Decision = {
+    if (estBytes <= 0 || estBytes > prm.maxTrustedBytes) return Veto
+    if (hasWideColumns(schema)) return Veto
+    // var-width (string-bearing) rows never INITIATE an upscale — the only
+    // measured string-heavy hot family (d27's token-keyed exchanges at
+    // sf10) prefers the session default (upscaling them to 64-256 cost
+    // +30% median and fresh spill, measured r16); they may still FOLLOW a
+    // fixed-width sibling in a co-partition group (Keep, not Veto).
+    if (!allFixedWidth(schema)) return Keep
+    val inMem = estBytes * prm.fixedWidthExpansion
+    val raw = ((inMem + prm.targetTaskBytes - 1) / prm.targetTaskBytes).toLong
+    val waves = math.max(1, parallelism)
+    val full = ((raw + waves - 1) / waves) * waves
+    // two caps: maxWaves x parallelism (scheduling-wave bound — beyond ~8
+    // full waves the per-task fixed costs outrun the working-set savings;
+    // the r15 experiment's optimum for the edge family, 256 = 8 waves on
+    // 32 cores, sits exactly there and estimates 2-5x apart all collapse
+    // onto it) and the absolute maxPartitions backstop.
+    val cap = math.min(prm.maxPartitions.toLong, prm.maxWaves.toLong * waves)
+    val n = math.max(current.toLong, math.min(full, cap)).toInt
+    if (n > current) Up(n) else Keep
+  }
+}

@@ -129,4 +129,49 @@ class EmptyGroupingSetsSpec extends AnyFunSuite with BeforeAndAfterAll {
          GROUP BY GROUPING SETS ((k1), (k2))""").collect()
     assert(out.isEmpty)
   }
+
+  test("DUPLICATE empty sets each contribute a total row (shared fallback)") {
+    // GROUPING SETS ((), ()) = two grand-total rows per the standard —
+    // the rewrite must keep one row PER declared empty set while
+    // computing the fallback aggregate once (round-15 ADVICE, low)
+    src.createOrReplaceTempView("egs_t6")
+    val out = spark.sql(
+      """SELECT k1, count(*) AS c FROM egs_t6 WHERE v > 1000
+         GROUP BY GROUPING SETS ((k1), (), ())""").collect()
+    assert(out.toSeq == Seq(Row(null, 0L), Row(null, 0L)))
+    // and on NON-empty input the duplicate sets come from the native
+    // path while the fallbacks filter themselves out
+    val full = spark.sql(
+      """SELECT count(*) AS c FROM egs_t6
+         GROUP BY GROUPING SETS ((k1), (), ())""")
+      .orderBy(col("c")).collect()
+    assert(full.toSeq == Seq(Row(1L), Row(2L), Row(3L), Row(3L)))
+  }
+
+  test("a SECOND rollup layered over a rewritten frame is also rewritten") {
+    // round-15 ADVICE (medium): the old plan-global marker check bailed
+    // for the whole plan when ANY subtree carried the marker, so a
+    // rollup OVER an already-rewritten aggregate silently reverted to
+    // native empty-input semantics. Per-node tagging fixes it: layer 2
+    // groups layer 1's (empty-input) total row, filters it away, and
+    // must STILL produce its own grand-total row.
+    val layer1 = src.filter(col("v") > 1000)
+      .rollup(col("k1")).agg(count(lit(1)).as("c"))   // rewritten: 1 row, c=0
+    val layer2 = layer1.filter(col("c") > 0)           // empty again
+      .rollup(col("k1")).agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+    assert(layer2.collect().toSeq == Seq(Row(null, null, 0L)))
+  }
+
+  test("set-dependent aggregate input (gid under an agg function) stays exact") {
+    // sum(grouping_id()) makes the aggregate INPUT set-dependent — the
+    // shared-slot split is unsound there; the per-set shape must kick in.
+    // Empty input: the ()-set row has sum(grouping_id()) over zero rows
+    // = NULL, count = 0, and grouping_id() projected = 1.
+    src.createOrReplaceTempView("egs_t7")
+    val out = spark.sql(
+      """SELECT k1, sum(grouping_id()) AS sg, grouping_id() AS gi,
+                count(*) AS c
+         FROM egs_t7 WHERE v > 1000 GROUP BY ROLLUP(k1)""").collect()
+    assert(out.toSeq == Seq(Row(null, null, 1L, 0L)))
+  }
 }

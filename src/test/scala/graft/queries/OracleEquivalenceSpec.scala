@@ -110,8 +110,14 @@ class OracleEquivalenceSpec extends AnyFunSuite {
 
   private def check(name: String, oldForm: String): Unit = {
     assume(duckdbAvailable, "python3 + duckdb not available")
-    assume(new File(sfDir).isDirectory || new File(s"$sfDir/documents.parquet").exists,
-      s"$sfDir testdata not present")
+    // guard on the SPECIFIC parquet these oracles read (round-15 ADVICE:
+    // an OR'd dir-exists guard let a present-but-incomplete sf dir reach
+    // the tool, whose all-table view binding then failed with a
+    // misleading "LIVE oracle diverged" FAIL instead of a cancel; the
+    // tool now also binds views lazily, but the assume should name the
+    // real prerequisite)
+    assume(new File(s"$sfDir/documents.parquet").exists,
+      s"$sfDir/documents.parquet not present")
     val tool = new File(repoRoot, "tools/oracle_equivalence.py")
     assume(tool.isFile, s"$tool not found")
     val live = graft.SparkEntry.oracleSql.getOrElse(name,

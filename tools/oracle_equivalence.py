@@ -29,13 +29,23 @@ def cells_differ(a, b):
 
 def main(sf_dir, sql_a, sql_b):
     con = duckdb.connect()
-    for t in TABLES:
+    text_a, text_b = open(sql_a).read(), open(sql_b).read()
+    # bind views LAZILY — only tables a query actually references (round-15
+    # ADVICE: unconditional all-table binding made a present-but-incomplete
+    # sf dir fail at view creation, masquerading as oracle divergence)
+    import re
+    referenced = [t for t in TABLES
+                  if re.search(rf"\b{t}\b", text_a) or re.search(rf"\b{t}\b", text_b)]
+    for t in referenced:
         p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            print(f"MISSING INPUT: {p} (referenced by the SQL) — not a divergence")
+            return 2
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    ra = con.execute(open(sql_a).read()).fetchall()
-    rb = con.execute(open(sql_b).read()).fetchall()
+    ra = con.execute(text_a).fetchall()
+    rb = con.execute(text_b).fetchall()
     if len(ra) != len(rb):
         print(f"DIVERGED: {len(ra)} rows vs {len(rb)} rows")
         return 1
