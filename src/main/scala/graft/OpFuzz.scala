@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Operator-parameter fuzzer (round-16 verdict task 4): the SQL fuzzer
+  * (`tools/fuzz_check.py`) patrols the relational surface against DuckDB;
+  * this main patrols the DEDUP/SIMILARITY OPERATOR surface against
+  * brute-force oracles, at randomized parameters the fixed catalog never
+  * varies. Seeded draws; violations are contract breaches, not noise:
+  *
+  *  - prefix_exact: `Dedup.prefixJaccardPairs(theta, n)` must equal the
+  *    all-pairs `ngramJaccardPairs(theta, n)` EXACTLY (the AllPairs/PPJoin
+  *    prefix+length+position filters are provably complete — any missing
+  *    or extra pair is an engine bug). Pair set AND 4-dp jaccard values.
+  *  - prefix_hotcap: the same operator with the hot-bucket cap forced to
+  *    tiny values (1/2/8) must produce the identical pair set — the
+  *    in-place and streamed-join bucket expansions are one semantics,
+  *    two memory shapes.
+  *  - lsh_sound: `minhashLsh(n, k, bands, theta)` must be a SUBSET of the
+  *    exact pairs with matching jaccard values (its verification step is
+  *    exact); recall is recorded per draw, never asserted (banding is
+  *    probabilistic by design).
+  *  - sorted_window: `sortedNeighborhoodPairs(w, n, theta)` must equal a
+  *    DRIVER-SIDE re-implementation: sort (substr(normalize(text),1,16),
+  *    id), enumerate pairs within rank distance w, shingle+jaccard in
+  *    plain Scala (independent of every engine kernel under test).
+  *  - simhash: `simhashPairs(maxH <= 3)` must equal the brute-force
+  *    all-pairs hamming filter over the same signatures (the 16-bit-chunk
+  *    pigeonhole candidate generation is complete for maxH <= 3).
+  *
+  * Usage: runMain graft.OpFuzz <sfDir> <nDraws> <seed> <outJson>
+  * Exit 0 iff zero violations; the JSON artifact records every draw.
+  */
+object OpFuzz {
+
+  // ---- independent driver-side text kernels (plain Scala, no Spark
+  // expressions — the point is a second implementation) ----
+  private def shingles(text: String, n: Int): Set[String] = {
+    val ws = text.split("\\s+").filter(_.nonEmpty)
+    if (ws.length < n) Set.empty
+    else ws.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def jac4(a: Set[String], b: Set[String]): Double = {
+    val inter = (a & b).size
+    val j = inter.toDouble / (a.size + b.size - inter).toDouble
+    math.floor(j * 10000 + 0.5) / 10000
+  }
+
+  private def normalize(text: String): String =
+    text.toLowerCase
+      .replaceAll("[^\\p{L}\\p{N} \\t\\n]", " ")
+      .replaceAll("\\s+", " ").trim
+
+  private type Pairs = Map[(Long, Long), Double]
+
+  private def collectPairs(df: DataFrame): Pairs =
+    df.collect().map { r =>
+      (r.getLong(0), r.getLong(1)) -> (r.get(2) match {
+        case d: Double => d
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+      })
+    }.toMap
+
+  private def diffPairs(name: String, got: Pairs, want: Pairs,
+                        subsetOnly: Boolean = false): Option[String] = {
+    val extra = got.keySet.diff(want.keySet)
+    val missing = if (subsetOnly) Set.empty[(Long, Long)]
+                  else want.keySet.diff(got.keySet)
+    val valueDiff = got.keySet.intersect(want.keySet)
+      .filter(k => got(k) != want(k))
+    if (extra.isEmpty && missing.isEmpty && valueDiff.isEmpty) None
+    else Some(s"$name: extra=${extra.take(3)} (${extra.size}) " +
+      s"missing=${missing.take(3)} (${missing.size}) " +
+      s"valueDiff=${valueDiff.take(3).map(k => (k, got(k), want(k)))} (${valueDiff.size})")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val n = if (args.length > 1) args(1).toInt else 100
+    val seed = if (args.length > 2) args(2).toLong else 1601L
+    val outJson = if (args.length > 3) args(3) else "OPFUZZ_r16.json"
+    val spark = Engine.session()
+    import graft.operators.Dedup
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).cache()
+    val docCount = docs.count()
+    // driver copy for the independent oracles (sf0.001 = 500 docs)
+    val local: Seq[(Long, String)] =
+      docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val rnd = new Random(seed)
+    val results = scala.collection.mutable.ArrayBuffer[(String, String, Option[String], Long)]()
+
+    // exact all-pairs oracle, cached per (n, theta) draw
+    def exactPairs(sn: Int, theta: Double): Pairs = {
+      val byId = local.map { case (id, t) => id -> shingles(t, sn) }.toMap
+      val ids = local.map(_._1).sorted
+      (for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.size
+        a = ids(i); b = ids(j)
+        sa = byId(a); sb = byId(b)
+        if sa.nonEmpty && sb.nonEmpty
+        jv = jac4(sa, sb)
+        if jv >= theta
+      } yield (a, b) -> jv).toMap
+    }
+
+    (1 to n).foreach { i =>
+      val fam = rnd.nextInt(5)
+      val sn = 2 + rnd.nextInt(3)                 // shingle n in 2..4
+      val theta = 0.25 + rnd.nextInt(14) * 0.05   // 0.25..0.90
+      val t0 = System.nanoTime()
+      val (family, params, violation): (String, String, Option[String]) = fam match {
+        case 0 =>
+          val got = collectPairs(
+            Dedup.prefixJaccardPairs(docs, "doc_id", "text", sn, theta))
+          val want = exactPairs(sn, theta)
+          ("prefix_exact", s"n=$sn theta=$theta",
+            diffPairs("prefix_exact", got, want))
+        case 1 =>
+          val cap = Seq(1, 2, 8)(rnd.nextInt(3))
+          val got = collectPairs(
+            Dedup.prefixJaccardPairs(docs, "doc_id", "text", sn, theta, cap))
+          val want = collectPairs(
+            Dedup.prefixJaccardPairs(docs, "doc_id", "text", sn, theta))
+          ("prefix_hotcap", s"n=$sn theta=$theta cap=$cap",
+            diffPairs("prefix_hotcap", got, want))
+        case 2 =>
+          val k = Seq(32, 64, 128)(rnd.nextInt(3))
+          val bands = Seq(8, 16, 32).filter(k % _ == 0)(rnd.nextInt(3))
+          val got = collectPairs(
+            Dedup.minhashLsh(docs, "doc_id", "text", sn, k, bands, theta))
+          val want = exactPairs(sn, theta)
+          val recall = if (want.isEmpty) 1.0 else
+            got.keySet.count(want.contains).toDouble / want.size
+          ("lsh_sound", f"n=$sn theta=$theta k=$k bands=$bands recall=$recall%.3f",
+            diffPairs("lsh_sound", got, want, subsetOnly = true))
+        case 3 =>
+          val w = 1 + rnd.nextInt(8)
+          val got = collectPairs(Dedup.sortedNeighborhoodPairs(
+            docs, "doc_id", "text", w, sn, theta))
+          // independent oracle: rank by (key, id), pairs within w
+          val ranked = local.map { case (id, t) =>
+            (normalize(t).take(16), id, shingles(t, sn))
+          }.sortBy(x => (x._1, x._2))
+          val want: Pairs = (for {
+            i2 <- ranked.indices.iterator
+            j2 <- (i2 + 1) to math.min(i2 + w, ranked.size - 1)
+            (_, ia, sa) = ranked(i2); (_, ib, sb) = ranked(j2)
+            if sa.nonEmpty || sb.nonEmpty
+            jv = if (sa.isEmpty || sb.isEmpty) 0.0 else jac4(sa, sb)
+            if jv >= theta
+          } yield (math.min(ia, ib), math.max(ia, ib)) -> jv).toMap
+          ("sorted_window", s"w=$w n=$sn theta=$theta",
+            diffPairs("sorted_window", got, want))
+        case 4 =>
+          val maxH = 1 + rnd.nextInt(3)
+          val got = collectPairs(
+            Dedup.simhashPairs(docs, "doc_id", "text", maxH))
+          // brute force over the SAME signatures, independent of the
+          // chunk-pigeonhole candidate machinery
+          val sigs = docs.select(col("doc_id"),
+            graft.functions.TextFns.simhash64(col("text")).as("sig"))
+          val want = collectPairs(sigs.as("x").join(sigs.as("y"),
+              col("x.doc_id") < col("y.doc_id"))
+            .withColumn("h", graft.functions.TextFns.hamming(
+              col("x.sig"), col("y.sig")))
+            .filter(col("h") <= maxH)
+            .select(col("x.doc_id"), col("y.doc_id"), col("h")))
+          ("simhash", s"maxH=$maxH", diffPairs("simhash", got, want))
+      }
+      val ms = (System.nanoTime() - t0) / 1000000
+      results += ((family, params, violation, ms))
+      val status = violation.map("VIOLATION " + _).getOrElse("ok")
+      System.err.println(f"[opfuzz] $i%3d $family%-14s $params%-44s $status ($ms ms)")
+    }
+
+    val violations = results.filter(_._3.isDefined)
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val byFam = results.groupBy(_._1).map { case (f, rs) =>
+      s"${q(f)}:{${q("draws")}:${rs.size},${q("violations")}:${rs.count(_._3.isDefined)}}"
+    }.mkString("{", ",", "}")
+    val detail = results.zipWithIndex.map { case ((f, p, v, ms), i) =>
+      s"""{"i":$i,"family":${q(f)},"params":${q(p)},"ms":$ms""" +
+        v.map(x => s""","violation":${q(x)}""").getOrElse("") + "}"
+    }.mkString("[", ",", "]")
+    val json = s"""{"seed":$seed,"n":$n,"sf":${q(sfDir)},"docs":$docCount,""" +
+      s""""violations":${violations.size},"families":$byFam,"draws":$detail}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(s"[opfuzz] ${results.size} draws, ${violations.size} violations -> $outJson")
+    spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
+  }
+}

@@ -170,6 +170,20 @@ object ProbeD27 {
     val payAll = agg.agg(sum((col("sA") + col("sB")) * 8L)).head()
     p(s"verify payload (8B/token): survivors ${paySurv.get(0)} bytes, " +
       s"all distinct ${payAll.get(0)} bytes")
+    if (maxStage < 4) { spark.stop(); return }
+
+    // round-16 (verdict task 5): the denominator of the slope
+    // adjudication — the TRUE qualifying pair count from the full
+    // operator, so candidates/true can be compared across decades. A
+    // flat ratio means the sf1->sf10 slope is the ANSWER growing, not
+    // filter degradation; a growing ratio means the prefix filters are
+    // losing selectivity with scale.
+    val truePairs = timed("TRUE qualifying pairs (full operator)") {
+      graft.operators.Dedup.prefixJaccardPairs(
+        docs, "doc_id", "text", shingleN, threshold).count()
+    }
+    p(f"  true pairs: $truePairs  candidates/true = " +
+      f"${postDistinct.toDouble / math.max(truePairs, 1)}%.2f")
     spark.stop()
   }
 }

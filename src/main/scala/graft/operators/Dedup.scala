@@ -533,7 +533,8 @@ object Dedup {
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5,
+                         cap: Int = hotBucketCap): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixJaccardPairs: threshold must be in (0, 1], got $threshold")
     val sets = df.select(col(idCol).as("id"),
@@ -582,7 +583,7 @@ object Dedup {
       // pinned: the in-place and hot-bucket branches both read it —
       // unpinned, the whole count→rebuild→prefix chain runs twice
       .localCheckpoint(true)
-    val inPlace = buckets.filter(size(col("ids")) <= hotBucketCap)
+    val inPlace = buckets.filter(size(col("ids")) <= cap)
       .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
       .select(col("p.x.id").as("ia"), col("p.x.sz").as("sa"),
         col("p.x.pos").as("pa"),
@@ -592,7 +593,7 @@ object Dedup {
     // templated near-dup cluster) stream through a token-keyed self
     // equi-join instead of one task-resident pair array, exactly like
     // [[bucketPairs]]' fallback
-    val hot = buckets.filter(size(col("ids")) > hotBucketCap)
+    val hot = buckets.filter(size(col("ids")) > cap)
       .select(col("tok"), explode(col("ids")).as("e"))
       .select(col("tok"), col("e.id").as("id"), col("e.sz").as("sz"),
         col("e.pos").as("pos"))

@@ -65,27 +65,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, Str
   *    they come from `defaultSizeInBytes` sentinels (stats-less DSv2
   *    sources) or multiplicative join-output estimates, and a garbage
   *    estimate must fail closed (keep the default), not open (explode the
-  *    partition count). Join blow-up is additionally capped at 4x the sum
+  *    partition count). Join blow-up is additionally capped at the sum
   *    of the subtree's LEAF estimates — a shuffle's input is linear in
-  *    what was read plus bounded expansion, not the Cartesian product
-  *    Catalyst's size-only visitor multiplies out.
+  *    what was read (FK equi joins), not the Cartesian product
+  *    Catalyst's size-only visitor multiplies out; a genuinely
+  *    expanding join is underestimated, which degrades to the
+  *    pre-rule behavior, never past it.
   *
   * CALIBRATION: Catalyst's sizeInBytes for parquet/cached leaves is
-  * COMPRESSED bytes (delta/RLE on the long-keyed edge family compresses
-  * 10-20x), while the operational quantity is the per-task UnsafeRow
-  * sort/hash footprint. Only ALL-FIXED-WIDTH row schemas (the graph/edge
-  * shape, where that gap is largest and the r15 win was measured) may
-  * INITIATE an upscale — `fixedWidthExpansion` x estimate / 32 MB per
-  * task; string-bearing rows never initiate (upscaling d27's token-keyed
-  * string exchanges to 64-256 was measured at +30% median and fresh spill,
-  * r16) but may follow a fixed-width sibling in a co-partition group.
+  * COMPRESSED bytes, while the operational quantity is the per-task
+  * UnsafeRow sort/hash footprint — and the GAP depends on where the
+  * estimate came from (measured r16, same 120M-edge stream at sf10:
+  * parquet-scaled first plan 547 MB, materialized columnar cache 1.46 GB,
+  * true working set ~4.8 GB). So: only ALL-FIXED-WIDTH row schemas (the
+  * graph/edge shape, where the gap is largest and the r15 win was
+  * measured) may INITIATE an upscale; the expansion factor is
+  * `fileExpansion` (24) for file-scaled estimates and `runtimeExpansion`
+  * (6) when the subtree contains materialized bytes (columnar cache /
+  * completed stage); string-bearing rows never initiate (upscaling d27's
+  * token-keyed string exchanges to 64-256 was measured at +30% median and
+  * fresh spill, r16) but may follow a fixed-width sibling in a
+  * co-partition group. An ACTIVATION band keeps the rule from chasing
+  * theoretical ideals: if the working set already fits at the current
+  * count (<= `activationTaskBytes`/task), nothing moves — at sf1 the
+  * whole graph family fits at the session default, and upscaling it was
+  * measured as pure task-overhead regression (d28 11.5 -> 18.8s, r16).
   * With these constants the d28/d24 edge exchanges at sf10 land on 256 —
-  * the empirically-fastest arm of the r15 experiment, across all three
-  * estimate flavors the rule sees for the same stream (parquet-scaled
-  * 365-547 MB, runtime 1.30-1.46 GB) — while every sf0.1 and sf1 protocol
-  * exchange stays at the session default (flat protocol numbers, certified
-  * by the r16 bench artifacts). Pinned by ExchangeSizingSpec on the exact
-  * logged estimates.
+  * the empirically-fastest arm of the r15 experiment, under BOTH estimate
+  * flavors — while every sf0.1 and sf1 protocol exchange stays at the
+  * session default (flat protocol numbers, certified by the r16 bench
+  * artifacts). Pinned by ExchangeSizingSpec on the exact logged estimates.
   *
   * At 100 TB this policy is the difference between "completes by spilling"
   * and "plans correctly": the reference's bounded-memory north star
@@ -98,7 +107,11 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
 
   override def apply(plan: SparkPlan): SparkPlan = {
     val c = session.sessionState.conf
-    if (!c.getConfString("spark.graft.sizing.enabled", "true").toBoolean) plan
+    // env fallback mirrors the log flag: A/B sessions driven by env, the
+    // SPARK_GRAFT_* convention (sbt's forked run JVM sees no -D flags)
+    val enabled = c.getConfString("spark.graft.sizing.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_SIZING", "true")).toBoolean
+    if (!enabled) plan
     else walk(plan, frozen = false, Params(c))
   }
 
@@ -211,15 +224,27 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
     val schema = ex.child.schema
     val current = ex.outputPartitioning.numPartitions
     val est = estimateBytes(ex.child)
+    val runtime = hasRuntimeStats(ex.child)
     val d = est.map(b => targetCount(b, schema, current,
-      session.sparkContext.defaultParallelism, prm)).getOrElse(Veto)
+      session.sparkContext.defaultParallelism, runtime, prm)).getOrElse(Veto)
     if (prm.log) {
       System.err.println(s"[graft-sizing] ${ex.nodeName} origin=${ex.shuffleOrigin} " +
         s"current=$current est=${est.map(_.toString).getOrElse("n/a")} " +
-        s"wide=${hasWideColumns(schema)} fixed=${allFixedWidth(schema)} -> $d")
+        s"wide=${hasWideColumns(schema)} fixed=${allFixedWidth(schema)} " +
+        s"runtime=$runtime -> $d")
     }
     d
   }
+
+  /** Does the estimate derive from MATERIALIZED bytes (columnar cache /
+    * completed query stage) rather than parquet-file scaling? The two
+    * flavors sit 3-10x apart for the same data (see targetCount). */
+  private def hasRuntimeStats(child: SparkPlan): Boolean =
+    child.exists {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
+      case _: org.apache.spark.sql.execution.adaptive.QueryStageExec => true
+      case _ => false
+    }
 
   private def withCount(ex: ShuffleExchangeExec, n: Int,
                         prm: Params): Option[SparkPlan] = {
@@ -231,9 +256,15 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
   }
 
   /** Bytes entering the exchange: the child's Catalyst estimate, capped at
-    * 4x the subtree's summed leaf estimates (join-output estimates are
-    * multiplicative and unusable raw). None when stats are absent or above
-    * the trust bound — fail CLOSED. */
+    * the subtree's summed LEAF estimates (join-output estimates are
+    * multiplicative and unusable raw; the engine's joins are FK equi
+    * joins whose output is bounded by the fact side, so the leaf sum is
+    * the honest magnitude — a genuinely expanding join is underestimated,
+    * which fails CONSERVATIVE: the exchange keeps its default count, i.e.
+    * exactly the pre-rule behavior. Measured r16: a 4x cap let d24's
+    * per-round inner-join exchanges at sf1 read ~800 MB where the real
+    * stream was ~200 MB, upscaling what already fit — +35% wall). None
+    * when stats are absent or above the trust bound — fail CLOSED. */
   private def estimateBytes(child: SparkPlan): Option[BigInt] = {
     def statsOf(p: SparkPlan): Option[BigInt] =
       p.logicalLink.map(_.stats.sizeInBytes)
@@ -244,7 +275,7 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
     direct.map { d =>
       val leaves = child.collectLeaves().map(statsOf)
       if (leaves.nonEmpty && leaves.forall(_.isDefined))
-        d.min(leaves.flatten.sum * 4)
+        d.min(leaves.flatten.sum)
       else d
     }
   }
@@ -262,20 +293,36 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
 object ExchangeSizing {
 
   /** Confs snapshot (read once per rule application). */
-  final case class Params(targetTaskBytes: Long, maxPartitions: Int,
-                          maxWaves: Int, fixedWidthExpansion: Int,
+  final case class Params(targetTaskBytes: Long, activationTaskBytes: Long,
+                          maxPartitions: Int,
+                          maxWaves: Int, fileExpansion: Int,
+                          runtimeExpansion: Int,
                           maxTrustedBytes: Long, log: Boolean)
   object Params {
     def apply(c: SQLConf): Params = Params(
       targetTaskBytes =
         c.getConfString("spark.graft.sizing.targetTaskBytes",
           (32L * 1024 * 1024).toString).toLong,
+      // the DO-NOTHING band: an exchange whose per-task working set at
+      // the CURRENT count already fits is left alone even though the
+      // target formula would pick more partitions — at sf1 the whole
+      // graph family fits at the session default and upscaling it was
+      // measured as pure task-overhead regression (d28 11.5 -> 18.8s at
+      // 64 MB activation pre-band; d24 4.2 -> 5.9s from one leftover
+      // Up(96) at a 96 MB/task estimate — 128 MB clears it, and the
+      // file-flavor overestimate means the REAL bytes at the trigger are
+      // ~3x lower, still far inside the ~300 MB pooled per-task budget)
+      activationTaskBytes =
+        c.getConfString("spark.graft.sizing.activationTaskBytes",
+          (128L * 1024 * 1024).toString).toLong,
       maxPartitions =
         c.getConfString("spark.graft.sizing.maxPartitions", "1024").toInt,
       maxWaves =
         c.getConfString("spark.graft.sizing.maxWaves", "8").toInt,
-      fixedWidthExpansion =
-        c.getConfString("spark.graft.sizing.fixedWidthExpansion", "24").toInt,
+      fileExpansion =
+        c.getConfString("spark.graft.sizing.fileExpansion", "24").toInt,
+      runtimeExpansion =
+        c.getConfString("spark.graft.sizing.runtimeExpansion", "6").toInt,
       maxTrustedBytes =
         c.getConfString("spark.graft.sizing.maxTrustedBytes",
           (1L << 40).toString).toLong, // 1 TiB: beyond it, assume sentinel
@@ -336,7 +383,8 @@ object ExchangeSizing {
     * (274 -> 512) doubled the task count and cost d28 ~2x at sf10 versus
     * the measured-optimal 256. */
   def targetCount(estBytes: BigInt, schema: StructType, current: Int,
-                  parallelism: Int, prm: Params): Decision = {
+                  parallelism: Int, runtimeStats: Boolean,
+                  prm: Params): Decision = {
     if (estBytes <= 0 || estBytes > prm.maxTrustedBytes) return Veto
     if (hasWideColumns(schema)) return Veto
     // var-width (string-bearing) rows never INITIATE an upscale — the only
@@ -345,7 +393,19 @@ object ExchangeSizing {
     // +30% median and fresh spill, measured r16); they may still FOLLOW a
     // fixed-width sibling in a co-partition group (Keep, not Veto).
     if (!allFixedWidth(schema)) return Keep
-    val inMem = estBytes * prm.fixedWidthExpansion
+    // estimate FLAVOR matters (measured r16, same 120M-edge stream at
+    // sf10): a parquet-scaled first-plan estimate reads 547 MB where the
+    // materialized columnar cache reads 1.46 GB and the true UnsafeRow
+    // working set is ~4.8 GB — expansions of ~9x vs ~3x. One constant
+    // over-fires on cached/runtime stats (the sf1 d28 regression) or
+    // under-fires on file stats; the rule knows which flavor it is
+    // looking at from the subtree's leaves.
+    val expansion = if (runtimeStats) prm.runtimeExpansion else prm.fileExpansion
+    val inMem = estBytes * expansion
+    // DO-NOTHING band: fits at the current count -> never touch (the
+    // engine only intervenes against prospective spill, not to chase a
+    // theoretical ideal — task overhead is real and measured)
+    if (inMem / math.max(current, 1) <= prm.activationTaskBytes) return Keep
     val raw = ((inMem + prm.targetTaskBytes - 1) / prm.targetTaskBytes).toLong
     val waves = math.max(1, parallelism)
     val full = ((raw + waves - 1) / waves) * waves

@@ -38,42 +38,58 @@ class ExchangeSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ---- layer 1: the decision function on the sf10-logged estimates ----
 
   test("sf10 edge family lands on 256 — the r15 measured optimum") {
-    // the three estimate flavors the rule logged for the SAME 120M-edge
-    // stream at sf10: parquet-scaled first plan, re-optimized runtime
-    // stats, and the materialized columnar cache
-    for (est <- Seq(364760479L, 547140720L, 1295859600L, 1460827008L)) {
-      assert(targetCount(BigInt(est), edgeSchema, 32, 32, defaults) == Up(256),
-        s"est=$est")
+    // BOTH estimate flavors the rule logged for the SAME 120M-edge
+    // stream at sf10 must land on the measured optimum: parquet-scaled
+    // first-plan estimates (file flavor, x24) and materialized
+    // cache/stage estimates (runtime flavor, x6)
+    for (est <- Seq(364760479L, 547140720L)) {
+      assert(targetCount(BigInt(est), edgeSchema, 32, 32,
+        runtimeStats = false, defaults) == Up(256), s"file est=$est")
+    }
+    for (est <- Seq(1295859600L, 1460827008L)) {
+      assert(targetCount(BigInt(est), edgeSchema, 32, 32,
+        runtimeStats = true, defaults) == Up(256), s"runtime est=$est")
     }
   }
 
   test("sf1/sf0.1 edge family keeps the session default (flat protocol)") {
-    // the same exchanges one and two decades down (logged at sf0.1,
-    // scaled at sf1): none may move off the 32-partition protocol
-    for (est <- Seq(4476798L, 17907192L, 19197919L, 32000000L, 36476048L)) {
-      assert(targetCount(BigInt(est), edgeSchema, 32, 32, defaults) == Keep,
-        s"est=$est")
+    // the same exchanges one and two decades down: none may move off the
+    // 32-partition protocol — the working set FITS there (activation
+    // band), and upscaling it was measured as pure task-overhead
+    // regression (d28 at sf1: 11.5 -> 18.8s before this band existed)
+    for (est <- Seq(4476798L, 19197919L, 32000000L, 36476048L, 54714072L,
+                    127986132L)) {
+      assert(targetCount(BigInt(est), edgeSchema, 32, 32,
+        runtimeStats = false, defaults) == Keep, s"file est=$est")
+    }
+    for (est <- Seq(17907192L, 129585960L, 146082700L)) {
+      assert(targetCount(BigInt(est), edgeSchema, 32, 32,
+        runtimeStats = true, defaults) == Keep, s"runtime est=$est")
     }
   }
 
   test("array-carrying rows are vetoed at any size (the d27 shape)") {
     for (est <- Seq(1000L, 547140720L, 1460827008L)) {
-      assert(targetCount(BigInt(est), arraySchema, 32, 32, defaults) == Veto)
+      assert(targetCount(BigInt(est), arraySchema, 32, 32,
+        runtimeStats = false, defaults) == Veto)
     }
     // nested inside a struct too (collect_list partial buffers)
     val nested = StructType(Seq(StructField("s", StructType(Seq(
       StructField("a", ArrayType(StringType)))))))
-    assert(targetCount(BigInt(547140720L), nested, 32, 32, defaults) == Veto)
+    assert(targetCount(BigInt(547140720L), nested, 32, 32,
+      runtimeStats = false, defaults) == Veto)
   }
 
   test("absent/degenerate estimates fail CLOSED") {
-    assert(targetCount(BigInt(0), edgeSchema, 32, 32, defaults) == Veto)
-    assert(targetCount(BigInt(-1), edgeSchema, 32, 32, defaults) == Veto)
+    assert(targetCount(BigInt(0), edgeSchema, 32, 32,
+      runtimeStats = false, defaults) == Veto)
+    assert(targetCount(BigInt(-1), edgeSchema, 32, 32,
+      runtimeStats = false, defaults) == Veto)
     // defaultSizeInBytes sentinel / multiplicative join estimate
     assert(targetCount(BigInt(Long.MaxValue), edgeSchema, 32, 32,
-      defaults) == Veto)
+      runtimeStats = false, defaults) == Veto)
     assert(targetCount(defaults.maxTrustedBytes + 1, edgeSchema, 32, 32,
-      defaults) == Veto)
+      runtimeStats = false, defaults) == Veto)
   }
 
   test("string-bearing rows never INITIATE an upscale (the d27 tok shape)") {
@@ -81,21 +97,32 @@ class ExchangeSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (est 0.4-4.8 GB) to 64-256 cost +30% median and fresh spill — they
     // Keep (so they can still FOLLOW a fixed-width group sibling), never Up
     for (est <- Seq(422937852L, 1746564872L, 4758053088L)) {
-      assert(targetCount(BigInt(est), textSchema, 32, 32, defaults) == Keep,
-        s"est=$est")
+      assert(targetCount(BigInt(est), textSchema, 32, 32,
+        runtimeStats = false, defaults) == Keep, s"est=$est")
     }
   }
 
   test("counts are whole scheduling waves, capped at maxWaves x cores") {
     // raw 261 (364760479*24/32MiB) -> 288 = 9 waves -> capped at 8*32
     assert(targetCount(BigInt(364760479L), edgeSchema, 32, 32,
-      defaults.copy(maxWaves = 16)) == Up(288))
+      runtimeStats = false, defaults.copy(maxWaves = 16)) == Up(288))
     // absolute backstop still binds
     assert(targetCount(BigInt(364760479L), edgeSchema, 32, 32,
+      runtimeStats = false,
       defaults.copy(maxWaves = 16, maxPartitions = 128)) == Up(128))
     // never below the current count
     assert(targetCount(BigInt(364760479L), edgeSchema, 512, 32,
-      defaults) == Keep)
+      runtimeStats = false, defaults) == Keep)
+  }
+
+  test("activation band: a working set that FITS at the current count never moves") {
+    // 364 MB file-flavor fires at current=32 (273 MB/task est)...
+    assert(targetCount(BigInt(364760479L), edgeSchema, 32, 32,
+      runtimeStats = false, defaults).isInstanceOf[Up])
+    // ...but the same estimate already spread over 256 partitions sits
+    // at 34 MB/task — inside the activation band, nothing to fix
+    assert(targetCount(BigInt(364760479L), edgeSchema, 256, 32,
+      runtimeStats = false, defaults) == Keep)
   }
 
   // ---- layer 2: production wiring on a dedicated session ----
@@ -117,6 +144,7 @@ class ExchangeSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       // calibration shrunk 2^13 x so toy row counts cross the thresholds
       .config("spark.graft.sizing.targetTaskBytes", "4096")
+      .config("spark.graft.sizing.activationTaskBytes", "4096")
       .config("spark.graft.sizing.maxWaves", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

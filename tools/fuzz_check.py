@@ -260,23 +260,45 @@ class Gen:
         if r.random() < 0.8:
             tb = self.pick(tables)
             where = f" WHERE {self.pred(tb, alias[tb])}"
+        grouping_sets = False
         if gks:
             mode = r.randrange(6)
             klist = ", ".join(gks)
             if mode == 0 and len(gks) > 1:
                 grp = f" GROUP BY ROLLUP({klist})"
+                grouping_sets = True
             elif mode == 1 and len(gks) > 1:
                 grp = f" GROUP BY CUBE({klist})"
+                grouping_sets = True
             elif mode == 2 and len(gks) > 1:
                 sets = f"({klist}), ({gks[0]}), ()"
                 grp = f" GROUP BY GROUPING SETS ({sets})"
+                grouping_sets = True
             else:
                 grp = f" GROUP BY {klist}"
         else:
             grp = ""
+        # grouping-function surface (round-16: the q72 finding's class):
+        # project grouping()/grouping_id() alongside the aggregates, and
+        # sometimes filter ON them in HAVING — the mask arithmetic and the
+        # empty-input fallback both get patrolled against DuckDB. CASTs
+        # pin the cross-dialect result type (Spark grouping() is TINYINT,
+        # DuckDB's is BIGINT).
+        if grouping_sets and r.random() < 0.6:
+            gfn = self.pick(
+                [f"CAST(grouping({self.pick(gks)}) AS BIGINT)",
+                 f"CAST(grouping_id({', '.join(gks)}) AS BIGINT)"])
+            sel.append(f"{gfn} AS c{len(sel)}")
         having = ""
         if grp and r.random() < 0.3:
-            having = f" HAVING COUNT(*) > {r.randrange(1, 5)}"
+            if grouping_sets and r.random() < 0.5:
+                having = self.pick(
+                    [f" HAVING grouping({self.pick(gks)}) = 0",
+                     f" HAVING grouping_id({', '.join(gks)}) <> 0",
+                     f" HAVING grouping({gks[0]}) = 1 OR COUNT(*) > "
+                     f"{r.randrange(1, 5)}"])
+            else:
+                having = f" HAVING COUNT(*) > {r.randrange(1, 5)}"
         ncols = len(sel)
         order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(ncols))
         return (f"SELECT {', '.join(sel)} FROM {frm}{where}{grp}{having}"
@@ -302,7 +324,7 @@ class Gen:
             c, k = self.pick([(c, k) for c, k in SCHEMA[tb].items()
                               if k in ("int", "money")])
             e = cents(f"{alias[tb]}.{c}") if k == "money" else f"{alias[tb]}.{c}"
-            kind = r.randrange(6)
+            kind = r.randrange(7)
             if kind == 0:
                 ob = f"ORDER BY {part} NULLS FIRST"  # ties on purpose
                 wf = f"rank() OVER (PARTITION BY {part} ORDER BY {e} NULLS FIRST)"
@@ -325,6 +347,23 @@ class Gen:
             elif kind == 4:
                 wf = (f"CAST(SUM({e}) OVER (PARTITION BY {part} ORDER BY {pk} "
                       "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)")
+            elif kind == 5:
+                # VALUE-offset RANGE frame (round-16): the frame is keyed
+                # on the ORDER value, not row position — tie-inclusive, so
+                # deterministic even under duplicate keys. Single numeric
+                # sort key as both dialects require; NULLS FIRST pinned;
+                # the key is a non-null int/cents expression by
+                # construction.
+                tb2 = self.pick(tables)
+                c2, k2 = self.pick([(c, k) for c, k in SCHEMA[tb2].items()
+                                    if k in ("int", "money")])
+                key = (cents(f"{alias[tb2]}.{c2}") if k2 == "money"
+                       else f"{alias[tb2]}.{c2}")
+                lo, hi = r.randrange(1, 500), r.randrange(0, 300)
+                ag = self.pick(["SUM", "MIN", "MAX", "COUNT"])
+                wf = (f"CAST({ag}({e}) OVER (PARTITION BY {part} "
+                      f"ORDER BY {key} NULLS FIRST RANGE BETWEEN {lo} "
+                      f"PRECEDING AND {hi} FOLLOWING) AS BIGINT)")
             else:
                 wf = f"ntile({r.randrange(2, 6)}) OVER (PARTITION BY {part} ORDER BY {pk})"
             sel.append(f"{wf} AS cw{i}")
@@ -364,6 +403,53 @@ class Gen:
                 f"(SELECT 1 FROM {inner} t1 WHERE t1.{ic} = t0.{oc}{ipred})"
                 f"{opred} ORDER BY {order} LIMIT 500")
 
+    def q_corr_agg(self):
+        """Correlated subqueries whose INNER body aggregates with the
+        outer reference in play (round-16: the decorrelation surface the
+        plain EXISTS production never reaches): (a) scalar correlated
+        aggregate compared in WHERE; (b) EXISTS over an implicit-group
+        aggregate whose HAVING references the outer row. Result types
+        pinned with BIGINT casts; the correlation predicate is the FK
+        equality so both engines' decorrelation applies."""
+        r = self.r
+        f, d, fc, dc = self.pick(EDGES)
+        outer, inner, oc, ic = ((f, d, fc, dc) if r.random() < 0.5
+                                else (d, f, dc, fc))
+        sel_cols = list(SCHEMA[outer])[:4]
+        proj = ", ".join(f"t0.{c} AS c{i}" for i, c in enumerate(sel_cols))
+        nums = [(c, k) for c, k in SCHEMA[inner].items()
+                if k in ("int", "money")]
+        c2, k2 = self.pick(nums)
+        e2 = cents(f"t1.{c2}") if k2 == "money" else f"t1.{c2}"
+        ipred = f" AND {self.pred(inner, 't1')}" if r.random() < 0.5 else ""
+        if r.random() < 0.5:
+            # (a) scalar correlated aggregate in WHERE
+            ag = self.pick([f"CAST(COUNT(*) AS BIGINT)",
+                            f"CAST(COUNT({e2}) AS BIGINT)",
+                            f"CAST(SUM({e2}) AS BIGINT)",
+                            f"MIN({e2})", f"MAX({e2})"])
+            op = self.pick([">", ">=", "<", "<=", "="])
+            lit = r.randrange(0, 2000)
+            cond = (f"(SELECT {ag} FROM {inner} t1 "
+                    f"WHERE t1.{ic} = t0.{oc}{ipred}) {op} {lit}")
+        else:
+            # (b) EXISTS whose HAVING references the OUTER row: an
+            # implicit-group aggregate, one group, outer column compared
+            # against the inner aggregate
+            onum = [(c, k) for c, k in SCHEMA[outer].items()
+                    if k in ("int", "money")]
+            c3, k3 = self.pick(onum)
+            e3 = cents(f"t0.{c3}") if k3 == "money" else f"t0.{c3}"
+            neg = "NOT " if r.random() < 0.4 else ""
+            cond = (f"{neg}EXISTS (SELECT 1 FROM {inner} t1 "
+                    f"WHERE t1.{ic} = t0.{oc}{ipred} "
+                    f"HAVING CAST(COUNT(*) AS BIGINT) + 0 > {e3} % 13)")
+        opred = f" AND {self.pred(outer, 't0')}" if r.random() < 0.5 else ""
+        order = ", ".join(f"{i + 1} NULLS FIRST"
+                          for i in range(len(sel_cols)))
+        return (f"SELECT {proj} FROM {outer} t0 WHERE {cond}{opred}"
+                f" ORDER BY {order} LIMIT 500")
+
     def q_select(self):
         r = self.r
         tables, alias, frm = self.chain(maxlen=2)
@@ -385,7 +471,8 @@ class Gen:
 
     def query(self):
         return self.pick([self.q_agg, self.q_agg, self.q_window,
-                          self.q_setop, self.q_exists, self.q_select])()
+                          self.q_setop, self.q_exists, self.q_corr_agg,
+                          self.q_select])()
 
 
 def compare(exp, got):
