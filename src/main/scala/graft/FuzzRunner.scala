@@ -45,6 +45,9 @@ object FuzzRunner {
     files.foreach { f =>
       val name = f.getName.stripSuffix(".sql")
       val sql = new String(Files.readAllBytes(f.toPath), "UTF-8")
+      // a PRIOR sweep's error marker must not outlive a now-passing query
+      // (a reused workdir otherwise reports stale spark-only errors)
+      Files.deleteIfExists(Paths.get(s"$outDir/$name.err"))
       try {
         spark.sql(sql).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

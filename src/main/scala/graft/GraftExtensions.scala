@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.sqlFunctions.foreach(ext.injectFunction)
     ext.injectPostHocResolutionRule(_ => graft.plans.EmptyGroupingSetsRewrite)
+    // standard-SQL grouping()/grouping_id() in HAVING under aliased select
+    // lists (round-16 fuzzer finding f0151/f0154)
+    ext.injectResolutionRule(_ => graft.plans.GroupingInHavingRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectOptimizerRule(s => new graft.plans.BloomJoinRewrite(s))

@@ -135,8 +135,12 @@ object OpFuzz {
         case 2 =>
           val k = Seq(32, 64, 128)(rnd.nextInt(3))
           val bands = Seq(8, 16, 32).filter(k % _ == 0)(rnd.nextInt(3))
+          // minhashLsh reports FULL-precision verified jaccard (its
+          // catalog consumers re-derive); the brute-force oracle rounds
+          // 4dp like the prefix/ngram family — compare mod that rounding
           val got = collectPairs(
             Dedup.minhashLsh(docs, "doc_id", "text", sn, k, bands, theta))
+            .map { case (kk, v) => kk -> (math.floor(v * 10000 + 0.5) / 10000) }
           val want = exactPairs(sn, theta)
           val recall = if (want.isEmpty) 1.0 else
             got.keySet.count(want.contains).toDouble / want.size

@@ -501,6 +501,36 @@ object R11b {
             FROM customer WHERE length(c_mktsegment) > 11
             GROUP BY ROLLUP(c_nationkey) ORDER BY nk NULLS FIRST"""))
 
+  /** Round-16 fuzzer-finding regression (FUZZ_r16_sf01 f0151/f0154):
+    * `grouping()` / `grouping_id()` in HAVING under an ALIASED select
+    * list — standard SQL that DuckDB/PostgreSQL accept and native Spark
+    * fails to resolve (UNRESOLVED_COLUMN suggesting the output aliases).
+    * `GroupingInHavingRewrite` (GraftExtensions) substitutes the gid
+    * arithmetic for the stuck TempResolvedColumn form; this query
+    * certifies the fixed semantics against the DuckDB oracle every
+    * round: a two-column CUBE with the subtotal levels selected via
+    * HAVING grouping_id(...) <> 0 and one level pinned by grouping(). */
+  private val q73 = QueryDef("q73_grouping_having",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("q73_customer")
+      s.sql("""SELECT t0.c_nationkey AS nk, t0.c_mktsegment AS seg,
+                      COUNT(*) AS cnt, CAST(SUM(CAST(FLOOR(t0.c_acctbal * 100
+                        + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+               FROM q73_customer t0
+               GROUP BY CUBE(t0.c_nationkey, t0.c_mktsegment)
+               HAVING grouping_id(t0.c_nationkey, t0.c_mktsegment) <> 0
+                  AND grouping(t0.c_mktsegment) = 1
+               ORDER BY nk NULLS FIRST, seg NULLS FIRST""")
+    },
+    Some("""SELECT t0.c_nationkey AS nk, t0.c_mktsegment AS seg,
+            COUNT(*) AS cnt, CAST(SUM(CAST(FLOOR(t0.c_acctbal * 100
+              + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+            FROM customer t0
+            GROUP BY CUBE(t0.c_nationkey, t0.c_mktsegment)
+            HAVING grouping_id(t0.c_nationkey, t0.c_mktsegment) <> 0
+               AND grouping(t0.c_mktsegment) = 1
+            ORDER BY nk NULLS FIRST, seg NULLS FIRST"""))
+
   val all: Seq[QueryDef] = Seq(mwa17, mwa18, mwa19, mwa20, mwa21, mwa22,
-    mwa23, mwa24, mwa25, s22, d28, q72)
+    mwa23, mwa24, mwa25, s22, d28, q72, q73)
 }
