@@ -77,6 +77,15 @@ object ScaleUp {
     new String(a)
   }
 
+  /** Smallest power of ten strictly above the source's max key, floored
+    * at the legacy 10M (so the certified sf0.1->sf1 derivation is
+    * byte-identical to previous rounds). Pure — pinned by ScaleUpSpec. */
+  private[graft] def offsetFor(maxKey: Long): Long = {
+    var p = 10000000L
+    while (p <= maxKey) p *= 10
+    p
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
       "usage: ScaleUp <srcDir> <dstDir> <factor> [hot=<N>]")
@@ -98,7 +107,37 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val K = 10000000L // key offset per copy, far above any sf0.1 key space
+    // Per-copy key offset. ROUND-16 FIX (found by the first sf10
+    // CORRECTNESS run — the r15 sweep was bench-only and never checked):
+    // the old constant 10M was "far above any sf0.1 key space", which was
+    // true for the sf0.1->sf1 derivation it was written for — but a
+    // TWO-LEVEL derivation feeds sf1 (whose keys already span ~90M = 9
+    // copies x 10M) back through the same constant, so copy i+1's low
+    // keys land inside copy i's range: every key table FOLDED onto 1.9x
+    // the base key space (500k documents -> 95k distinct doc_ids), the
+    // dedup verify joins fanned out over duplicate ids (d06 emitted 12.6x
+    // the true pair count), and every "10x" scale claim on keys was
+    // silently a 1.9x. Same failure CLASS as the r15 letter-permutation
+    // fold — a derivation parameter that does not survive composition.
+    // Now K derives from the SOURCE's actual key span (max over every
+    // key/FK column used below, rounded up to a power of ten, floored at
+    // the legacy 10M so the certified sf0.1->sf1 derivation is unchanged),
+    // which makes copy ranges disjoint BY CONSTRUCTION at any depth; the
+    // require below is the structural proof, mirroring the permutation
+    // family's collision check.
+    val keyCols: Seq[(String, Seq[String])] = Seq(
+      "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+    val maxKey: Long = keyCols.flatMap { case (t, cols) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      cols.map(c => df.select(max(col(c).cast("long"))).head().getLong(0))
+    }.max
+    val K: Long = offsetFor(maxKey)
+    require(K > maxKey, s"ScaleUp: offset $K does not clear source keys $maxKey")
+    System.err.println(s"[scaleup] source max key $maxKey -> per-copy offset $K")
 
     def copies(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")

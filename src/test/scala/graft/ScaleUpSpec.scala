@@ -53,4 +53,25 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(byClass.values.max <= 2,
       s"a composed class has multiplicity ${byClass.values.max}")
   }
+
+  test("per-copy key offset survives composition (round-16 key-fold fix)") {
+    // sf0.1-scale keys keep the legacy 10M offset (certified sf1
+    // derivation unchanged)...
+    assert(ScaleUp.offsetFor(600000L) == 10000000L)
+    // ...but a source that is ITSELF a 10-copy derivation (keys ~90M)
+    // must clear to the next decade — the round-16 finding: the constant
+    // 10M folded sf1->sf10 keys onto 1.9x the base space (500k documents,
+    // 95k distinct doc_ids; d06's verify join fanned out 12.6x)
+    assert(ScaleUp.offsetFor(90600000L) == 100000000L)
+    assert(ScaleUp.offsetFor(10000000L) == 100000000L) // boundary: strict >
+    assert(ScaleUp.offsetFor(999999999L) == 1000000000L)
+    // disjointness by construction: 10 copies of [0, maxKey] at the
+    // derived stride never overlap
+    val maxKey = 90600000L
+    val k = ScaleUp.offsetFor(maxKey)
+    val ranges = (0 until 10).map(i => (i * k, i * k + maxKey))
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"copy ranges overlap: $hi >= $lo2")
+    }
+  }
 }
