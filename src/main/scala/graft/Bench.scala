@@ -44,6 +44,10 @@ object Bench {
     // restricts the run; the artifact then carries "filtered":true so a
     // partial run can never masquerade as the full protocol (round-8
     // shipped silently-wrong bench numbers once; never again by forensics)
+    // SPARK_GRAFT_BENCH_RUNS (default 5 = the protocol): experiment arms
+    // on multi-minute sf10 queries use 2 — stamped into the artifact via
+    // "timed_runs" whenever off-protocol, same rule as shuffle_partitions
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val names = only.getOrElse(graft.queries.Catalog.benchNames)
     val qmap = SparkEntry.queries
@@ -140,7 +144,7 @@ object Bench {
       var failed: Throwable = null
       def run(): Unit = qmap(name)(spark, sfDir).count()
       try run() catch { case t: Throwable => failed = t } // warmup
-      val times = (1 to 5).map { _ =>
+      val times = (1 to timedRuns).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { if (failed == null) run() } catch { case t: Throwable => failed = t }
@@ -206,7 +210,8 @@ object Bench {
     // off-protocol partition counts must be visible in the artifact so a
     // sizing experiment can never masquerade as a protocol session
     val partsField = (if (parts != cpus) s""","shuffle_partitions":$parts""" else "") +
-      initParts.map(n => s""","aqe_initial_partitions":$n""").getOrElse("")
+      initParts.map(n => s""","aqe_initial_partitions":$n""").getOrElse("") +
+      (if (timedRuns != 5) s""","timed_runs":$timedRuns""" else "")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s$mem%s$partsField%s}""")
     spark.stop()
   }

@@ -90,11 +90,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, Str
   * count (<= `activationTaskBytes`/task), nothing moves — at sf1 the
   * whole graph family fits at the session default, and upscaling it was
   * measured as pure task-overhead regression (d28 11.5 -> 18.8s, r16).
-  * With these constants the d28/d24 edge exchanges at sf10 land on 256 —
-  * the empirically-fastest arm of the r15 experiment, under BOTH estimate
-  * flavors — while every sf0.1 and sf1 protocol exchange stays at the
-  * session default (flat protocol numbers, certified by the r16 bench
-  * artifacts). Pinned by ExchangeSizingSpec on the exact logged estimates.
+  * The wave cap and expansions were RE-calibrated on the regenerated
+  * (key-fold-fixed) sf10 corpus, whose edge working set is the honest
+  * 10x of sf1: the static surface there reads 256 -> 195s, 512 -> 138s,
+  * 1024 -> 161s for d28 (2-run arms, artifact-stamped), so the cap is 16
+  * waves (512 on local[32]) and the formula's targets land at 416 (file
+  * flavor) / 480-512 (runtime flavor) — inside the measured-optimal
+  * band, where the earlier 8-wave cap (calibrated against the folded
+  * corpus, which understated the true working set 10x) clipped them to a
+  * spilling 256. Every sf0.1 and sf1 protocol exchange still stays at
+  * the session default (flat protocol numbers, certified by the r16
+  * bench artifacts). Pinned by ExchangeSizingSpec on the exact logged
+  * estimates.
   *
   * At 100 TB this policy is the difference between "completes by spilling"
   * and "plans correctly": the reference's bounded-memory north star
@@ -318,11 +325,11 @@ object ExchangeSizing {
       maxPartitions =
         c.getConfString("spark.graft.sizing.maxPartitions", "1024").toInt,
       maxWaves =
-        c.getConfString("spark.graft.sizing.maxWaves", "8").toInt,
+        c.getConfString("spark.graft.sizing.maxWaves", "16").toInt,
       fileExpansion =
         c.getConfString("spark.graft.sizing.fileExpansion", "24").toInt,
       runtimeExpansion =
-        c.getConfString("spark.graft.sizing.runtimeExpansion", "6").toInt,
+        c.getConfString("spark.graft.sizing.runtimeExpansion", "12").toInt,
       maxTrustedBytes =
         c.getConfString("spark.graft.sizing.maxTrustedBytes",
           (1L << 40).toString).toLong, // 1 TiB: beyond it, assume sentinel

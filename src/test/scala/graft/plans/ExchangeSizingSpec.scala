@@ -37,19 +37,20 @@ class ExchangeSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- layer 1: the decision function on the sf10-logged estimates ----
 
-  test("sf10 edge family lands on 256 — the r15 measured optimum") {
+  test("sf10 edge family lands in the measured-optimal 288-544 band") {
     // BOTH estimate flavors the rule logged for the SAME 120M-edge
-    // stream at sf10 must land on the measured optimum: parquet-scaled
-    // first-plan estimates (file flavor, x24) and materialized
-    // cache/stage estimates (runtime flavor, x6)
-    for (est <- Seq(364760479L, 547140720L)) {
-      assert(targetCount(BigInt(est), edgeSchema, 32, 32,
-        runtimeStats = false, defaults) == Up(256), s"file est=$est")
-    }
-    for (est <- Seq(1295859600L, 1460827008L)) {
-      assert(targetCount(BigInt(est), edgeSchema, 32, 32,
-        runtimeStats = true, defaults) == Up(256), s"runtime est=$est")
-    }
+    // stream at sf10 must land inside the band the TRUE-corpus static
+    // surface measured optimal (256 -> 195s, 512 -> 138s, 1024 -> 161s
+    // for d28): parquet-scaled first-plan estimates (file flavor, x24)
+    // and materialized cache/stage estimates (runtime flavor, x12)
+    assert(targetCount(BigInt(364760479L), edgeSchema, 32, 32,
+      runtimeStats = false, defaults) == Up(288))
+    assert(targetCount(BigInt(547140720L), edgeSchema, 32, 32,
+      runtimeStats = false, defaults) == Up(416))
+    assert(targetCount(BigInt(1295859600L), edgeSchema, 32, 32,
+      runtimeStats = true, defaults) == Up(480))
+    assert(targetCount(BigInt(1460827008L), edgeSchema, 32, 32,
+      runtimeStats = true, defaults) == Up(512))
   }
 
   test("sf1/sf0.1 edge family keeps the session default (flat protocol)") {
@@ -103,15 +104,16 @@ class ExchangeSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("counts are whole scheduling waves, capped at maxWaves x cores") {
-    // raw 261 (364760479*24/32MiB) -> 288 = 9 waves -> capped at 8*32
-    assert(targetCount(BigInt(364760479L), edgeSchema, 32, 32,
-      runtimeStats = false, defaults.copy(maxWaves = 16)) == Up(288))
+    // raw 410 (547140720*24/32MiB) -> 416 = 13 waves under the 16-wave
+    // cap; a tighter cap clips to whole waves
+    assert(targetCount(BigInt(547140720L), edgeSchema, 32, 32,
+      runtimeStats = false, defaults.copy(maxWaves = 8)) == Up(256))
     // absolute backstop still binds
-    assert(targetCount(BigInt(364760479L), edgeSchema, 32, 32,
+    assert(targetCount(BigInt(547140720L), edgeSchema, 32, 32,
       runtimeStats = false,
-      defaults.copy(maxWaves = 16, maxPartitions = 128)) == Up(128))
+      defaults.copy(maxPartitions = 128)) == Up(128))
     // never below the current count
-    assert(targetCount(BigInt(364760479L), edgeSchema, 512, 32,
+    assert(targetCount(BigInt(547140720L), edgeSchema, 512, 32,
       runtimeStats = false, defaults) == Keep)
   }
 
