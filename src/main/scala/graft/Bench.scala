@@ -79,7 +79,23 @@ object Bench {
       val ts = (1 to 5).map(_ => probeOnce()).sorted
       ts(ts.size / 2)
     }
+    // Mid-session probes (round-16 verdict task 3): the start/end pair
+    // cannot resolve INTRA-session drift — r16's end-of-round session had
+    // probes 0.869/0.527 while totals rose 27%, and the two points can't
+    // say when (or whether smoothly) the environment moved. A probe is now
+    // emitted every PROBE_EVERY queries; tools/bench_medians.py normalizes
+    // each per-query median against the nearest probe point. Mid probes
+    // skip the warmup and use median-of-3 (the session is already
+    // codegen/JIT-warm after the start probe), keeping the added wall
+    // ~2s per point on a healthy epoch.
+    val probeEvery = 10
+    def probeMid(): Double = {
+      val ts = (1 to 3).map(_ => probeOnce()).sorted
+      ts(ts.size / 2)
+    }
+    val probePoints = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val probeStart = probeMedian()
+    probePoints += ((0, probeStart))
     System.err.println(f"[bench] drift probe (session start): $probeStart%.3fs")
     // Memory accounting (round-15 verdict task 2): the reference's stated
     // north star is BOUNDED PEAK MEMORY (its README: "protect peak memory
@@ -132,7 +148,7 @@ object Bench {
       prev
     }
     val spillByQuery = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, qi) =>
       val (m0, d0) = spillSnapshot()
       // a query that fails to plan or execute reports -1, never a fake
       // fast time: round-8's bench silently recorded 0.00s for five
@@ -154,6 +170,11 @@ object Bench {
       locally {
         val (m1, d1) = spillSnapshot()
         spillByQuery(name) = (m1 - m0, d1 - d0)
+      }
+      if ((qi + 1) % probeEvery == 0 && qi + 1 < names.size) {
+        val p = probeMid()
+        probePoints += ((qi + 1, p))
+        System.err.println(f"[bench] drift probe (after ${qi + 1} queries): $p%.3fs")
       }
       if (failed != null) {
         System.err.println(s"[bench] $name FAILED: ${failed.getMessage.linesIterator.next()}")
@@ -191,7 +212,13 @@ object Bench {
     val aux = if (auxEntries.nonEmpty)
       s""","aux":${auxEntries.mkString("{", ",", "}")}""" else ""
     val probeEnd = probeMedian()
+    probePoints += ((names.size, probeEnd))
     System.err.println(f"[bench] drift probe (session end): $probeEnd%.3fs")
+    // probe_points: [after_n_queries, probe_sec] pairs — start, every
+    // probeEvery queries, end. bench_medians.py interpolates a per-query
+    // epoch from these and normalizes each median against its own segment.
+    val probePts = probePoints.map { case (i, p) => f"[$i,$p%.3f]" }
+      .mkString("[", ",", "]")
     // memory artifact: per-query spill MB (only queries that spilled),
     // peak RSS (VmHWM from /proc — includes offheap + JVM overhead) and
     // the configured heap ceiling
@@ -206,13 +233,13 @@ object Bench {
       catch { case _: Exception => -1L }
     val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val mem = s""","mem":{"heap_max_mb":$heapMaxMb,"peak_rss_mb":$peakRssMb,""" +
-      s""""spill_window":"warmup+5_timed_runs (~6x one execution)","spill":$spillObj}"""
+      s""""spill_window":"warmup+${timedRuns}_timed_runs (~${timedRuns + 1}x one execution)","spill":$spillObj}"""
     // off-protocol partition counts must be visible in the artifact so a
     // sizing experiment can never masquerade as a protocol session
     val partsField = (if (parts != cpus) s""","shuffle_partitions":$parts""" else "") +
       initParts.map(n => s""","aqe_initial_partitions":$n""").getOrElse("") +
       (if (timedRuns != 5) s""","timed_runs":$timedRuns""" else "")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"sf":"$sfDir"$filtered%s$aux%s$mem%s$partsField%s}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"probe_points":$probePts%s,"sf":"$sfDir"$filtered%s$aux%s$mem%s$partsField%s}""")
     spark.stop()
   }
 }

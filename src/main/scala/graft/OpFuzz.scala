@@ -57,14 +57,24 @@ object OpFuzz {
 
   private type Pairs = Map[(Long, Long), Double]
 
-  private def collectPairs(df: DataFrame): Pairs =
-    df.collect().map { r =>
+  /** Collects (idA, idB, score) rows into a Map, FAILING on duplicate
+    * keys (round-16 ADVICE): .toMap alone would silently collapse an
+    * operator bug that emits the same qualifying pair twice (e.g. once
+    * per shared token in a hot-bucket join path), making it invisible to
+    * every family's oracle comparison. */
+  private def collectPairs(df: DataFrame): Pairs = {
+    val rows = df.collect().toSeq.map { r =>
       (r.getLong(0), r.getLong(1)) -> (r.get(2) match {
         case d: Double => d
         case i: Int => i.toDouble
         case l: Long => l.toDouble
       })
-    }.toMap
+    }
+    val dups = rows.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"operator emitted duplicate pairs: ${dups.take(5).toList} (${dups.size} total)")
+    rows.toMap
+  }
 
   private def diffPairs(name: String, got: Pairs, want: Pairs,
                         subsetOnly: Boolean = false): Option[String] = {
@@ -117,7 +127,11 @@ object OpFuzz {
       val sn = 2 + rnd.nextInt(3)                 // shingle n in 2..4
       val theta = 0.25 + rnd.nextInt(14) * 0.05   // 0.25..0.90
       val t0 = System.nanoTime()
-      val (family, params, violation): (String, String, Option[String]) = fam match {
+      // an exception inside a draw (e.g. collectPairs' duplicate-pair
+      // check) is a violation of that draw, not a fuzzer crash
+      val famNames = Seq("prefix_exact", "prefix_hotcap", "lsh_sound",
+        "sorted_window", "simhash")
+      val (family, params, violation): (String, String, Option[String]) = try fam match {
         case 0 =>
           val got = collectPairs(
             Dedup.prefixJaccardPairs(docs, "doc_id", "text", sn, theta))
@@ -179,6 +193,10 @@ object OpFuzz {
             .filter(col("h") <= maxH)
             .select(col("x.doc_id"), col("y.doc_id"), col("h")))
           ("simhash", s"maxH=$maxH", diffPairs("simhash", got, want))
+      } catch {
+        case e: Exception =>
+          (famNames(fam), s"n=$sn theta=$theta",
+            Some(s"exception: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}"))
       }
       val ms = (System.nanoTime() - t0) / 1000000
       results += ((family, params, violation, ms))

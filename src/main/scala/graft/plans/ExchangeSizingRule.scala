@@ -275,10 +275,21 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
   private def estimateBytes(child: SparkPlan): Option[BigInt] = {
     def statsOf(p: SparkPlan): Option[BigInt] =
       p.logicalLink.map(_.stats.sizeInBytes)
-    val direct = statsOf(child)
-      .orElse(child.collectFirst {
-        case p if p.logicalLink.isDefined => p.logicalLink.get.stats.sizeInBytes
-      })
+    // When the direct child carries no logicalLink, the estimate is the
+    // SUM over the highest linked node of EVERY branch (round-16 ADVICE:
+    // the old collectFirst took the first pre-order descendant, which
+    // could cover only one branch of a join input, silently skewing the
+    // whole-input estimate). A branch with no linked node at all fails
+    // the whole estimate CLOSED (None -> Keep, the pre-rule behavior).
+    def coverSum(p: SparkPlan): Option[BigInt] =
+      statsOf(p).orElse {
+        if (p.children.isEmpty) None
+        else {
+          val cs = p.children.map(coverSum)
+          if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+        }
+      }
+    val direct = coverSum(child)
     direct.map { d =>
       val leaves = child.collectLeaves().map(statsOf)
       if (leaves.nonEmpty && leaves.forall(_.isDefined))

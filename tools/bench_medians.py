@@ -38,18 +38,41 @@ out = {
 }
 out["best_of_both_total"] = round(sum(out["best_of_both"].values()), 3)
 out["probe_ref_sec"] = PROBE_REF_SEC
+def probe_at(points, x):
+    """Linear interpolation of the session probe at query position x
+    (points = [[after_n_queries, probe_sec], ...], sorted by position).
+    Round-16 verdict task 3: start/end probes alone can't resolve
+    intra-session drift; with mid-session points each query normalizes
+    against its OWN segment's epoch."""
+    if x <= points[0][0]:
+        return points[0][1]
+    for (x0, p0), (x1, p1) in zip(points, points[1:]):
+        if x <= x1:
+            return p0 + (p1 - p0) * (x - x0) / (x1 - x0) if x1 > x0 else p1
+    return points[-1][1]
+
 for run, d in (("a", a), ("b", b)):
     if "probe_start_sec" in d:
         probe = (d["probe_start_sec"] + d["probe_end_sec"]) / 2
-        scale = PROBE_REF_SEC / probe
         out[f"probe_run_{run}"] = {
             "start_sec": d["probe_start_sec"], "end_sec": d["probe_end_sec"],
             "vs_ref": round(probe / PROBE_REF_SEC, 3)}
         m = d["medians"]
-        out[f"medians_normalized_run_{run}"] = {
-            k: round(v * scale, 3) for k, v in m.items()}
+        pts = d.get("probe_points")
+        if pts and len(pts) >= 2:
+            # per-segment normalization: query at position i (0-based in
+            # the session's execution order, which the medians dict
+            # preserves) ran between probe points; normalize by the probe
+            # interpolated at its midpoint i+0.5
+            out[f"probe_run_{run}"]["points"] = pts
+            norm = {k: round(v * PROBE_REF_SEC / probe_at(pts, i + 0.5), 3)
+                    for i, (k, v) in enumerate(m.items())}
+        else:
+            scale = PROBE_REF_SEC / probe
+            norm = {k: round(v * scale, 3) for k, v in m.items()}
+        out[f"medians_normalized_run_{run}"] = norm
         out[f"median_total_normalized_run_{run}"] = round(
-            sum(m.values()) * scale, 3)
+            sum(norm.values()), 3)
     # per-query run spread [min, max] of the 5 timed executions (verdict
     # task 5): "session variance" adjudications cite this in-artifact
     # spread instead of cross-round precedent

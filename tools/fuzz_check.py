@@ -351,14 +351,18 @@ class Gen:
                 # VALUE-offset RANGE frame (round-16): the frame is keyed
                 # on the ORDER value, not row position — tie-inclusive, so
                 # deterministic even under duplicate keys. Single numeric
-                # sort key as both dialects require; NULLS FIRST pinned;
-                # the key is a non-null int/cents expression by
-                # construction.
+                # sort key as both dialects require; NULLS FIRST pinned.
+                # The key is wrapped in COALESCE(key, 0) (round-16 ADVICE):
+                # int/cents columns CAN be NULL in the data, and NULL-peer
+                # semantics for offset RANGE frames are a known
+                # cross-dialect divergence surface — the non-null invariant
+                # must be enforced, not assumed.
                 tb2 = self.pick(tables)
                 c2, k2 = self.pick([(c, k) for c, k in SCHEMA[tb2].items()
                                     if k in ("int", "money")])
                 key = (cents(f"{alias[tb2]}.{c2}") if k2 == "money"
                        else f"{alias[tb2]}.{c2}")
+                key = f"COALESCE({key}, 0)"
                 lo, hi = r.randrange(1, 500), r.randrange(0, 300)
                 ag = self.pick(["SUM", "MIN", "MAX", "COUNT"])
                 wf = (f"CAST({ag}({e}) OVER (PARTITION BY {part} "

@@ -39,13 +39,26 @@ def main(sf_dir, sql_a, sql_b):
     for t in referenced:
         p = f"{sf_dir}/{t}.parquet"
         if not os.path.exists(p):
-            print(f"MISSING INPUT: {p} (referenced by the SQL) — not a divergence")
-            return 2
+            # don't fail eagerly: the regex may have matched a table word
+            # inside a string literal/comment. If the query REALLY needs
+            # the table, the CatalogException path below reports exit 2.
+            print(f"note: {p} absent; view '{t}' not bound")
+            continue
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    ra = con.execute(text_a).fetchall()
-    rb = con.execute(text_b).fetchall()
+    # The word-boundary regex pre-scan can miss a quoted/differently-cased
+    # table reference (view never bound) or misfire on a table word inside
+    # a string literal (round-16 ADVICE). A CatalogException for a missing
+    # view therefore reports MISSING INPUT / exit 2 — an execution-setup
+    # problem — never a divergence.
+    try:
+        ra = con.execute(text_a).fetchall()
+        rb = con.execute(text_b).fetchall()
+    except duckdb.CatalogException as e:
+        print(f"MISSING INPUT: DuckDB catalog error ({e}) — "
+              f"table not bound by the regex pre-scan, not a divergence")
+        return 2
     if len(ra) != len(rb):
         print(f"DIVERGED: {len(ra)} rows vs {len(rb)} rows")
         return 1
