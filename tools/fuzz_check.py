@@ -315,6 +315,16 @@ class Gen:
         # nondeterministically "mismatched" on both engines
         pk = ", ".join(f"{alias[tb]}.{c} NULLS FIRST"
                        for tb in tables for c in self.pk[tb])
+        # direction/null-placement permutations (round-17 verdict task 4):
+        # any per-key ASC/DESC x NULLS FIRST/LAST permutation of a total
+        # order stays total, so frames over it are deterministic — but the
+        # frame CONTENTS flip, patrolling the sort-direction interaction
+        # the pinned-NULLS-FIRST order never reached
+        if r.random() < 0.5:
+            pk = ", ".join(
+                f"{alias[tb]}.{c} {self.pick(['ASC', 'DESC'])} "
+                f"{self.pick(['NULLS FIRST', 'NULLS LAST'])}"
+                for tb in tables for c in self.pk[tb])
         part = f"{a0}.{self.pick(GROUPCOLS[t0])}"
         sel = [f"{a0}.{c} AS c{i}" for i, c in enumerate(PK[t0])]
         sel.append(f"{part} AS cp")
@@ -454,6 +464,121 @@ class Gen:
         return (f"SELECT {proj} FROM {outer} t0 WHERE {cond}{opred}"
                 f" ORDER BY {order} LIMIT 500")
 
+    def q_setop_gs(self):
+        """Set-ops OVER grouping-sets results (round-17 verdict task 4):
+        ROLLUP/CUBE NULL group keys flowing into UNION/INTERSECT/EXCEPT
+        dedup — patrols the null-equality set semantics neither production
+        alone reaches. One agg expression text shared by both sides so the
+        column types unify identically in both dialects."""
+        r = self.r
+        t = self.pick([x for x in SCHEMA if len(GROUPCOLS[x]) >= 2])
+        gks = r.sample(GROUPCOLS[t], 2)
+        ag = self.agg(t, "t0")
+
+        def side():
+            mode = self.pick([
+                f"ROLLUP(t0.{gks[0]}, t0.{gks[1]})",
+                f"CUBE(t0.{gks[0]}, t0.{gks[1]})",
+                f"GROUPING SETS ((t0.{gks[0]}, t0.{gks[1]}), (t0.{gks[0]}), ())"])
+            p = self.pred(t, "t0")
+            return (f"SELECT t0.{gks[0]} AS c0, t0.{gks[1]} AS c1, "
+                    f"CAST(grouping_id(t0.{gks[0]}, t0.{gks[1]}) AS BIGINT) AS c2, "
+                    f"{ag} AS c3 FROM {t} t0 WHERE {p} GROUP BY {mode}")
+        op = self.pick(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(4))
+        return (f"({side()}) {op} ({side()})"
+                f" ORDER BY {order} LIMIT 500")
+
+    def q_decimal(self):
+        """Exact DECIMAL arithmetic at precision/scale boundaries
+        (round-17 verdict task 4): +,-,* chains over pinned DECIMAL
+        operand casts, optional ROUND (half-away-from-zero in both
+        dialects for decimals), final CAST to DECIMAL(38,6) — the binary
+        ops are exact at these precisions (a triple product of
+        DECIMAL(12,2) peaks at p=38,s=6 with room to spare), so any
+        value difference is a type-derivation/rounding engine bug, not
+        float noise."""
+        r = self.r
+        tables, alias, frm = self.chain(maxlen=2)
+
+        def operand():
+            tb = self.pick(tables)
+            c, k = self.pick([(c, k) for c, k in SCHEMA[tb].items()
+                              if k in ("int", "money")])
+            return (f"CAST({alias[tb]}.{c} AS DECIMAL(12,2))" if k == "money"
+                    else f"CAST({alias[tb]}.{c} AS DECIMAL(10,0))")
+        sel = []
+        for i in range(r.randrange(2, 5)):
+            e = f"({operand()} {self.pick(['+', '-', '*'])} {operand()})"
+            if r.random() < 0.35:
+                e = f"({e} * {operand()})"   # push toward the p=38 boundary
+            if r.random() < 0.4:
+                e = f"ROUND({e}, {r.randrange(0, 3)})"
+            sel.append(f"CAST({e} AS DECIMAL(38,6)) AS c{i}")
+        tb = self.pick(tables)
+        where = f" WHERE {self.pred(tb, alias[tb])}"
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(sel)))
+        return (f"SELECT {', '.join(sel)} FROM {frm}{where}"
+                f" ORDER BY {order} LIMIT 500")
+
+    def q_lateral(self):
+        """LATERAL + correlated-aggregate composition (round-17 verdict
+        task 4, q68's class): an aggregate lateral subquery is exactly
+        one row (comma-join safe); the LEFT JOIN LATERAL ... ON TRUE
+        variant adds a correlated HAVING so the lateral can be EMPTY and
+        the outer row null-extends."""
+        r = self.r
+        f, d, fc, dc = self.pick(EDGES)
+        outer, inner, oc, ic = ((f, d, fc, dc) if r.random() < 0.5
+                                else (d, f, dc, fc))
+        sel_cols = list(SCHEMA[outer])[:3]
+        proj = ", ".join(f"t0.{c} AS c{i}" for i, c in enumerate(sel_cols))
+        nums = [(c, k) for c, k in SCHEMA[inner].items()
+                if k in ("int", "money")]
+        c2, k2 = self.pick(nums)
+        e2 = cents(f"t1.{c2}") if k2 == "money" else f"t1.{c2}"
+        ipred = f" AND {self.pred(inner, 't1')}" if r.random() < 0.5 else ""
+        body = (f"SELECT CAST(COUNT(*) AS BIGINT) AS lc, "
+                f"COALESCE(CAST(SUM({e2}) AS BIGINT), 0) AS ls, "
+                f"MIN({e2}) AS lm FROM {inner} t1 "
+                f"WHERE t1.{ic} = t0.{oc}{ipred}")
+        nsel = len(sel_cols)
+        lsel = (f"l.lc AS c{nsel}, l.ls AS c{nsel + 1}, l.lm AS c{nsel + 2}")
+        opred = f" WHERE {self.pred(outer, 't0')}" if r.random() < 0.6 else ""
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(nsel + 3))
+        if r.random() < 0.4:
+            frm = (f"{outer} t0 LEFT JOIN LATERAL ({body} "
+                   f"HAVING COUNT(*) > {r.randrange(1, 4)}) l ON TRUE")
+        else:
+            frm = f"{outer} t0, LATERAL ({body}) l"
+        return (f"SELECT {proj}, {lsel} FROM {frm}{opred}"
+                f" ORDER BY {order} LIMIT 500")
+
+    def q_rcte(self):
+        """Recursive-CTE production (round-17 verdict task 4, q69's
+        class): a bounded integer ladder seeded by a scalar subquery over
+        the data, UNION ALL recursion (the only form Spark supports),
+        modular accumulator arithmetic — patrols anchor/step type
+        unification and recursion row semantics. Key columns are
+        non-negative so % agrees across dialects."""
+        r = self.r
+        t = self.pick(list(SCHEMA))
+        c0 = self.pick([c for c, k in SCHEMA[t].items() if k == "int"])
+        k = r.randrange(3, 31)
+        mod = self.pick([97, 1009, 65537])
+        mul = r.randrange(2, 12)
+        add = r.randrange(0, 50)
+        p = self.pred(t, "t0")
+        anchor = (f"(SELECT COALESCE(CAST(MIN(t0.{c0}) AS BIGINT), 0) "
+                  f"FROM {t} t0 WHERE {p})")
+        return (f"WITH RECURSIVE rr(n, acc) AS ("
+                f"SELECT CAST(0 AS BIGINT) AS n, {anchor} % {mod} AS acc"
+                f" UNION ALL "
+                f"SELECT n + 1, (acc * {mul} + {add}) % {mod} FROM rr"
+                f" WHERE n < {k}) "
+                f"SELECT n AS c0, acc AS c1 FROM rr"
+                f" ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT 500")
+
     def q_select(self):
         r = self.r
         tables, alias, frm = self.chain(maxlen=2)
@@ -474,9 +599,14 @@ class Gen:
                 f" ORDER BY {order} LIMIT 500")
 
     def query(self):
+        # NOT generated: window frames with EXCLUDE — Spark 4.1 has no
+        # EXCLUDE clause in frame syntax (parse error), so the same text
+        # cannot run on both engines; a dialect gap, not a coverage hole
+        # (verified round-17; see COVERAGE.md).
         return self.pick([self.q_agg, self.q_agg, self.q_window,
                           self.q_setop, self.q_exists, self.q_corr_agg,
-                          self.q_select])()
+                          self.q_select, self.q_setop_gs, self.q_decimal,
+                          self.q_lateral, self.q_rcte])()
 
 
 def compare(exp, got):
