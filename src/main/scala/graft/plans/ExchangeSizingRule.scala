@@ -235,11 +235,16 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
     val d = est.map(b => targetCount(b, schema, current,
       session.sparkContext.defaultParallelism, runtime, prm)).getOrElse(Veto)
     if (prm.log) {
+      val leaves = ex.child.collectLeaves().map(l =>
+        s"${l.getClass.getSimpleName}:" +
+          l.logicalLink.map(_.stats.sizeInBytes.toString).getOrElse("n/a"))
+        .mkString(",")
       System.err.println(s"[graft-sizing] ${ex.nodeName} origin=${ex.shuffleOrigin} " +
         s"current=$current est=${est.map(_.toString).getOrElse("n/a")} " +
         s"wide=${hasWideColumns(schema)} fixed=${allFixedWidth(schema)} " +
-        s"runtime=$runtime -> $d")
+        s"runtime=$runtime leaves=$leaves -> $d")
     }
+    d match { case _: Up => ExchangeSizing.upCount.incrementAndGet(); case _ => }
     d
   }
 
@@ -290,11 +295,48 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
         }
       }
     val direct = coverSum(child)
-    direct.map { d =>
-      val leaves = child.collectLeaves().map(statsOf)
+    // Leaf stats: a MATERIALIZED query stage reports its actual runtime
+    // bytes (truth, not an estimate) — the strongest possible cap for the
+    // runtime flavor; other leaves report their Catalyst estimate.
+    //
+    // ROUND-17 FINDING (first sf0.1 sizing-telemetry pass): a
+    // checkpoint-pinned frame's LogicalRDD leaf INHERITS the Catalyst
+    // estimate of the plan it pinned — for a join/explode-derived frame
+    // that is multiplicative garbage baked in as leaf truth. At sf0.1
+    // (whole corpus ~100 MB) d25's per-round distance pins claimed
+    // 107.7 GB each and d27's token-table pin 52.8 GB, so the leaf-sum
+    // cap itself was poisoned and six exchanges fired Up(512) — a
+    // 10-20% local wall penalty hidden in session noise until the
+    // telemetry artifact existed. The fix exploits that these pins are
+    // MATERIALIZED: the block manager knows their actual stored bytes,
+    // so an RDD leaf claiming more than 4x its real persisted size is
+    // poisoned -> fail the whole estimate CLOSED (Keep/Veto, the
+    // pre-rule behavior). A verified claim stays the ESTIMATE-flavor
+    // number (not the block bytes), preserving the r16 expansion
+    // calibration; an unmaterialized RDD leaf is unverifiable and keeps
+    // its claim (every poisoned site observed pins eagerly — policed by
+    // SizingFlatAtGateSpec and the per-round telemetry artifact).
+    def leafStats(p: SparkPlan): Option[BigInt] = p match {
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scala.util.Try(qs.getRuntimeStatistics.sizeInBytes).toOption
+          .filter(_ > 0).orElse(statsOf(qs))
+      case rs: org.apache.spark.sql.execution.RDDScanExec =>
+        val claimed = statsOf(rs)
+        val real = session.sparkContext.getRDDStorageInfo
+          .find(_.id == rs.rdd.id)
+          .map(i => BigInt(i.memSize) + BigInt(i.diskSize))
+          .filter(_ > 0)
+        (claimed, real) match {
+          case (Some(c), Some(r)) if c > r * 4 => None // poisoned pin
+          case (c, _) => c
+        }
+      case other => statsOf(other)
+    }
+    direct.flatMap { d =>
+      val leaves = child.collectLeaves().map(leafStats)
       if (leaves.nonEmpty && leaves.forall(_.isDefined))
-        d.min(leaves.flatten.sum)
-      else d
+        Some(d.min(leaves.flatten.sum))
+      else None // no trustworthy magnitude bound -> fail closed
     }
   }
 
@@ -392,6 +434,13 @@ object ExchangeSizing {
   case object Veto extends Decision
   case object Keep extends Decision
   final case class Up(n: Int) extends Decision
+
+  /** Session-wide count of Up decisions actually taken by the rule
+    * (round-17 verdict task 6): lets a spec EXECUTE catalog queries and
+    * pin "the sf0.1 protocol plans are untouched" as a hard zero, the
+    * strongest form of the flat-by-construction claim. Telemetry only —
+    * never read by the decision path. */
+  val upCount = new java.util.concurrent.atomic.AtomicLong
 
   /** The calibrated decision: estimated compressed bytes -> in-memory
     * working set -> the smallest FULL-WAVE count (multiple of the session

@@ -3353,6 +3353,7 @@ object Catalog {
   private val s06 = QueryDef("s06_stream_mf",
     (s, d) => {
       import graft.mwa._
+      val t0 = System.nanoTime()
       val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
       val cfg = GraftConfig(removeFlaggedAnts = false,
         spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
@@ -3377,8 +3378,20 @@ object Catalog {
           .as[MatchFilter.InsCell]
         val flags = graft.streaming.StatefulOps
           .matchFilterStream(stream, cfg, expected).toDF()
-        val out = graft.streaming.EventStreams
+        val s0 = System.nanoTime()
+        val ran = graft.streaming.EventStreams
           .runToBatch(s, flags, outputMode = "append")
+        // bench interpretability (round-17 verdict task 7): split the
+        // stream's processAllAvailable wall from the fixture/staging
+        // scaffold, same fields as s22's aux
+        val streamSec = (System.nanoTime() - s0) / 1e9
+        val nIn = s.read.parquet(dir).count()
+        BenchAux.put("s06_stream_mf",
+          "stream_sec" -> streamSec,
+          "scaffold_sec" -> ((System.nanoTime() - t0) / 1e9 - streamSec),
+          "input_records" -> nIn.toDouble,
+          "records_per_sec" -> (if (streamSec > 0) nIn / streamSec else 0.0))
+        val out = ran
           .filter(col("flagged"))
           .select("time_idx", "freq_hz", "pol", "event")
           .orderBy("pol", "time_idx", "freq_hz")
@@ -3517,6 +3530,8 @@ object Catalog {
   private val s20 = QueryDef("s20_stream_mf_restart",
     (s, d) => {
       import graft.mwa._
+      val t0 = System.nanoTime()
+      var streamNanos = 0L
       val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
       val cfg = GraftConfig(removeFlaggedAnts = false,
         spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
@@ -3544,9 +3559,10 @@ object Catalog {
             .writeStream.format("parquet")
             .option("path", sink).option("checkpointLocation", ck)
             .outputMode("append").start()
+          val s0 = System.nanoTime()
           try { q.processAllAvailable()
             graft.streaming.EventStreams.assertDrained(q, "s20_restart")
-          } finally q.stop()
+          } finally { streamNanos += System.nanoTime() - s0; q.stop() }
         }
         // half the observation (8 of 16 diffed times), then the kill
         insDf.filter(col("time_idx") <= 8).repartition(2)
@@ -3561,6 +3577,17 @@ object Catalog {
           .write.mode("append").parquet(src)
         run()
         val out = s.read.parquet(sink).localCheckpoint(true)
+        // bench interpretability (round-17 verdict task 7): both
+        // processAllAvailable phases (pre-kill + post-restart recovery)
+        // count as stream_sec; staging writes, checkpoint dirs and the
+        // controlled kill are scaffold
+        val nIn = s.read.parquet(src).count()
+        val streamSec = streamNanos / 1e9
+        BenchAux.put("s20_stream_mf_restart",
+          "stream_sec" -> streamSec,
+          "scaffold_sec" -> ((System.nanoTime() - t0) / 1e9 - streamSec),
+          "input_records" -> nIn.toDouble,
+          "records_per_sec" -> (if (streamSec > 0) nIn / streamSec else 0.0))
         org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
         out.filter(col("flagged"))
           .select("time_idx", "freq_hz", "pol", "event")

@@ -131,6 +131,12 @@ class ExchangeSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var prevDefault: Option[SparkSession] = None
 
+  override def beforeAll(): Unit = {
+    // serialize with SizingFlatAtGateSpec — see ExclusiveSessionGate
+    ExclusiveSessionGate.sem.acquire()
+    super.beforeAll()
+  }
+
   lazy val spark: SparkSession = {
     prevDefault = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
@@ -157,12 +163,14 @@ class ExchangeSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    prevDefault.foreach { p =>
-      SparkSession.setDefaultSession(p)
-      SparkSession.setActiveSession(p)
-    }
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    } finally ExclusiveSessionGate.sem.release()
     super.afterAll()
   }
 

@@ -23,7 +23,8 @@ import sys
 LINE = re.compile(
     r"\[graft-sizing\] (?P<node>\S+) origin=(?P<origin>\S+) "
     r"current=(?P<current>\d+) est=(?P<est>\S+) wide=(?P<wide>\S+) "
-    r"fixed=(?P<fixed>\S+) runtime=(?P<runtime>\S+) -> (?P<decision>.+)$")
+    r"fixed=(?P<fixed>\S+) runtime=(?P<runtime>\S+)"
+    r"(?: leaves=(?P<leaves>\S+))? -> (?P<decision>.+)$")
 MARK = re.compile(r"\[bench\] (?P<name>\w+)\s+(-?[\d.]+)s")
 
 
