@@ -316,10 +316,15 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
     // calibration; an unmaterialized RDD leaf is unverifiable and keeps
     // its claim (every poisoned site observed pins eagerly — policed by
     // SizingFlatAtGateSpec and the per-round telemetry artifact).
+    // NOTE a rejected variant, measured r17: materialized QueryStageExec
+    // leaves reporting getRuntimeStatistics instead of their logicalLink
+    // estimate. Runtime statistics are DESERIALIZED row bytes — ~10x the
+    // catalyst numbers the r16 expansion factors were calibrated on — and
+    // the looser cap immediately fired a fresh Up(192) on d11's sf1
+    // verify exchange (leaf claims 61 MB, runtime sum >= 526 MB). Leaf
+    // flavors must stay in the calibrated estimate currency; truth-bytes
+    // enter only as the RDD-pin TRUST CHECK below, never as the number.
     def leafStats(p: SparkPlan): Option[BigInt] = p match {
-      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scala.util.Try(qs.getRuntimeStatistics.sizeInBytes).toOption
-          .filter(_ > 0).orElse(statsOf(qs))
       case rs: org.apache.spark.sql.execution.RDDScanExec =>
         val claimed = statsOf(rs)
         val real = session.sparkContext.getRDDStorageInfo
