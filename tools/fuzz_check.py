@@ -493,11 +493,19 @@ class Gen:
         """Exact DECIMAL arithmetic at precision/scale boundaries
         (round-17 verdict task 4): +,-,* chains over pinned DECIMAL
         operand casts, optional ROUND (half-away-from-zero in both
-        dialects for decimals), final CAST to DECIMAL(38,6) — the binary
-        ops are exact at these precisions (a triple product of
-        DECIMAL(12,2) peaks at p=38,s=6 with room to spare), so any
-        value difference is a type-derivation/rounding engine bug, not
-        float noise."""
+        dialects for decimals), final CAST to DECIMAL(38,6).
+
+        CHAINED products widen through an explicit CAST(.. AS
+        DECIMAL(20,4)) — dialect-safety, found by the r17 seed-1702
+        sweep (f0123): DuckDB types a product of two int64-representable
+        decimals as physical DECIMAL(18,·) regardless of p1+p2 (e.g.
+        (10,0)x(12,2) -> DECIMAL(18,2), an internal performance rule),
+        so a second multiply overflows at RUNTIME on values Spark's
+        width-38 derivation handles exactly. Widening the accumulated
+        product past 18 forces DuckDB's int128 path ((20,4)x(12,2) ->
+        DECIMAL(32,6)); both engines are then exact at every operand
+        this schema can produce, so any value difference is a
+        type-derivation/rounding engine bug, not float noise."""
         r = self.r
         tables, alias, frm = self.chain(maxlen=2)
 
@@ -511,7 +519,8 @@ class Gen:
         for i in range(r.randrange(2, 5)):
             e = f"({operand()} {self.pick(['+', '-', '*'])} {operand()})"
             if r.random() < 0.35:
-                e = f"({e} * {operand()})"   # push toward the p=38 boundary
+                # push toward the p=38 boundary through the int128 gate
+                e = f"(CAST({e} AS DECIMAL(20,4)) * {operand()})"
             if r.random() < 0.4:
                 e = f"ROUND({e}, {r.randrange(0, 3)})"
             sel.append(f"CAST({e} AS DECIMAL(38,6)) AS c{i}")
@@ -707,7 +716,14 @@ def main():
         errf = os.path.join(outdir, name + ".err")
         serr = open(errf).read() if os.path.exists(errf) else None
         try:
-            exp = con.execute(sql).fetchdf()
+            # arrow() (not fetchdf): fetchdf downcasts DECIMAL to float64,
+            # so an exact decimal result compares UNEQUAL to Spark's exact
+            # Decimal parquet values (the r17 seed-1702 sweep reported 11
+            # false mismatches like -0.1 vs Decimal('-0.100000')); the
+            # arrow path keeps decimal128 -> decimal.Decimal on both sides
+            # (and renders DATE as datetime.date, matching Spark's parquet,
+            # where fetchdf gave midnight Timestamps).
+            exp = con.execute(sql).arrow().to_pandas()
             derr = None
         except Exception as e:
             exp, derr = None, str(e)
