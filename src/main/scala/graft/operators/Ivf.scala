@@ -220,9 +220,17 @@ object Ivf {
       .filter(col("__rn") <= nprobe)
       .select(col("vec_id"), col("__qv"), col("cell"),
         VectorFns.norm(col("__qv")).as("__qn"))
+    // NO pair dedup (unlike lshKnn's multi-table join, where a pair can
+    // meet once per table): assign() emits exactly ONE row per corpus
+    // vector (argmin over centroids — literal path computes the cell
+    // in-row, broadcast path groups by __id), and qCells is one row per
+    // (vec_id, cell) by row_number, so a (vec_id, nn_id) pair can only
+    // meet through the corpus vector's single cell. The r17 profile had
+    // a dropDuplicates here — a full extra shuffle of the candidate
+    // stream (the big intermediate at scale) to dedup a provably
+    // duplicate-free set.
     val cand = qCells.join(corpusCells, Seq("cell"))
       .filter(col("vec_id") =!= col("nn_id"))
-      .dropDuplicates("vec_id", "nn_id")
     val scored = cand.withColumn("sim",
       round(VectorFns.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo))
     val wr = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn_id"))

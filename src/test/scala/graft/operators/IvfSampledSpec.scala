@@ -106,6 +106,35 @@ class IvfSampledSpec extends SparkSpec {
         lit0.collect { case (k, v) if bc(k) != v => (k, v, bc(k)) }.take(5))
   }
 
+  test("assign emits exactly one cell per vector, even under exact centroid ties") {
+    // the invariant ivfKnn's candidate join RELIES on since the r17
+    // dedup removal: one corpus vector -> one cell means a (query, nn)
+    // pair can only meet through one cell, so the candidate stream is
+    // duplicate-free by construction and needs no dropDuplicates
+    // shuffle. Ties are the adversarial case: a vector exactly
+    // equidistant from two centroids must still land in ONE cell (the
+    // first-minimum / min-cell-id tie-break), on BOTH argmin paths.
+    import spark.implicits._
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(2.0, 0.0)), (2, Seq(0.0, 2.0)))
+      .toDF("cell", "centroid")
+    // (1,0) ties cells 0/1; (0,1) ties cells 0/2; (1,1) ties all three
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+        (3L, Seq(1.0, 1.0)), (4L, Seq(1.9, 0.1)))
+      .toDF("__id", "__v")
+    for ((name, assigned) <- Seq(
+        "literal" -> Ivf.assign(vecs, cents),
+        "broadcast" -> Ivf.assignBroadcast(vecs, cents))) {
+      val rows = assigned.select("__id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.length == 4, s"$name path duplicated or dropped vectors: ${rows.toSeq}")
+      assert(rows.map(_._1).distinct.length == 4, s"$name path: duplicate __id rows")
+      // both paths break ties toward the smallest cell id
+      val byId = rows.toMap
+      assert(byId(1L) == 0 && byId(2L) == 0 && byId(3L) == 0 && byId(4L) == 1,
+        s"$name path tie-break drifted: $byId")
+    }
+  }
+
   test("beyond the literal contract, assignment switches to the broadcast join") {
     // k * dim = 4000 * 40 far beyond the 131072 inlining contract: the
     // fit must COMPLETE through the broadcast-join argmin (round 11
