@@ -31,6 +31,14 @@ import scala.util.Random
   *    all-pairs hamming filter over the same signatures (the 16-bit-chunk
   *    pigeonhole candidate generation is complete for maxH <= 3).
   *
+  * Round-17 additions, all against independent driver-side replays:
+  * `kcore` (vs Matula–Beck peeling), `hops` (vs reference BFS), `paths`
+  * (vs round-bounded Bellman–Ford), `resample` (grid LOCF/lerp/nearest
+  * vs brute bracketing), `span_dedup` (excision replay: md5 window
+  * digests, min-packed canonical, coverage rebuild), `pack` (60-bit
+  * key-hash sharding + exclusive prefix sums), `ohlc` (min_by/max_by
+  * over the (ts, tieBreak) total order under planted timestamp ties).
+  *
   * Usage: runMain graft.OpFuzz <sfDir> <nDraws> <seed> <outJson>
   * Exit 0 iff zero violations; the JSON artifact records every draw.
   */
@@ -183,6 +191,71 @@ object OpFuzz {
     (locf.toMap, lerp.toMap, near.toMap)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Driver-side replay of Dedup.spanDedup (round-17: the span-excision
+    * rewrite joins the patrol): same tokenization (split on \s+, drop
+    * empties), md5 window digests, corpus-wide (count, min-packed
+    * canonical) stats, per-doc coverage excision, single-space rebuild —
+    * in plain Scala collections, independent of every engine kernel. */
+  private def refSpanDedup(local: Seq[(Long, String)],
+                           n: Int): Map[Long, (Long, Long, String)] = {
+    val words = local.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toVector }
+    val grams = words.flatMap { case (id, w) =>
+      if (w.length < n) Seq.empty
+      else (1 to (w.length - (n - 1))).map { pos =>
+        (md5hex(w.slice(pos - 1, pos - 1 + n).mkString(" ")),
+          id * 4294967296L + pos, id, pos)
+      }
+    }
+    val stats = grams.groupBy(_._1).map { case (d, gs) =>
+      d -> ((gs.size.toLong, gs.map(_._2).min)) }
+    val startsByDoc = grams
+      .filter { g => val (c, canon) = stats(g._1); c > 1 && g._2 != canon }
+      .groupBy(_._3).map { case (id, gs) => id -> gs.map(_._4).sorted }
+    words.map { case (id, w) =>
+      val starts = startsByDoc.getOrElse(id, Seq.empty)
+      val keep = (1 to w.length)
+        .filterNot(i => starts.exists(s => s <= i && i < s + n))
+      id -> ((w.length.toLong, (w.length - keep.size).toLong,
+        keep.map(i => w(i - 1)).mkString(" ")))
+    }.toMap
+  }
+
+  /** Driver-side replay of Sampling.packSequences: the 60-bit portable
+    * key hash (first 15 hex of md5), shard = hash mod shards, per-shard
+    * (hash, key) order, exclusive prefix sum, integral bin division. */
+  private def refPack(tokens: Seq[(Long, Long)], budget: Int,
+                      shards: Int): Map[Long, (Long, Long)] = {
+    val rows = tokens.map { case (id, tok) =>
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(15), 16)
+      (id, h, h % shards, tok)
+    }
+    rows.groupBy(_._3).flatMap { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._2, r._1)).map { case (id, _, _, tok) =>
+        val excl = cum; cum += tok
+        id -> ((shard * (1L << 40) + excl / budget, excl % budget))
+      }
+    }
+  }
+
+  /** Driver-side replay of RelationalOps.ohlcDownsample: UTC-epoch
+    * truncation, min_by/max_by over the total (ts, tieBreak) order,
+    * plain min/max/count — no arithmetic, so doubles compare bitwise. */
+  private def refOhlc(evs: Seq[(Long, Long, Double, Long)], unitUs: Long)
+      : Map[(Long, Long), (Double, Double, Double, Double, Long)] =
+    evs.groupBy { case (k, us, _, _) => (k, us - us % unitUs) }
+      .map { case (kb, es) =>
+        kb -> ((es.minBy(e => (e._2, e._4))._3,
+          es.map(_._3).max, es.map(_._3).min,
+          es.maxBy(e => (e._2, e._4))._3, es.size.toLong))
+      }
+
   /** Generic keyed-value diff (graph/resample families). */
   private def diffMaps[K, V](name: String, got: Map[K, V],
                              want: Map[K, V]): Option[String] = {
@@ -245,7 +318,8 @@ object OpFuzz {
     // an exception inside a draw (e.g. collectPairs' duplicate-pair
     // check) is a violation of that draw, not a fuzzer crash
     val famNames = Seq("prefix_exact", "prefix_hotcap", "lsh_sound",
-      "sorted_window", "simhash", "kcore", "hops", "paths", "resample")
+      "sorted_window", "simhash", "kcore", "hops", "paths", "resample",
+      "span_dedup", "pack", "ohlc")
     // seeded random UNDIRECTED simple graph (a<b, no self-loops);
     // density drawn so k-core/BFS exercise both sparse and dense regimes
     def randGraph(nv: Int, p: Double): Seq[(Long, Long)] =
@@ -255,8 +329,8 @@ object OpFuzz {
       } yield (a, b)
     import spark.implicits._
     (1 to n).foreach { i =>
-      // round-robin, not uniform draw: every family gets >= n/9 draws
-      // (the verdict's >=20-per-graph-family contract at n=180)
+      // round-robin, not uniform draw: every family gets >= n/12 draws
+      // (the verdict's >=20-per-family contract at n=240)
       val fam = (i - 1) % famNames.size
       val sn = 2 + rnd.nextInt(3)                 // shingle n in 2..4
       val theta = 0.25 + rnd.nextInt(14) * 0.05   // 0.25..0.90
@@ -409,6 +483,58 @@ object OpFuzz {
           }
           ("resample", s"mode=$label step=${stepHours}h keys=$nk ev=${evs.size}",
             diffMaps(s"resample_$label", got, want))
+        case 9 =>
+          // span-level exact-substring dedup (d20's operator) vs the
+          // driver-side excision replay, at window sizes the fixed
+          // catalog never varies
+          val sdn = 2 + rnd.nextInt(5)            // window n in 2..6
+          val got = Dedup.spanDedup(docs, sdn, "doc_id", "text")
+            .collect().map(r => r.getLong(0) ->
+              ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+          val want = refSpanDedup(local, sdn)
+          ("span_dedup", s"n=$sdn", diffMaps("span_dedup", got, want))
+        case 10 =>
+          // sharded sequence packing (t12's operator): seq_id/seq_offset
+          // for every doc vs the driver prefix-sum replay
+          val budget = 64 + rnd.nextInt(4000)
+          val shards = 1 + rnd.nextInt(8)
+          val toks = local.map { case (id, t) =>
+            id -> t.split("\\s+").count(_.nonEmpty).toLong }
+          val packed = graft.operators.Sampling.packSequences(
+            docs.withColumn("__tok",
+              size(graft.functions.TextFns.words(col("text"))).cast("long")),
+            col("doc_id"), col("__tok"), budget, shards)
+          val got = packed.select("doc_id", "seq_id", "seq_offset")
+            .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          val want = refPack(toks, budget, shards)
+          ("pack", s"budget=$budget shards=$shards", diffMaps("pack", got, want))
+        case _ =>
+          // OHLC downsampling vs the driver fold; ~25% timestamp ties
+          // within key exercise the (ts, tieBreak) total order
+          val (unit, unitUs) = Seq(("minute", 60000000L),
+            ("hour", 3600000000L), ("day", 86400000000L))(rnd.nextInt(3))
+          val baseUs = 1767225600L * 1000000L     // 2026-01-01T00Z
+          var eid = 0L
+          val evs = (0 until (1 + rnd.nextInt(3))).flatMap { k =>
+            var lastTs = baseUs
+            (0 until (4 + rnd.nextInt(12))).map { _ =>
+              val ts = if (eid > 0 && rnd.nextDouble() < 0.25) lastTs
+                       else baseUs + rnd.nextInt(72 * 3600).toLong * 1000000L
+              lastTs = ts
+              eid += 1
+              (k.toLong, ts, rnd.nextInt(20000) / 100.0, eid)
+            }
+          }
+          val df = evs.map { case (k, us, v, id) =>
+            (k, new java.sql.Timestamp(us / 1000L), v, id)
+          }.toDF("k", "ts", "v", "eid")
+          val got = graft.operators.RelationalOps
+            .ohlcDownsample(df, "k", "ts", "v", unit, "eid")
+            .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L) ->
+              ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+                r.getDouble(5), r.getLong(6)))).toMap
+          val want = refOhlc(evs, unitUs)
+          ("ohlc", s"unit=$unit ev=${evs.size}", diffMaps("ohlc", got, want))
       } catch {
         case e: Exception =>
           (famNames(fam), s"n=$sn theta=$theta",
