@@ -304,6 +304,73 @@ class Gen:
         return (f"SELECT {', '.join(sel)} FROM {frm}{where}{grp}{having}"
                 f" ORDER BY {order} LIMIT 500")
 
+    def q_filter_agg(self):
+        """Aggregate FILTER clauses (round-17): per-aggregate predicates
+        over grouped/rolled-up queries, incl. DISTINCT aggregates and a
+        filtered-ratio form — probed bit-identical across both dialects
+        (COUNT(DISTINCT ..) FILTER included). FILTER attaches to the
+        FUNCTION CALL, never outside a CAST. NOT generated here: IGNORE
+        NULLS navigation — Spark parses it OUTSIDE the call parens
+        (`lead(x, 1) IGNORE NULLS OVER ..`), DuckDB INSIDE
+        (`lead(x, 1 IGNORE NULLS) OVER ..`), so the same text cannot run
+        on both engines (a dialect-syntax gap, same class as window
+        EXCLUDE; see COVERAGE.md)."""
+        r = self.r
+        tables, alias, frm = self.chain(maxlen=2)
+
+        def filt():
+            tb = self.pick(tables)
+            return f" FILTER (WHERE {self.pred(tb, alias[tb])})"
+
+        def fagg():
+            tb = self.pick(tables)
+            c, k = self.pick([(c, k) for c, k in SCHEMA[tb].items()
+                              if k in ("int", "money")])
+            e = cents(f"{alias[tb]}.{c}") if k == "money" else f"{alias[tb]}.{c}"
+            f = filt() if r.random() < 0.85 else ""
+            kind = r.randrange(6)
+            if kind == 0:
+                return f"COUNT({e}){f}"
+            if kind == 1:
+                return f"COUNT(DISTINCT {e}){f}"
+            if kind == 2:
+                return f"CAST(SUM({e}){f} AS BIGINT)"
+            if kind == 3:
+                return f"{self.pick(['MIN', 'MAX'])}({e}){f}"
+            if kind == 4:
+                return f"COUNT(*){f}"
+            # filtered ratio: the SAME filter on numerator and denominator
+            # (exact BIGINT sum, IEEE division — deterministic both sides)
+            return (f"CAST(CAST(SUM({e}){f} AS BIGINT) AS DOUBLE)"
+                    f" / NULLIF(COUNT({e}){f}, 0)")
+
+        gks = []
+        for tb in tables:
+            if r.random() < 0.7:
+                gks.append(f"{alias[tb]}.{self.pick(GROUPCOLS[tb])}")
+        gks = list(dict.fromkeys(gks))[:2]
+        aggs = [fagg() for _ in range(r.randrange(2, 5))]
+        sel = [f"{g} AS c{i}" for i, g in enumerate(gks)]
+        sel += [f"{a} AS c{len(gks) + i}" for i, a in enumerate(aggs)]
+        where = ""
+        if r.random() < 0.5:
+            tb = self.pick(tables)
+            where = f" WHERE {self.pred(tb, alias[tb])}"
+        if gks:
+            klist = ", ".join(gks)
+            # rollup x FILTER: filters evaluated inside null-extended groups
+            grp = (f" GROUP BY ROLLUP({klist})"
+                   if len(gks) > 1 and r.random() < 0.4
+                   else f" GROUP BY {klist}")
+        else:
+            grp = ""
+        having = ""
+        if grp and r.random() < 0.3:
+            having = f" HAVING COUNT(*){filt()} > {r.randrange(0, 4)}"
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(sel)))
+        return (f"SELECT {', '.join(sel)} FROM {frm}{where}{grp}{having}"
+                f" ORDER BY {order} LIMIT 500")
+
     def q_window(self):
         r = self.r
         tables, alias, frm = self.chain(maxlen=2)
@@ -615,7 +682,7 @@ class Gen:
         return self.pick([self.q_agg, self.q_agg, self.q_window,
                           self.q_setop, self.q_exists, self.q_corr_agg,
                           self.q_select, self.q_setop_gs, self.q_decimal,
-                          self.q_lateral, self.q_rcte])()
+                          self.q_lateral, self.q_rcte, self.q_filter_agg])()
 
 
 def compare(exp, got):
