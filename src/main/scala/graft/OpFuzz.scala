@@ -508,7 +508,7 @@ object OpFuzz {
             .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
           val want = refPack(toks, budget, shards)
           ("pack", s"budget=$budget shards=$shards", diffMaps("pack", got, want))
-        case _ =>
+        case 11 =>
           // OHLC downsampling vs the driver fold; ~25% timestamp ties
           // within key exercise the (ts, tieBreak) total order
           val (unit, unitUs) = Seq(("minute", 60000000L),
@@ -535,6 +535,12 @@ object OpFuzz {
                 r.getDouble(5), r.getLong(6)))).toMap
           val want = refOhlc(evs, unitUs)
           ("ohlc", s"unit=$unit ev=${evs.size}", diffMaps("ohlc", got, want))
+        // explicit indices, no catch-all (round-17 ADVICE): a family
+        // appended to famNames without a matching case must FAIL FAST as
+        // a recorded violation (the per-draw handler below), never
+        // silently run a neighbor's draw under the new family's name
+        case other => throw new IllegalStateException(
+          s"OpFuzz: family index $other (${famNames(other)}) has no case")
       } catch {
         case e: Exception =>
           (famNames(fam), s"n=$sn theta=$theta",

@@ -199,7 +199,18 @@ object Ivf {
   }
 
   /** IVF search: exact cosine rerank within the query's `nprobe` nearest
-    * cells. Returns (vec_id, nn_id, sim, rank). */
+    * cells. Returns (vec_id, nn_id, sim, rank).
+    *
+    * PRECONDITION: `idCol` must be unique within `queries` and within
+    * `corpus` (the usual vector-table contract; every catalog/gate input
+    * satisfies it and IvfSampledSpec pins the tie-break corner on unique
+    * ids). The no-dedup candidate argument below relies on it: under a
+    * duplicate corpus id the literal assign path keeps every input row
+    * while the broadcast path's groupBy collapses them to one, so the two
+    * assign flavors would diverge and duplicate (vec_id, nn_id) pairs
+    * could occupy top-k rank slots. `lshKnn` dedups regardless because
+    * its multi-table join genuinely re-meets pairs; this operator has no
+    * such path, so the precondition buys back one corpus-scale shuffle. */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              nCells: Int = 16, nprobe: Int = 4, iters: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding",

@@ -230,7 +230,7 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
   private def decide(ex: ShuffleExchangeExec, prm: Params): Decision = {
     val schema = ex.child.schema
     val current = ex.outputPartitioning.numPartitions
-    val est = estimateBytes(ex.child)
+    val est = estimateBytes(ex.child, prm.log)
     val runtime = hasRuntimeStats(ex.child)
     val d = est.map(b => targetCount(b, schema, current,
       session.sparkContext.defaultParallelism, runtime, prm)).getOrElse(Veto)
@@ -277,7 +277,7 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
     * per-round inner-join exchanges at sf1 read ~800 MB where the real
     * stream was ~200 MB, upscaling what already fit — +35% wall). None
     * when stats are absent or above the trust bound — fail CLOSED. */
-  private def estimateBytes(child: SparkPlan): Option[BigInt] = {
+  private def estimateBytes(child: SparkPlan, log: Boolean): Option[BigInt] = {
     def statsOf(p: SparkPlan): Option[BigInt] =
       p.logicalLink.map(_.stats.sizeInBytes)
     // When the direct child carries no logicalLink, the estimate is the
@@ -332,7 +332,12 @@ class ExchangeSizingRule(session: SparkSession) extends Rule[SparkPlan] {
           .map(i => BigInt(i.memSize) + BigInt(i.diskSize))
           .filter(_ > 0)
         (claimed, real) match {
-          case (Some(c), Some(r)) if c > r * 4 => None // poisoned pin
+          case (Some(c), Some(r)) if ExchangeSizing.pinPoisoned(c, r) =>
+            ExchangeSizing.poisonedPinCount.incrementAndGet()
+            if (log) System.err.println(
+              s"[graft-sizing] poisoned-pin rejected rdd=${rs.rdd.id} " +
+                s"claimed=$c real=$r")
+            None // fail the whole estimate closed
           case (c, _) => c
         }
       case other => statsOf(other)
@@ -446,6 +451,35 @@ object ExchangeSizing {
     * strongest form of the flat-by-construction claim. Telemetry only —
     * never read by the decision path. */
   val upCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Session-wide count of poisoned checkpoint pins the trust check
+    * rejected (round-18 verdict task 4): surfaces WHEN the fail-closed
+    * path fires, so a telemetry artifact can show the check working (or
+    * silent) instead of inferring it. Telemetry only — never read by the
+    * decision path. */
+  val poisonedPinCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** The RDD-pin trust check, as a pure boundary (round-18 verdict
+    * task 4): a materialized RDD leaf whose CLAIMED Catalyst estimate
+    * exceeds 4x its block-manager-reported persisted bytes is poisoned —
+    * its LogicalRDD inherited a multiplicative join/explode estimate from
+    * the plan it pinned (the r17 sf0.1 finding: 107.7 GB claims on
+    * ~100 MB pins) — and the whole exchange estimate fails CLOSED.
+    *
+    * WHY 4x: the largest LEGITIMATE claimed-vs-stored gap observed is the
+    * estimate-flavor spread on one dataset — parquet-scaled 547 MB vs
+    * materialized columnar 1.46 GB (r16, the same 120M-edge stream), a
+    * 2.7x ratio; storage-level serialization choices stay within ~3x of
+    * the catalyst number across every pinned frame in the gate corpus.
+    * 4x sits above that band with margin, while every observed poisoning
+    * is >= 3 ORDERS beyond it (multiplicative estimates compound per
+    * join). The boundary is deliberately conservative in BOTH directions:
+    * a 3.9x claim passing as leaf truth only TIGHTENS the cap (the cap is
+    * a min), and a false rejection merely keeps the exchange at its
+    * session-default count — the pre-rule behavior. Boundary pinned at
+    * 3x/4x/4x+1/5x by ExchangeSizingSpec. */
+  def pinPoisoned(claimed: BigInt, storedBytes: BigInt): Boolean =
+    claimed > storedBytes * 4
 
   /** The calibrated decision: estimated compressed bytes -> in-memory
     * working set -> the smallest FULL-WAVE count (multiple of the session

@@ -127,6 +127,22 @@ class ExchangeSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
       runtimeStats = false, defaults) == Keep)
   }
 
+  test("poisoned-pin trust boundary: 3x/4x trusted, 4x+1/5x rejected") {
+    // round-18 verdict task 4: the 4x threshold was calibrated on the
+    // observed 107.7 GB-vs-100 MB poisonings; this pins its BOUNDARY so a
+    // recalibration is a deliberate edit, not drift. Largest legitimate
+    // claimed-vs-stored gap observed: 2.7x (parquet estimate vs columnar
+    // cache bytes, r16) — 3x and exactly-4x must stay trusted; the first
+    // byte past 4x (and everything beyond) is poisoned.
+    val real = BigInt(100L * 1024 * 1024)
+    assert(!pinPoisoned(real * 3, real), "3x claim must stay trusted")
+    assert(!pinPoisoned(real * 4, real), "exactly-4x claim must stay trusted")
+    assert(pinPoisoned(real * 4 + 1, real), "4x+1 claim must be rejected")
+    assert(pinPoisoned(real * 5, real), "5x claim must be rejected")
+    // degenerate: a zero-byte store never trusts a positive claim
+    assert(pinPoisoned(BigInt(1), BigInt(0)))
+  }
+
   // ---- layer 2: production wiring on a dedicated session ----
 
   private var prevDefault: Option[SparkSession] = None
@@ -209,6 +225,35 @@ class ExchangeSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .groupBy("k").agg(sum("v"))
       assert(agg.rdd.getNumPartitions == 4)
     } finally spark.conf.set("spark.graft.sizing.enabled", "true")
+  }
+
+  test("a planted poisoned checkpoint pin fails closed and is counted") {
+    // the r17 sf0.1 failure shape, reproduced deliberately: a frame whose
+    // Catalyst estimate is a multiplicative join blow-up (crossJoin, then
+    // a filter Catalyst does not discount without CBO) pinned via eager
+    // localCheckpoint — the LogicalRDD leaf INHERITS the garbage estimate
+    // while the block manager knows the real (tiny) stored bytes. The
+    // rule must reject the pin (counter fires), fail the estimate closed,
+    // and leave the downstream exchange at the session default even
+    // though the shrunk calibration would otherwise upscale it.
+    val a = spark.range(0, 2000, 1, 4).selectExpr("id AS x")
+    val b = spark.range(0, 2000, 1, 2).selectExpr("id AS y")
+    val pinned = a.crossJoin(b).filter("x = y") // est ~4M rows, real 2000
+      .selectExpr("x % 40 AS k", "y AS v")
+      .localCheckpoint(true)
+    val before = ExchangeSizing.poisonedPinCount.get()
+    val agg = pinned.groupBy("k").agg(sum("v"))
+    assert(agg.rdd.getNumPartitions == 4,
+      "poisoned pin must fail closed to the session default count")
+    assert(ExchangeSizing.poisonedPinCount.get() > before,
+      "the trust check must record the rejection")
+    // control: the SAME pinned shape with an honest estimate upscales —
+    // proving the planted case was stopped by the trust check, not by
+    // pins being ineligible in general
+    val honest = spark.range(0, 100000, 1, 4)
+      .selectExpr("id % 1000 AS k", "id AS v").localCheckpoint(true)
+    assert(honest.groupBy("k").agg(sum("v")).rdd.getNumPartitions == 16,
+      "an honestly-estimated pin must still be resizable")
   }
 
   test("explicit repartition(n, col) is a user choice — never resized") {

@@ -586,8 +586,16 @@ class Gen:
         for i in range(r.randrange(2, 5)):
             e = f"({operand()} {self.pick(['+', '-', '*'])} {operand()})"
             if r.random() < 0.35:
-                # push toward the p=38 boundary through the int128 gate
-                e = f"(CAST({e} AS DECIMAL(20,4)) * {operand()})"
+                # push toward the p=38 boundary through the int128 gate.
+                # (24,4), not (20,4) (round-17 ADVICE): e may be a product
+                # of two DECIMAL(10,0) int-key operands, whose value at
+                # sf>=100 (~3.6e17) exceeds the 1e16 integral ceiling of
+                # (20,4) and would turn the draw into one-sided
+                # engine-error noise at larger scale factors; (24,4) holds
+                # 1e20 (still past DuckDB's 18-digit int64 rule, so the
+                # int128 path is still forced) and (24,4)x(12,2) derives
+                # DECIMAL(37,6), within p=38 on both engines.
+                e = f"(CAST({e} AS DECIMAL(24,4)) * {operand()})"
             if r.random() < 0.4:
                 e = f"ROUND({e}, {r.randrange(0, 3)})"
             sel.append(f"CAST({e} AS DECIMAL(38,6)) AS c{i}")

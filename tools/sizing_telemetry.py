@@ -25,6 +25,12 @@ LINE = re.compile(
     r"current=(?P<current>\d+) est=(?P<est>\S+) wide=(?P<wide>\S+) "
     r"fixed=(?P<fixed>\S+) runtime=(?P<runtime>\S+)"
     r"(?: leaves=(?P<leaves>\S+))? -> (?P<decision>.+)$")
+# round-18 verdict task 4: the trust check's rejections are first-class
+# telemetry — the artifact shows WHEN the fail-closed path fired, with the
+# claimed/real byte pair, instead of the check being invisible when silent
+POISON = re.compile(
+    r"\[graft-sizing\] poisoned-pin rejected rdd=(?P<rdd>\d+) "
+    r"claimed=(?P<claimed>\d+) real=(?P<real>\d+)")
 MARK = re.compile(r"\[bench\] (?P<name>\w+)\s+(-?[\d.]+)s")
 
 
@@ -33,7 +39,17 @@ def main(log_path, out_path, notes_path=None):
     queries = {}
     total = {"lines": 0, "up": 0, "keep": 0, "veto": 0}
     up_detail = {}
+    poisoned = []
     for raw in open(log_path, errors="replace"):
+        pm = POISON.search(raw)
+        if pm:
+            d = pm.groupdict()
+            poisoned.append({"rdd": int(d["rdd"]),
+                             "claimed": int(d["claimed"]),
+                             "real": int(d["real"]),
+                             "ratio": round(int(d["claimed"])
+                                            / max(int(d["real"]), 1), 1)})
+            continue
         m = LINE.search(raw)
         if m:
             d = m.groupdict()
@@ -77,6 +93,8 @@ def main(log_path, out_path, notes_path=None):
                      "[bench] completion marker. Decision counts span the "
                      "query's warmup + timed runs (re-planned per run)."),
         "total": total,
+        "poisoned_pins_rejected": {"count": len(poisoned),
+                                   "detail": poisoned[:50]},
         "up_decisions_by_shape": dict(sorted(up_detail.items(),
                                              key=lambda kv: -kv[1])),
         "queries_with_up": {k: v for k, v in sorted(queries.items())
@@ -89,7 +107,8 @@ def main(log_path, out_path, notes_path=None):
     print(f"wrote {out_path}: {total['lines']} decisions "
           f"({total['up']} Up, {total['keep']} Keep, {total['veto']} Veto) "
           f"across {len(queries)} queries; "
-          f"{sum(1 for v in queries.values() if v['up'])} queries resized")
+          f"{sum(1 for v in queries.values() if v['up'])} queries resized; "
+          f"{len(poisoned)} poisoned pins rejected")
 
 
 if __name__ == "__main__":
