@@ -660,6 +660,40 @@ object TextAnalysis {
         round(TextFns.minhashEstimate(col("a.gsig"), col("b.gsig")), 4).as("est_jaccard"))
   }
 
+  /** Portable-hash MinHash twin of [[sourceSimilarity]] (round-18 verdict
+    * task 6): the same estimator — per-group union-MinHash signatures,
+    * pairwise matching-lane fraction — computed with hash lanes any
+    * engine can re-derive (lane i of shingle s = first 15 hex chars of
+    * md5("i:s") as a 60-bit bigint, the t10/t12 portable-hash idiom), so
+    * the ESTIMATE itself is DuckDB-certifiable bit-for-bit, not just the
+    * exact quantity it approximates ([[sourceSimilarityExact]] / t09).
+    * Distinct (group, shingle) rows explode k lane rows each before the
+    * per-(group, lane) min aggregation — a k-fold stream the production
+    * [[sourceSimilarity]] avoids by computing all lanes in-row inside one
+    * native expression; this twin is the certification path (the x12–x17
+    * pattern), priced for gate scales, while the fused operator remains
+    * the 100 TB path. Signature join is group-level (|groups| x k rows) —
+    * tiny at any corpus size. */
+  def sourceSimilarityPortable(docs: DataFrame, groupCol: String = "source",
+                               textCol: String = "text", n: Int = 3,
+                               k: Int = 32): DataFrame = {
+    val sh = docs.select(col(groupCol).as("src"),
+        explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val lanes = sh.select(col("src"), col("sh"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("h", conv(substring(md5(concat(col("i").cast("string"),
+        lit(":"), col("sh"))), 1, 15), 16, 10).cast("long"))
+    val sig = lanes.groupBy("src", "i").agg(min("h").as("mh"))
+    sig.as("a").join(sig.as("b"),
+        col("a.i") === col("b.i") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L)).as("m"))
+      .select(col("src_a"), col("src_b"),
+        (floor(col("m") / lit(k.toDouble) * 10000 + 0.5) / 10000)
+          .as("est_jaccard"))
+  }
+
   /** EXACT pairwise Jaccard of the per-source shingle-set unions — the
     * quantity [[sourceSimilarity]] estimates. Inverted-index shape: explode
     * to distinct (source, shingle) rows, equi-join on shingle for
