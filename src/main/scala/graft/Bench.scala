@@ -49,7 +49,21 @@ object Bench {
     // "timed_runs" whenever off-protocol, same rule as shuffle_partitions
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
-    val names = only.getOrElse(graft.queries.Catalog.benchNames)
+    // SPARK_GRAFT_BENCH_ORDER_SEED (round-18 verdict task 3, the ABBA
+    // protocol): deterministically shuffle the session's query order.
+    // Two medians sessions run with DIFFERENT seeds, so a query's
+    // position in the session — and therefore its exposure to slow
+    // intra-session environment drift — decorrelates between the pair:
+    // the per-query min/median over both sessions becomes a
+    // paired-sample design and segment normalization stops being
+    // load-bearing. The seed is stamped into the artifact; the medians
+    // dict stays in EXECUTION order (probe interpolation needs it).
+    val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_ORDER_SEED").map(_.toLong)
+    val baseNames = only.getOrElse(graft.queries.Catalog.benchNames)
+    val names = orderSeed match {
+      case Some(seed) => new scala.util.Random(seed).shuffle(baseNames)
+      case None => baseNames
+    }
     val qmap = SparkEntry.queries
 
     // Environment-drift control (round-14 verdict task 2): a pinned,
@@ -93,9 +107,38 @@ object Bench {
       val ts = (1 to 3).map(_ => probeOnce()).sorted
       ts(ts.size / 2)
     }
+    // Environment evidence (round-18 verdict task 2): the probe is a
+    // PROXY for the environment epoch; two consecutive rounds' raw ~50s
+    // sessions were adjudicated "environment" on the proxy alone. Each
+    // probe point now also snapshots the DIRECT counters drift acts
+    // through — /proc/loadavg, system-wide /proc/stat cpu jiffies, and
+    // this JVM's own utime+stime — so a per-segment "foreign CPU
+    // fraction" (system busy minus our own, over total) plus steal/iowait
+    // fractions land in the artifact. An environment adjudication then
+    // cites a counter, not an inference; tools/bench_medians.py flags
+    // segments whose counters leave the healthy band.
+    final case class EnvSnap(loadavg1: Double, busy: Long, steal: Long,
+                             iowait: Long, total: Long, own: Long)
+    def envSnap(): EnvSnap = try {
+      val la = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal [guest guestnice]
+      val busy = cpu(0) + cpu(1) + cpu(2) + cpu(5) + cpu(6) +
+        (if (cpu.length > 7) cpu(7) else 0L)
+      val self = scala.io.Source.fromFile("/proc/self/stat").mkString
+        .split("\\s+")
+      val own = self(13).toLong + self(14).toLong // utime + stime
+      // total = the 8 scheduler classes; guest columns double-count user
+      EnvSnap(la, busy, if (cpu.length > 7) cpu(7) else 0L, cpu(4),
+        cpu.take(8).sum, own)
+    } catch { case _: Exception => EnvSnap(-1, 0, 0, 0, 0, 0) }
+    val envPoints = scala.collection.mutable.ArrayBuffer[(Int, EnvSnap)]()
     val probePoints = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val probeStart = probeMedian()
     probePoints += ((0, probeStart))
+    envPoints += ((0, envSnap()))
     System.err.println(f"[bench] drift probe (session start): $probeStart%.3fs")
     // Memory accounting (round-15 verdict task 2): the reference's stated
     // north star is BOUNDED PEAK MEMORY (its README: "protect peak memory
@@ -174,6 +217,7 @@ object Bench {
       if ((qi + 1) % probeEvery == 0 && qi + 1 < names.size) {
         val p = probeMid()
         probePoints += ((qi + 1, p))
+        envPoints += ((qi + 1, envSnap()))
         System.err.println(f"[bench] drift probe (after ${qi + 1} queries): $p%.3fs")
       }
       if (failed != null) {
@@ -213,7 +257,21 @@ object Bench {
       s""","aux":${auxEntries.mkString("{", ",", "}")}""" else ""
     val probeEnd = probeMedian()
     probePoints += ((names.size, probeEnd))
+    envPoints += ((names.size, envSnap()))
     System.err.println(f"[bench] drift probe (session end): $probeEnd%.3fs")
+    // env_segments: per probe-segment deltas of the direct counters.
+    // foreign_cpu_frac = (system busy - our own jiffies) / total — CPU
+    // someone ELSE burned during the segment; steal/iowait fractions are
+    // hypervisor contention and IO pressure respectively.
+    val envSegs = envPoints.toSeq.sliding(2).collect {
+      case Seq((i0, a), (i1, b)) if b.total > a.total =>
+        val tot = (b.total - a.total).toDouble
+        val foreign = math.max(0L, (b.busy - a.busy) - (b.own - a.own))
+        f"""{"from":$i0,"to":$i1,"loadavg1":${b.loadavg1}%.2f,""" +
+          f""""foreign_cpu_frac":${foreign / tot}%.4f,""" +
+          f""""steal_frac":${(b.steal - a.steal) / tot}%.4f,""" +
+          f""""iowait_frac":${(b.iowait - a.iowait) / tot}%.4f}"""
+    }.mkString("[", ",", "]")
     // probe_points: [after_n_queries, probe_sec] pairs — start, every
     // probeEvery queries, end. bench_medians.py interpolates a per-query
     // epoch from these and normalizes each median against its own segment.
@@ -238,8 +296,9 @@ object Bench {
     // sizing experiment can never masquerade as a protocol session
     val partsField = (if (parts != cpus) s""","shuffle_partitions":$parts""" else "") +
       initParts.map(n => s""","aqe_initial_partitions":$n""").getOrElse("") +
-      (if (timedRuns != 5) s""","timed_runs":$timedRuns""" else "")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"probe_points":$probePts%s,"sf":"$sfDir"$filtered%s$aux%s$mem%s$partsField%s}""")
+      (if (timedRuns != 5) s""","timed_runs":$timedRuns""" else "") +
+      orderSeed.map(s => s""","query_order_seed":$s""").getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"probe_points":$probePts%s,"env_segments":$envSegs%s,"sf":"$sfDir"$filtered%s$aux%s$mem%s$partsField%s}""")
     spark.stop()
   }
 }

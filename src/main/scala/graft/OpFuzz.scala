@@ -39,6 +39,20 @@ import scala.util.Random
   * key-hash sharding + exclusive prefix sums), `ohlc` (min_by/max_by
   * over the (ts, tieBreak) total order under planted timestamp ties).
   *
+  * Round-18 additions (verdict task 5 — the exactly-once claims were
+  * certified at FIXED kill points only; these fuzz the kill point):
+  *  - restart_bus: the graft-bus connector under a randomized
+  *    produce/kill schedule — random partition count, random number of
+  *    restarts (incl. no-new-data restarts), random record-to-wave
+  *    assignment, ~10% planted duplicate payloads. A passthrough stream
+  *    must deliver the produced MULTISET exactly (no loss, no
+  *    redelivery) across every mid-log recovery.
+  *  - restart_mf: the stateful SSINS match filter killed at 1-2 RANDOM
+  *    observation cut points (s20's fixed time_idx<=8 kill,
+  *    generalized), with a require that nothing was emitted before the
+  *    final wave; the recovered flag set must equal the batch
+  *    MatchFilter on the same cells bit-for-bit.
+  *
   * Usage: runMain graft.OpFuzz <sfDir> <nDraws> <seed> <outJson>
   * Exit 0 iff zero violations; the JSON artifact records every draw.
   */
@@ -319,7 +333,32 @@ object OpFuzz {
     // check) is a violation of that draw, not a fuzzer crash
     val famNames = Seq("prefix_exact", "prefix_hotcap", "lsh_sound",
       "sorted_window", "simhash", "kcore", "hops", "paths", "resample",
-      "span_dedup", "pack", "ohlc")
+      "span_dedup", "pack", "ohlc", "restart_bus", "restart_mf")
+
+    // shared fixture for restart_mf, built once (deterministic): the
+    // mwa04 portable observation's INS cells + the BATCH match-filter
+    // flag set they must reproduce after any kill/recovery schedule
+    lazy val mfFixture: (DataFrame, graft.mwa.GraftConfig, Int) = {
+      import graft.mwa._
+      val spec = VisGenerator.Spec(nTimes = 17, nAnts = 4)
+      val cfg = GraftConfig(removeFlaggedAnts = false,
+        spectrumType = SpectrumType.Auto, tbAggro = 1.0 / 32)
+      val insDf = VisOps.ins(VisOps.diff(
+          VisOps.selectSurface(VisGenerator.portable(spark, spec), cfg)))
+        .select(col("obsid"), col("time_idx"), col("freq_hz"), col("pol"),
+          col("metric").cast("double"), col("nsamples").cast("double"))
+        .localCheckpoint(true)
+      (insDf, cfg, (spec.nTimes - 1) * spec.nCoarse * spec.nFine)
+    }
+    lazy val mfBatchFlags: Map[(String, Int, Long), String] = {
+      val (insDf, cfg, _) = mfFixture
+      graft.mwa.MatchFilter(insDf, cfg).filter(col("flagged"))
+        .select(col("pol"), col("time_idx"),
+          col("freq_hz").cast("long"), col("event"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getString(3))
+        .toMap
+    }
     // seeded random UNDIRECTED simple graph (a<b, no self-loops);
     // density drawn so k-core/BFS exercise both sparse and dense regimes
     def randGraph(nv: Int, p: Double): Seq[(Long, Long)] =
@@ -535,6 +574,112 @@ object OpFuzz {
                 r.getDouble(5), r.getLong(6)))).toMap
           val want = refOhlc(evs, unitUs)
           ("ohlc", s"unit=$unit ev=${evs.size}", diffMaps("ohlc", got, want))
+        case 12 =>
+          // bus-connector exactly-once under a randomized kill schedule
+          val nParts = 1 + rnd.nextInt(3)
+          val nWaves = 2 + rnd.nextInt(3) // 1..3 mid-log restarts
+          val nRec = 200 + rnd.nextInt(600)
+          val noopRestart = rnd.nextDouble() < 0.3
+          // ~10% planted duplicate payloads: the multiset compare must
+          // distinguish exactly-once from at-least-once-with-dedup
+          val recs: Seq[(Long, Long, String, Int)] = (0 until nRec).map { j =>
+            val dup = j > 0 && rnd.nextDouble() < 0.10
+            val body = if (dup) s"payload-${rnd.nextInt(j)}" else s"payload-$j"
+            (j.toLong, rnd.nextInt(1000).toLong, body, rnd.nextInt(nWaves))
+          }
+          val base = java.nio.file.Files.createTempDirectory("graft_opfuzz_bus_")
+          val (root, ck, sink) = (s"$base/log", s"$base/ck", s"$base/sink")
+          try {
+            def runOnce(hasNewData: Boolean): Unit = {
+              val q = spark.readStream.format("graft-bus")
+                .option("path", root).load()
+                .select(col("value").cast("string").as("v"))
+                .writeStream.format("parquet")
+                .option("path", sink).option("checkpointLocation", ck)
+                .outputMode("append").start()
+              try { q.processAllAvailable()
+                // a run over an empty wave (or before any segment exists)
+                // is a deliberate NO-OP restart: nothing to drain
+                if (hasNewData)
+                  graft.streaming.EventStreams.assertDrained(q, "opfuzz_bus")
+              } finally q.stop()
+            }
+            (0 until nWaves).foreach { w =>
+              val waveRecs = recs.filter(_._4 == w)
+              if (waveRecs.nonEmpty)
+                graft.sources.Bus.produce(
+                  waveRecs.map(t => (t._1, t._2, t._3)).toDF("id", "k", "v"),
+                  root, "fuzz", nParts, col("k"), col("v"), col("id"))
+              runOnce(waveRecs.nonEmpty)
+            }
+            if (noopRestart) runOnce(hasNewData = false)
+            val got = spark.read.parquet(sink)
+              .collect().map(_.getString(0)).sorted.toSeq
+            val want = recs.map(_._3).sorted
+            val v = if (got == want) None else Some(
+              s"restart_bus: sink multiset diverged (got ${got.size} " +
+                s"rows, want ${want.size}; first diff at index " +
+                s"${got.zip(want).indexWhere { case (a, b) => a != b }})")
+            ("restart_bus",
+              s"parts=$nParts waves=$nWaves rec=$nRec noop=$noopRestart", v)
+          } finally
+            org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        case 13 =>
+          // stateful match filter killed at random observation cut points
+          val (insDf, cfg, expected) = mfFixture
+          // diffed time_idx spans 0..15; cuts < 15 keep every pre-final
+          // wave incomplete, so the kill always lands mid-observation
+          val nCuts = 1 + rnd.nextInt(2)
+          val cuts = rnd.shuffle((1 to 14).toList).take(nCuts).sorted
+          val bounds = (-1 +: cuts) :+ 15 // wave i = time_idx in (lo, hi]
+          val base = java.nio.file.Files.createTempDirectory("graft_opfuzz_mf_")
+          val (src, ck, sink) = (s"$base/src", s"$base/ck", s"$base/sink")
+          val conf = "spark.sql.streaming.stateStore.providerClass"
+          val prev = spark.conf.getOption(conf)
+          spark.conf.set(conf, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try {
+            import graft.mwa.MatchFilter
+            def runOnce(): Unit = {
+              val cells = spark.readStream.schema(insDf.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .as[MatchFilter.InsCell]
+              val q = graft.streaming.StatefulOps
+                .matchFilterStream(cells, cfg, expected).toDF()
+                .writeStream.format("parquet")
+                .option("path", sink).option("checkpointLocation", ck)
+                .outputMode("append").start()
+              try { q.processAllAvailable()
+                graft.streaming.EventStreams.assertDrained(q, "opfuzz_mf")
+              } finally q.stop()
+            }
+            bounds.sliding(2).zipWithIndex.foreach { case (b, w) =>
+              val (lo, hi) = (b.head, b.last)
+              val mode = if (w == 0) "overwrite" else "append"
+              insDf.filter(col("time_idx") > lo && col("time_idx") <= hi)
+                .repartition(2).write.mode(mode).parquet(src)
+              runOnce()
+              // every cut is < 15, so the observation is incomplete until
+              // the LAST wave: earlier emission means the kill points
+              // never exercised recovery — that's a draw violation
+              if (hi < 15) require(spark.read.parquet(sink).isEmpty,
+                s"restart_mf: emitted before the final wave (cut $hi)")
+            }
+            val got = spark.read.parquet(sink).filter(col("flagged"))
+              .select(col("pol"), col("time_idx"),
+                col("freq_hz").cast("long"), col("event"))
+              .collect()
+              .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getString(3))
+              .toMap
+            ("restart_mf", s"cuts=${cuts.mkString("/")}",
+              diffMaps("restart_mf", got, mfBatchFlags))
+          } finally {
+            prev match {
+              case Some(p) => spark.conf.set(conf, p)
+              case None => spark.conf.unset(conf)
+            }
+            org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+          }
         // explicit indices, no catch-all (round-17 ADVICE): a family
         // appended to famNames without a matching case must FAIL FAST as
         // a recorded violation (the per-draw handler below), never

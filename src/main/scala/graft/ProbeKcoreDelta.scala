@@ -151,9 +151,23 @@ object ProbeKcoreDelta {
     nodes
   }
 
+  /** A/B session. Args: sfDir k variantsCsv runs [outJson] [skipAgree]
+    * variantsCsv from {full-rescan, delta-peel, shrink-pin, fused-2lvl};
+    * order within the csv IS the session order (run a second session
+    * reversed to control position-in-session bias). Session posture =
+    * the sf10 bench protocol exactly: local[32], 8g heap (build.sbt) +
+    * 4g off-heap, shuffle.partitions=32, sizing rule ON via
+    * GraftExtensions, AQE on. The JSON artifact carries per-run wall
+    * times AND per-run shuffle-spill deltas (the r18 question is
+    * precisely whether delta-peeling wins in the SPILL regime). */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val k = if (args.length > 1) args(1).toInt else 6
+    val variantNames = (if (args.length > 2) args(2)
+      else "full-rescan,delta-peel,shrink-pin,fused-2lvl").split(",").toSeq
+    val runs = if (args.length > 3) args(3).toInt else 3
+    val outJson = if (args.length > 4) Some(args(4)) else None
+    val skipAgree = args.length > 5 && args(5) == "skipAgree"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -167,40 +181,87 @@ object ProbeKcoreDelta {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    def spillSnap(): (Long, Long) = {
+      spark.range(1).count()
+      var prev = (spillMem.get(), spillDisk.get())
+      var settled = false
+      var waited = 0
+      while (!settled && waited < 1000) {
+        Thread.sleep(50); waited += 50
+        val cur = (spillMem.get(), spillDisk.get())
+        settled = cur == prev
+        prev = cur
+      }
+      prev
+    }
+
     def edges() = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("src"),
         (lit(1000000000L) + col("l_partkey")).as("dst"))
       .distinct()
 
-    def time(name: String)(f: => Long): Unit = {
-      val warm = f // warmup (JIT + codegen)
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); val n = f
-        assert(n == warm, s"$name: nondeterministic result $n vs $warm")
-        (System.nanoTime() - t0) / 1e9
-      }
-      System.err.println(
-        f"[kcore-ab] $name%-12s best ${ts.min}%6.2fs  median ${ts.sorted.apply(1)}%6.2fs  core=$warm rows")
-    }
-
-    // order is reversible (3rd arg "reverse") to control for position-
-    // in-session bias: heap/GC state accumulates, so a variant's slot in
-    // the sequence is itself a treatment
-    val variants: Seq[(String, () => Long)] = Seq(
+    val impls: Map[String, () => Long] = Map(
       "full-rescan" -> (() => graft.operators.Graph.kCore(edges(), k).count()),
       "delta-peel" -> (() => kCoreDelta(edges(), k).count()),
       "shrink-pin" -> (() => kCoreShrink(edges(), k).count()),
       "fused-2lvl" -> (() => kCoreFused(edges(), k).count()))
-    val ordered = if (args.length > 2 && args(2) == "reverse")
-      variants.reverse else variants
-    for ((name, f) <- ordered) time(name)(f())
-    // cross-check the variants agree exactly
-    val a = graft.operators.Graph.kCore(edges(), k)
-    for (v <- Seq(kCoreDelta(edges(), k), kCoreFused(edges(), k))) {
-      val diff = a.exceptAll(v).count() + v.exceptAll(a).count()
-      assert(diff == 0, s"variants disagree by $diff rows")
+
+    val results = variantNames.map { name =>
+      val f = impls(name)
+      var core = -1L
+      val recs = (1 to runs).map { r =>
+        spark.catalog.clearCache()
+        val (m0, d0) = spillSnap()
+        val t0 = System.nanoTime()
+        val n = f()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (m1, d1) = spillSnap()
+        if (core < 0) core = n
+        assert(n == core, s"$name: nondeterministic result $n vs $core")
+        System.err.println(f"[kcore-ab] $name run $r: $dt%7.2fs  " +
+          f"spill_mem ${(m1 - m0) / 1e9}%.1f GB  disk ${(d1 - d0) / 1e9}%.1f GB")
+        (dt, m1 - m0, d1 - d0)
+      }
+      val ts = recs.map(_._1)
+      System.err.println(
+        f"[kcore-ab] $name%-12s best ${ts.min}%7.2fs  median ${ts.sorted.apply(ts.size / 2)}%7.2fs  core=$core rows")
+      (name, recs, core)
     }
-    System.err.println("[kcore-ab] variants agree exactly")
+    if (!skipAgree) {
+      val a = graft.operators.Graph.kCore(edges(), k)
+      for (v <- Seq(kCoreDelta(edges(), k), kCoreFused(edges(), k))) {
+        val diff = a.exceptAll(v).count() + v.exceptAll(a).count()
+        assert(diff == 0, s"variants disagree by $diff rows")
+      }
+      System.err.println("[kcore-ab] variants agree exactly")
+    }
+    outJson.foreach { path =>
+      val vjson = results.map { case (name, recs, core) =>
+        val times = recs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+        val sm = recs.map(r => f"${r._2 / 1e9}%.2f").mkString("[", ",", "]")
+        val sd = recs.map(r => f"${r._3 / 1e9}%.2f").mkString("[", ",", "]")
+        s"""{"variant":"$name","times_sec":$times,""" +
+          s""""spill_mem_gb":$sm,"spill_disk_gb":$sd,"core_rows":$core}"""
+      }.mkString("[", ",", "]")
+      val json = s"""{"sf":"$sfDir","k":$k,"runs_per_variant":$runs,""" +
+        s""""session_order":${variantNames.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""variants":$vjson}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+      System.err.println(s"[kcore-ab] wrote $path")
+    }
     spark.stop()
   }
 }

@@ -36,6 +36,22 @@ out = {
     "medians_run_b": mb,
     "best_of_both": {k: min(ma[k], mb[k]) for k in ma},
 }
+# ABBA / order-randomized design (round-18 verdict task 3): when the two
+# sessions ran DIFFERENT query orders (query_order_seed in each Bench
+# artifact), a query's position — and so its exposure to intra-session
+# drift — decorrelates between the pair; best-of-both and cross-run
+# medians become a paired-sample design and probe normalization stops
+# being load-bearing for the comparison. The artifact states which
+# design it carries so a reader never has to infer it.
+seeds = (a.get("query_order_seed"), b.get("query_order_seed"))
+orders_differ = list(ma) != list(mb)
+out["design"] = {
+    "query_order_seeds": list(seeds),
+    "orders_differ": orders_differ,
+    "paired_sample": ("order-randomized (ABBA): per-query position "
+                      "decorrelated between sessions") if orders_differ
+                     else "same-order back-to-back sessions",
+}
 out["best_of_both_total"] = round(sum(out["best_of_both"].values()), 3)
 out["probe_ref_sec"] = PROBE_REF_SEC
 def probe_at(points, x):
@@ -79,6 +95,22 @@ for run, d in (("a", a), ("b", b)):
     if "maxs" in d:
         out[f"spread_run_{run}"] = {
             k: [d["queries"][k], d["maxs"][k]] for k in d["maxs"]}
+    # direct environment counters (round-18 verdict task 2): carry each
+    # session's per-segment /proc deltas and FLAG segments outside the
+    # healthy band instead of silently normalizing over them. Bands:
+    # foreign CPU (busy jiffies not burned by the bench JVM) > 10% of the
+    # segment, hypervisor steal > 2%, iowait > 10%.
+    if "env_segments" in d:
+        out[f"env_run_{run}"] = d["env_segments"]
+        flagged = [s for s in d["env_segments"]
+                   if s.get("foreign_cpu_frac", 0) > 0.10
+                   or s.get("steal_frac", 0) > 0.02
+                   or s.get("iowait_frac", 0) > 0.10]
+        out[f"env_flagged_segments_run_{run}"] = flagged
+        if flagged:
+            print(f"[bench-medians] WARNING run_{run}: "
+                  f"{len(flagged)} probe segment(s) outside the healthy "
+                  f"environment band: {flagged}")
 if "median_total_normalized_run_a" in out and \
         "median_total_normalized_run_b" in out:
     out["headline_normalized_totals"] = {

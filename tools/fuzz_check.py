@@ -663,6 +663,161 @@ class Gen:
                 f"SELECT n AS c0, acc AS c1 FROM rr"
                 f" ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT 500")
 
+    def q_exists_or(self):
+        """Correlated [NOT] EXISTS under DISJUNCTION (round-18 verdict
+        task 7): OR blocks the plain semi/anti-join decorrelation — Spark
+        plans an ExistenceJoin, DuckDB a mark join — and that path's
+        null/duplicate semantics are never reached by the conjunctive
+        q_exists production. One or two EXISTS terms OR'd with a plain
+        predicate, optionally NOT'd, optionally a conjunctive tail."""
+        r = self.r
+        f, d, fc, dc = self.pick(EDGES)
+        outer, inner, oc, ic = ((f, d, fc, dc) if r.random() < 0.5
+                                else (d, f, dc, fc))
+        sel_cols = list(SCHEMA[outer])[:4]
+        proj = ", ".join(f"t0.{c} AS c{i}" for i, c in enumerate(sel_cols))
+
+        def ex(alias):
+            neg = "NOT " if r.random() < 0.4 else ""
+            ipred = (f" AND {self.pred(inner, alias)}"
+                     if r.random() < 0.6 else "")
+            return (f"{neg}EXISTS (SELECT 1 FROM {inner} {alias} "
+                    f"WHERE {alias}.{ic} = t0.{oc}{ipred})")
+        terms = [self.pred(outer, "t0"), ex("t1")]
+        if r.random() < 0.4:
+            terms.append(ex("t2"))
+        r.shuffle(terms)
+        cond = f"({' OR '.join(terms)})"
+        if r.random() < 0.5:
+            cond += f" AND {self.pred(outer, 't0')}"
+        order = ", ".join(f"{i + 1} NULLS FIRST"
+                          for i in range(len(sel_cols)))
+        return (f"SELECT {proj} FROM {outer} t0 WHERE {cond}"
+                f" ORDER BY {order} LIMIT 500")
+
+    def q_lateral_chain(self):
+        """Multi-level LATERAL chains (round-18 verdict task 7): lateral 2
+        correlates on BOTH the base row and lateral 1's aggregate output
+        (l1.x appears inside l2's WHERE), the composition q_lateral never
+        generates. Both laterals aggregate, so each is exactly one row and
+        the comma-join form is safe in both dialects."""
+        r = self.r
+        # outer tables with >= 2 incident FK edges
+        incident = {}
+        for f, d, fc, dc in EDGES:
+            incident.setdefault(f, []).append((d, fc, dc))
+            incident.setdefault(d, []).append((f, dc, fc))
+        outer = self.pick([t for t, es in sorted(incident.items())
+                           if len(es) >= 2])
+        e1, e2 = r.sample(incident[outer], 2)
+        (in1, oc1, ic1), (in2, oc2, ic2) = e1, e2
+        sel_cols = list(SCHEMA[outer])[:3]
+        proj = ", ".join(f"t0.{c} AS c{i}" for i, c in enumerate(sel_cols))
+
+        def num(tb, alias):
+            c, k = self.pick([(c, k) for c, k in SCHEMA[tb].items()
+                              if k in ("int", "money")])
+            return (cents(f"{alias}.{c}") if k == "money"
+                    else f"{alias}.{c}")
+        e1v, e2v = num(in1, "t1"), num(in2, "t2")
+        p1 = f" AND {self.pred(in1, 't1')}" if r.random() < 0.5 else ""
+        l1 = (f"LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS lc, "
+              f"COALESCE(CAST(SUM({e1v}) AS BIGINT), 0) AS ls "
+              f"FROM {in1} t1 WHERE t1.{ic1} = t0.{oc1}{p1}) l1")
+        # l2's WHERE references l1 — the two-level correlation under test
+        lref = self.pick(["l1.lc", "l1.ls % 1000"])
+        op = self.pick([">", ">=", "<", "<="])
+        l2 = (f"LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS mc, "
+              f"MIN({e2v}) AS lm FROM {in2} t2 "
+              f"WHERE t2.{ic2} = t0.{oc2} AND {e2v} % 1009 {op} {lref}) l2")
+        nsel = len(sel_cols)
+        lsel = (f"l1.lc AS c{nsel}, l1.ls AS c{nsel + 1}, "
+                f"l2.mc AS c{nsel + 2}, l2.lm AS c{nsel + 3}")
+        opred = f" WHERE {self.pred(outer, 't0')}" if r.random() < 0.6 else ""
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(nsel + 4))
+        return (f"SELECT {proj}, {lsel} FROM {outer} t0, {l1}, {l2}{opred}"
+                f" ORDER BY {order} LIMIT 500")
+
+    def q_setop_mixed(self):
+        """Nested set-ops with MIXED ALL/DISTINCT (round-18 verdict task
+        7): ((A op B) op (C op D)) and ((A op B) op C) with each op drawn
+        independently from the full 6-form family — the bag-vs-set
+        semantics interaction (e.g. UNION ALL feeding EXCEPT, INTERSECT
+        ALL over a deduplicated side) that the flat q_setop never nests.
+        Parenthesization is explicit, sidestepping precedence dialects."""
+        r = self.r
+        t = self.pick(list(SCHEMA))
+        cols = [c for c, k in SCHEMA[t].items() if k in ("int", "str")][:3]
+        proj = ", ".join(f"t0.{c} AS c{i}" for i, c in enumerate(cols))
+        ops = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+               "EXCEPT", "EXCEPT ALL"]
+
+        def leaf():
+            return (f"SELECT {proj} FROM {t} t0 "
+                    f"WHERE {self.pred(t, 't0')}")
+        left = f"(({leaf()}) {self.pick(ops)} ({leaf()}))"
+        right = (f"(({leaf()}) {self.pick(ops)} ({leaf()}))"
+                 if r.random() < 0.5 else f"({leaf()})")
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(cols)))
+        return (f"{left} {self.pick(ops)} {right}"
+                f" ORDER BY {order} LIMIT 500")
+
+    def q_interval(self):
+        """Interval arithmetic on dates/timestamps (round-18 verdict task
+        7). Dialect-safe-by-construction subset: every date enters as
+        CAST(col AS DATE), every arithmetic RESULT is wrapped CAST(.. AS
+        TIMESTAMP) — Spark types date + day-time interval as TIMESTAMP
+        but date + year-month interval as DATE, while DuckDB yields
+        TIMESTAMP for both, so the unifying cast pins one comparable type
+        (verified: month-end clamping agrees, 2024-01-31 + 1 MONTH ->
+        02-29 both). EXTRACT fields are cast BIGINT (Spark INT vs DuckDB
+        BIGINT). WHERE-side: interval-shifted dates against TIMESTAMP
+        literals."""
+        r = self.r
+        tables, alias, frm = self.chain(maxlen=2)
+        dcols = [(tb, c) for tb in tables
+                 for c, k in SCHEMA[tb].items() if k == "date"]
+        if not dcols:
+            return self.q_select()
+
+        def dref():
+            tb, c = self.pick(dcols)
+            return f"CAST({alias[tb]}.{c} AS DATE)"
+
+        def iv():
+            unit = self.pick(["DAY", "DAY", "HOUR", "MINUTE", "MONTH"])
+            n = {"DAY": r.randrange(1, 400), "HOUR": r.randrange(1, 72),
+                 "MINUTE": r.randrange(1, 600),
+                 "MONTH": r.randrange(1, 25)}[unit]
+            return f"INTERVAL {n} {unit}"
+        sel = []
+        for i in range(r.randrange(2, 5)):
+            kind = r.randrange(4)
+            if kind == 0:
+                e = f"CAST({dref()} {self.pick(['+', '-'])} {iv()} AS TIMESTAMP)"
+            elif kind == 1:
+                # chained shift: (d + iv) - iv, still one unified timestamp
+                e = (f"CAST(({dref()} + {iv()}) - {iv()} AS TIMESTAMP)")
+            elif kind == 2:
+                fld = self.pick(["YEAR", "MONTH", "DAY"])
+                e = (f"CAST(EXTRACT({fld} FROM {dref()} + {iv()}) AS BIGINT)")
+            else:
+                e = f"CAST({dref()} AS TIMESTAMP)"
+            sel.append(f"{e} AS c{i}")
+        # interval-shifted comparison in WHERE, against TIMESTAMP literals
+        # drawn from each column's literal pool (dates render as DATE 'x')
+        tb, c = self.pick(dcols)
+        lits = self.lits[(tb, c)]
+        a, b = sorted(self.pick(lits)[6:16] for _ in range(2))
+        where = (f" WHERE CAST({alias[tb]}.{c} AS DATE) + {iv()} BETWEEN "
+                 f"TIMESTAMP '{a} 00:00:00' AND TIMESTAMP '{b} 23:59:59'")
+        if r.random() < 0.4:
+            tb2 = self.pick(tables)
+            where += f" AND {self.pred(tb2, alias[tb2])}"
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(sel)))
+        return (f"SELECT {', '.join(sel)} FROM {frm}{where}"
+                f" ORDER BY {order} LIMIT 500")
+
     def q_select(self):
         r = self.r
         tables, alias, frm = self.chain(maxlen=2)
@@ -690,7 +845,9 @@ class Gen:
         return self.pick([self.q_agg, self.q_agg, self.q_window,
                           self.q_setop, self.q_exists, self.q_corr_agg,
                           self.q_select, self.q_setop_gs, self.q_decimal,
-                          self.q_lateral, self.q_rcte, self.q_filter_agg])()
+                          self.q_lateral, self.q_rcte, self.q_filter_agg,
+                          self.q_exists_or, self.q_lateral_chain,
+                          self.q_setop_mixed, self.q_interval])()
 
 
 def compare(exp, got):
