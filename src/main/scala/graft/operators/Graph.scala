@@ -296,6 +296,24 @@ object Graph {
     * and full-rescan KEPT a third time; no variant separates from it
     * beyond the session-variance band.
     *
+    * Round-18 (verdict task 1) closed the last open question: all prior
+    * A/Bs ran where spill was ZERO, and d28's sf10 profile (80 GB
+    * mem-spill per execution, the repo's one superlinear slope) could
+    * plausibly invert the verdict — each full rescan re-spills the edge
+    * set, while delta-peeling touches a fraction of it. MEASURED at
+    * sf10 (KCORE_AB_sf10_r18.json: two sessions, reversed order, 3 runs
+    * each, bench posture, sizing rule on): full-rescan best
+    * 160.0/173.2s vs delta-peel 211.2/214.4s — the rescan stays ~1.3x
+    * FASTER in both orders even though delta-peeling spills 2.2x less
+    * (37 vs 80 GB mem-spill/run). Bytes are not the cost: the delta
+    * variant pays one extra shuffle (the losses join) plus an O(V)
+    * degree-table rewrite and localCheckpoint per cascade level, all on
+    * the blocking path, while the rescan's spill is sequential columnar
+    * I/O the executors overlap with compute. Full-rescan is now
+    * measured-optimal in BOTH regimes — zero-spill (sf0.1/sf1, three
+    * prior A/Bs) and deep-spill (sf10) — so the 12.5x/decade d28 slope
+    * is the honest price of the working set, not an algorithmic miss.
+    *
     * @param edges (src, dst); treated as undirected (mirrored + distinct)
     * @param k     minimum within-core degree (counts DISTINCT neighbors,
     *              since the mirrored edge set is deduplicated)
