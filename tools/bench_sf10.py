@@ -34,6 +34,10 @@ for leg, d in (("sf1", a), ("sf10", b)):
         out[f"mem_{leg}"] = d["mem"]
     if "aux" in d:
         out[f"aux_{leg}"] = d["aux"]
+    # direct environment counters per probe segment (round-18: Bench
+    # emits them; a slope adjudication cites these, not just the probe)
+    if "env_segments" in d:
+        out[f"env_{leg}"] = d["env_segments"]
 if len(sys.argv) > 4:
     out.update(json.load(open(sys.argv[4])))
 json.dump(out, open(sys.argv[3], "w"), indent=1)
