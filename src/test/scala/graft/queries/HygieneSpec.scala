@@ -11,6 +11,12 @@ class HygieneSpec extends SparkSpec {
   private def graftTmpDirs: Set[String] =
     Option(new java.io.File(System.getProperty("java.io.tmpdir")).list())
       .map(_.filter(_.startsWith("graft_")).toSet).getOrElse(Set.empty)
+      // exclude the EXTERNAL harness workdirs (tools/fuzz_check.py keeps
+      // its sql/out dirs for triage; OpFuzz creates-and-deletes per-draw
+      // dirs): a concurrently running fuzz sweep is not an engine leak,
+      // and its dirs appearing inside this test's before/after window
+      // would fail the builders for someone else's files
+      .filterNot(d => d.startsWith("graft_fuzz") || d.startsWith("graft_opfuzz"))
 
   test("temp-staging query builds leave /tmp flat") {
     // every builder that stages through a temp dir (TSV sinks, streaming

@@ -818,6 +818,169 @@ class Gen:
         return (f"SELECT {', '.join(sel)} FROM {frm}{where}"
                 f" ORDER BY {order} LIMIT 500")
 
+    # corr edges touching `outer` in either direction:
+    # (inner_table, outer_col, inner_col)
+    def _corr_edges(self, outer):
+        out = []
+        for f, d, fc, dc in EDGES:
+            if f == outer:
+                out.append((d, fc, dc))
+            elif d == outer:
+                out.append((f, dc, fc))
+        return out
+
+    def q_scalar_select(self):
+        """Correlated scalar subqueries in the SELECT LIST (round-18):
+        the projection-side decorrelation path — Spark rewrites these to
+        a left outer aggregate join, so the NULL-on-empty-group row is
+        produced by the JOIN, not the aggregate — which q_corr_agg's
+        WHERE-side comparisons never reach. Shapes: (a) bare projected
+        correlated aggregate; (b) COALESCE over it (patrols the
+        empty-group NULL); (c) arithmetic combining TWO independent
+        scalar subqueries (distinct correlated joins must not collapse);
+        (d) CASE branching on one. SUM/COUNT cast BIGINT (HUGEINT
+        split); money enters as integer cents."""
+        r = self.r
+        outer = self.pick([t for t in SCHEMA
+                           if t != "events" and self._corr_edges(t)])
+        edges = self._corr_edges(outer)
+        nsub = [0]
+
+        def sub():
+            inner, oc, ic = self.pick(edges)
+            nsub[0] += 1
+            a = f"s{nsub[0]}"
+            nums = [(c, k) for c, k in SCHEMA[inner].items()
+                    if k in ("int", "money")]
+            c2, k2 = self.pick(nums)
+            e2 = cents(f"{a}.{c2}") if k2 == "money" else f"{a}.{c2}"
+            ag = self.pick([f"CAST(SUM({e2}) AS BIGINT)",
+                            f"CAST(COUNT(*) AS BIGINT)",
+                            f"CAST(COUNT(DISTINCT {e2}) AS BIGINT)",
+                            f"MIN({e2})", f"MAX({e2})"])
+            ipred = (f" AND {self.pred(inner, a)}"
+                     if r.random() < 0.6 else "")
+            return (f"(SELECT {ag} FROM {inner} {a} "
+                    f"WHERE {a}.{ic} = t0.{oc}{ipred})")
+
+        sel_cols = list(SCHEMA[outer])[:3]
+        sel = [f"t0.{c} AS c{i}" for i, c in enumerate(sel_cols)]
+        for i in range(r.randrange(1, 3)):
+            kind = r.randrange(4)
+            if kind == 0:
+                e = sub()
+            elif kind == 1:
+                e = f"COALESCE({sub()}, -1)"
+            elif kind == 2:
+                op = self.pick(["+", "-"])
+                e = f"COALESCE({sub()}, 0) {op} COALESCE({sub()}, 0)"
+            else:
+                e = (f"CASE WHEN COALESCE({sub()}, -1) > "
+                     f"{r.randrange(0, 500)} THEN 'hi' ELSE 'lo' END")
+            sel.append(f"{e} AS cs{i}")
+        where = (f" WHERE {self.pred(outer, 't0')}"
+                 if r.random() < 0.6 else "")
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(sel)))
+        return (f"SELECT {', '.join(sel)} FROM {outer} t0{where}"
+                f" ORDER BY {order} LIMIT 500")
+
+    def q_in_null(self):
+        """IN / NOT IN subqueries under three-valued logic (round-18):
+        the null-aware anti-join surface (Spark plans NOT IN as a
+        null-aware anti join; DuckDB as a mark join — same semantics,
+        very different plans). Shapes: (a) plain IN / NOT IN over an FK
+        edge with an optional inner predicate; (b) NOT IN against a
+        subquery that PROVABLY emits NULLs (CASE-gated inner column —
+        one inner NULL must empty the entire NOT IN result); (c)
+        value-list IN / NOT IN with an explicit NULL member; (d)
+        expression-keyed IN (modular key computed on both sides)."""
+        r = self.r
+        outer = self.pick([t for t in SCHEMA
+                           if t != "events" and self._corr_edges(t)])
+        inner, oc, ic = self.pick(self._corr_edges(outer))
+        neg = "NOT " if r.random() < 0.5 else ""
+        kind = r.randrange(4)
+        if kind == 0:
+            ipred = (f" WHERE {self.pred(inner, 't1')}"
+                     if r.random() < 0.7 else "")
+            cond = f"t0.{oc} {neg}IN (SELECT t1.{ic} FROM {inner} t1{ipred})"
+        elif kind == 1:
+            gate = self.pred(inner, "t1")
+            cond = (f"t0.{oc} NOT IN (SELECT CASE WHEN {gate} "
+                    f"THEN t1.{ic} END FROM {inner} t1)")
+        elif kind == 2:
+            lits = [self.pick(self.lits[(inner, ic)]) for _ in range(2)]
+            ins = ", ".join(sorted(set(lits)) + ["NULL"])
+            cond = f"t0.{oc} {neg}IN ({ins})"
+        else:
+            m = r.randrange(5, 17)
+            ipred = (f" WHERE {self.pred(inner, 't1')}"
+                     if r.random() < 0.7 else "")
+            cond = (f"t0.{oc} % {m} {neg}IN "
+                    f"(SELECT t1.{ic} % {m} FROM {inner} t1{ipred})")
+        sel_cols = list(SCHEMA[outer])[:4]
+        proj = ", ".join(f"t0.{c} AS c{i}" for i, c in enumerate(sel_cols))
+        opred = (f" AND {self.pred(outer, 't0')}"
+                 if r.random() < 0.5 else "")
+        order = ", ".join(f"{i + 1} NULLS FIRST"
+                          for i in range(len(sel_cols)))
+        return (f"SELECT {proj} FROM {outer} t0 WHERE {cond}{opred}"
+                f" ORDER BY {order} LIMIT 500")
+
+    def q_distinct_mix(self):
+        """Multiple DISTINCT aggregates over DIFFERENT columns mixed
+        with plain aggregates in one grouped select (round-18): >1
+        distinct column forces Spark's RewriteDistinctAggregates Expand
+        (one projection per distinct group, null-gated merge) — a plan
+        no single-distinct catalog row reaches. Optional ROLLUP on top
+        (Expand feeding Expand) and HAVING on a distinct count."""
+        r = self.r
+        tables, alias, frm = self.chain(maxlen=2)
+        # 2-3 DISTINCT targets on distinct (table, col) pairs
+        cands = [(tb, c, k) for tb in tables
+                 for c, k in SCHEMA[tb].items() if k in ("int", "money")]
+        if len(cands) < 2:       # e.g. a bare region chain: one numeric col
+            return self.q_agg()  # cannot force the multi-distinct Expand
+        self.r.shuffle(cands)
+        dists = cands[:r.randrange(2, min(4, len(cands)) + 1)]
+        daggs = []
+        for tb, c, k in dists:
+            e = cents(f"{alias[tb]}.{c}") if k == "money" else f"{alias[tb]}.{c}"
+            daggs.append(self.pick([
+                f"COUNT(DISTINCT {e})",
+                f"CAST(SUM(DISTINCT {e}) AS BIGINT)",
+                f"MIN(DISTINCT {e})"]))
+        paggs = []
+        for _ in range(r.randrange(1, 3)):
+            tb = self.pick(tables)
+            paggs.append(self.agg(tb, alias[tb]))
+        gks = []
+        for tb in tables:
+            if r.random() < 0.7:
+                gks.append(f"{alias[tb]}.{self.pick(GROUPCOLS[tb])}")
+        gks = list(dict.fromkeys(gks))[:2]
+        sel = [f"{g} AS c{i}" for i, g in enumerate(gks)]
+        sel += [f"{a} AS c{len(gks) + i}"
+                for i, a in enumerate(daggs + paggs)]
+        where = ""
+        if r.random() < 0.6:
+            tb = self.pick(tables)
+            where = f" WHERE {self.pred(tb, alias[tb])}"
+        if gks:
+            klist = ", ".join(gks)
+            if len(gks) > 1 and r.random() < 0.35:
+                grp = f" GROUP BY ROLLUP({klist})"
+            else:
+                grp = f" GROUP BY {klist}"
+        else:
+            grp = ""
+        having = ""
+        if grp and r.random() < 0.3:
+            having = f" HAVING {daggs[0]} > {r.randrange(1, 6)}"
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(sel)))
+        return (f"SELECT {', '.join(sel)} FROM {frm}{where}{grp}{having}"
+                f" ORDER BY {order} LIMIT 500")
+
     def q_select(self):
         r = self.r
         tables, alias, frm = self.chain(maxlen=2)
@@ -847,7 +1010,9 @@ class Gen:
                           self.q_select, self.q_setop_gs, self.q_decimal,
                           self.q_lateral, self.q_rcte, self.q_filter_agg,
                           self.q_exists_or, self.q_lateral_chain,
-                          self.q_setop_mixed, self.q_interval])()
+                          self.q_setop_mixed, self.q_interval,
+                          self.q_scalar_select, self.q_in_null,
+                          self.q_distinct_mix])()
 
 
 def compare(exp, got):
