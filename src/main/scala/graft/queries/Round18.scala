@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.TextAnalysis
@@ -81,5 +82,108 @@ object R18 {
               FLOOR(m / 32.0 * 10000 + 0.5) / 10000 AS est_jaccard
             FROM p ORDER BY src_a, src_b"""))
 
-  val all: Seq[QueryDef] = Seq(q74, t38)
+  /** q75/q76 (round-18 second wave): COVERAGE.md listed IGNORE NULLS
+    * navigation and window-frame EXCLUDE as dialect gaps the DIFFERENTIAL
+    * FUZZER cannot reach (the same SQL text cannot parse on both
+    * engines). The catalog gate has no such constraint — the Spark side
+    * is DataFrame code and the oracle is DuckDB-dialect SQL — so both
+    * semantics ARE bit-certifiable:
+    *  - q75 drives Spark's native ignoreNulls lag/lead/first/last/
+    *    nth_value against DuckDB's `IGNORE NULLS` spelling;
+    *  - q76 COMPOSES the three EXCLUDE modes Spark lacks from plain
+    *    frame aggregates — EXCLUDE CURRENT ROW = frame sum minus the
+    *    current value, EXCLUDE GROUP = frame sum minus the peer-group
+    *    sum (a RANGE 0-0 frame IS the peer group), EXCLUDE TIES = group
+    *    exclusion plus the current value back — each with a non-null
+    *    COUNT guard so an emptied exclusion window yields NULL exactly
+    *    where SQL's empty-frame SUM does. Oracled against DuckDB's
+    *    native EXCLUDE clause.
+    * Deterministic NULLs are CASE-injected from event_type (the driver
+    * events table has none), so the null-skipping paths are exercised on
+    * every scale. Integer cents per the fuzzer's portability rules. */
+  private val q75 = QueryDef("q75_ignore_nulls_nav",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("v",
+        when(col("event_type").isin("click", "view"), lit(null))
+          .otherwise(floor(col("value") * 100 + 0.5).cast("long")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("user_id"), col("event_id"), col("v"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+          lead(col("v"), 2, null, ignoreNulls = true).over(w).as("next2_nn"),
+          last(col("v"), ignoreNulls = true).over(cum).as("locf_v"),
+          first(col("v"), ignoreNulls = true).over(cum).as("first_nn"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(cum).as("second_nn"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, ts,
+              CASE WHEN event_type IN ('click', 'view') THEN NULL
+                   ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS v
+              FROM events)
+            SELECT user_id, event_id, v,
+              lag(v, 1 IGNORE NULLS) OVER w AS prev_nn,
+              lead(v, 2 IGNORE NULLS) OVER w AS next2_nn,
+              last_value(v IGNORE NULLS) OVER cum AS locf_v,
+              first_value(v IGNORE NULLS) OVER cum AS first_nn,
+              nth_value(v, 2 IGNORE NULLS) OVER cum AS second_nn
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+              cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id"""))
+
+  private val q76 = QueryDef("q76_frame_exclude",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("v",
+          when(col("event_type") === "error", lit(null))
+            .otherwise(floor(col("value") * 100 + 0.5).cast("long")))
+        .withColumn("dk", datediff(col("ts").cast("date"),
+          to_date(lit("2020-01-01"))).cast("long"))
+      val wRows = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 2)
+      val wRange = Window.partitionBy(col("user_id"))
+        .orderBy(col("dk")).rangeBetween(-3, 3)
+      val wPeer = Window.partitionBy(col("user_id"))
+        .orderBy(col("dk")).rangeBetween(0, 0)
+      val selfCnt = when(col("v").isNotNull, 1L).otherwise(0L)
+      // EXCLUDE CURRENT ROW over the ROWS frame
+      val exCurCnt = count(col("v")).over(wRows) - selfCnt
+      val exCur = when(exCurCnt === 0, lit(null))
+        .otherwise(sum(col("v")).over(wRows) - coalesce(col("v"), lit(0L)))
+      // EXCLUDE GROUP over the RANGE frame: peers = the RANGE 0-0 frame
+      val exGrpCnt = count(col("v")).over(wRange) - count(col("v")).over(wPeer)
+      val exGrp = when(exGrpCnt === 0, lit(null))
+        .otherwise(sum(col("v")).over(wRange) -
+          coalesce(sum(col("v")).over(wPeer), lit(0L)))
+      // EXCLUDE TIES = EXCLUDE GROUP + the current row restored
+      val exTiesCnt = exGrpCnt + selfCnt
+      val exTies = when(exTiesCnt === 0, lit(null))
+        .otherwise(sum(col("v")).over(wRange) -
+          coalesce(sum(col("v")).over(wPeer), lit(0L)) +
+          coalesce(col("v"), lit(0L)))
+      ev.select(col("user_id"), col("event_id"), col("v"), col("dk"),
+          exCur.as("sum_ex_current"), exGrp.as("sum_ex_group"),
+          exTies.as("sum_ex_ties"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, ts,
+              CASE WHEN event_type = 'error' THEN NULL
+                   ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS v,
+              datediff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS dk
+              FROM events)
+            SELECT user_id, event_id, v, dk,
+              CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                EXCLUDE CURRENT ROW) AS BIGINT) AS sum_ex_current,
+              CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY dk
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                EXCLUDE GROUP) AS BIGINT) AS sum_ex_group,
+              CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY dk
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                EXCLUDE TIES) AS BIGINT) AS sum_ex_ties
+            FROM e ORDER BY user_id, event_id"""))
+
+  val all: Seq[QueryDef] = Seq(q74, t38, q75, q76)
 }
