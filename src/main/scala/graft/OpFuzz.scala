@@ -53,6 +53,23 @@ import scala.util.Random
   *    final wave; the recovered flag set must equal the batch
   *    MatchFilter on the same cells bit-for-bit.
   *
+  * Round-18 second wave (the relational/graph operators the first 14
+  * families never reached), all vs plain-Scala second implementations:
+  *  - cc: BOTH connected-components variants (min-label propagation and
+  *    the large-star/small-star alternation) vs sequential union-find —
+  *    one draw exercises one variant, the component-min label contract
+  *    is common.
+  *  - triangles: degree-ordered wedge-join triangle counting vs direct
+  *    O(nv^3) triple enumeration over the edge set.
+  *  - cdc: mergeUpsert (source-wins) / mergeLatest (order-wins) folded
+  *    over 1-3 random change batches vs a driver fold, with ~20% NULL
+  *    values patrolling the update-to-NULL contract; plus scd2 run
+  *    compression vs a driver run-length replay under ~30% timestamp
+  *    ties.
+  *  - intervals: mergeIntervals vs a driver sweep line, with planted
+  *    touching spans and swallowed intervals (the running-max-not-lag
+  *    distinction).
+  *
   * Usage: runMain graft.OpFuzz <sfDir> <nDraws> <seed> <outJson>
   * Exit 0 iff zero violations; the JSON artifact records every draw.
   */
@@ -271,6 +288,48 @@ object OpFuzz {
       }
 
   /** Generic keyed-value diff (graph/resample families). */
+  /** Union-find min-label components — the textbook sequential CC, vs
+    * BOTH distributed variants (min-label propagation and the
+    * Kiveris et al. large-star/small-star alternation). Path-halving
+    * find; the component label is the MIN id, matching the operators'
+    * cluster_id contract. */
+  private def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import scala.collection.mutable
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    ids.map(v => v -> find(v)).toMap
+  }
+
+  /** Per-vertex triangle counts by direct triple enumeration over the
+    * edge SET — O(nv^3) but nv <= ~45 here; independent of the
+    * operator's degree-ordered wedge-join machinery. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.toSet
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- vs.indices; j <- (i + 1) until vs.size; k <- (j + 1) until vs.size
+      (a, b, c) = (vs(i), vs(j), vs(k))
+      if es((a, b)) && es((a, c)) && es((b, c))
+    } Seq(a, b, c).foreach(v => counts(v) = counts.getOrElse(v, 0L) + 1L)
+    counts.toMap
+  }
+
   private def diffMaps[K, V](name: String, got: Map[K, V],
                              want: Map[K, V]): Option[String] = {
     val extra = got.keySet.diff(want.keySet)
@@ -333,7 +392,8 @@ object OpFuzz {
     // check) is a violation of that draw, not a fuzzer crash
     val famNames = Seq("prefix_exact", "prefix_hotcap", "lsh_sound",
       "sorted_window", "simhash", "kcore", "hops", "paths", "resample",
-      "span_dedup", "pack", "ohlc", "restart_bus", "restart_mf")
+      "span_dedup", "pack", "ohlc", "restart_bus", "restart_mf",
+      "cc", "triangles", "cdc", "intervals")
 
     // shared fixture for restart_mf, built once (deterministic): the
     // mwa04 portable observation's INS cells + the BATCH match-filter
@@ -680,6 +740,142 @@ object OpFuzz {
             }
             org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
           }
+        case 14 =>
+          // connected components: BOTH distributed variants (min-label
+          // propagation / star alternation) vs sequential union-find
+          val nv = 20 + rnd.nextInt(41)
+          val p = 0.02 + rnd.nextDouble() * 0.15
+          val edges = randGraph(nv, p)
+          val pairs = edges.toDF("id_a", "id_b")
+          val star = rnd.nextBoolean()
+          val opDf = if (star) Dedup.connectedComponentsStar(pairs)
+                     else Dedup.duplicateClusters(pairs)
+          val got = opDf.collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val want = refComponents(edges)
+          ("cc", s"nv=$nv e=${edges.size} variant=${if (star) "star" else "minlabel"}",
+            diffMaps("cc", got, want))
+        case 15 =>
+          // per-vertex triangle counts vs direct triple enumeration
+          val nv = 15 + rnd.nextInt(31)           // 15..45 vertices
+          val p = 0.05 + rnd.nextDouble() * 0.25
+          val edges = randGraph(nv, p)
+          val got = graft.operators.Graph
+            .triangleCounts(edges.toDF("id_a", "id_b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val want = refTriangles(edges)
+          ("triangles", s"nv=$nv e=${edges.size}",
+            diffMaps("triangles", got, want))
+        case 16 =>
+          // CDC apply: fold 1-3 random change batches into a random
+          // target through mergeUpsert (source-wins) / mergeLatest
+          // (order-wins) / scd2 (run compression), vs a driver fold.
+          // ~20% NULL values in the upsert/latest batches: the
+          // null-overwrite contract (an UPDATE TO NULL must not revert
+          // to the stale target value) is part of every draw.
+          import graft.operators.RelationalOps
+          val mode = rnd.nextInt(3)
+          val nKeys = 3 + rnd.nextInt(10)
+          var seq = 0L
+          def batch(sz: Int): Seq[(Long, Option[String], Long)] =
+            (0 until sz).map { _ =>
+              seq += 1
+              (rnd.nextInt(nKeys).toLong,
+                if (rnd.nextDouble() < 0.2) None
+                else Some(s"v${rnd.nextInt(6)}"), seq)
+            }
+          if (mode < 2) {
+            val tgt = batch(2 + rnd.nextInt(12))
+            val srcs = (0 until (1 + rnd.nextInt(3)))
+              .map(_ => batch(1 + rnd.nextInt(12)))
+            val ord = Seq(col("seq").desc)
+            def df(b: Seq[(Long, Option[String], Long)]) =
+              b.toDF("k", "v", "seq")
+            // per-batch winner = max seq (seq is globally unique)
+            def win(b: Seq[(Long, Option[String], Long)]) =
+              b.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._3) }
+            val (gotDf, want) = if (mode == 0) {
+              val g = srcs.foldLeft(df(tgt))((acc, b) =>
+                RelationalOps.mergeUpsert(acc, df(b), "k", ord))
+              // source wins per fold step: later batch keys override
+              val w = srcs.foldLeft(win(tgt))((st, b) => st ++ win(b))
+              (g, w)
+            } else {
+              val g = srcs.foldLeft(df(tgt))((acc, b) =>
+                RelationalOps.mergeLatest(acc, df(b), "k", ord))
+              // order wins regardless of batch: global max seq per key
+              (g, win(tgt ++ srcs.flatten))
+            }
+            val got = gotDf.collect().map(r => r.getLong(0) ->
+              (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toMap
+            ("cdc", s"mode=${if (mode == 0) "upsert" else "latest"} " +
+              s"keys=$nKeys batches=${srcs.size}",
+              diffMaps("cdc", got, want.map { case (k, (kk, v, s)) =>
+                k -> ((kk, v, s)) }))
+          } else {
+            // scd2: non-null values (change detection is =!= based),
+            // ~30% duplicate timestamps within key patrol the tieBreak
+            val evs = (0 until (6 + rnd.nextInt(20))).map { _ =>
+              seq += 1
+              (rnd.nextInt(nKeys).toLong,
+                (rnd.nextInt(8) * 10).toLong + // coarse ts grid -> ties
+                  (if (rnd.nextDouble() < 0.3) 0L else rnd.nextInt(10).toLong),
+                s"v${rnd.nextInt(4)}", seq)
+            }
+            val got = RelationalOps
+              .scd2(evs.toDF("k", "ts", "v", "tie"), "k", "ts", "v", "tie")
+              .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+                ((r.getString(1), Option(r.get(3)).map(_.toString.toLong))))
+              .toMap
+            val want = evs.groupBy(_._1).flatMap { case (k, rs) =>
+              val sorted = rs.sortBy(e => (e._2, e._4))
+              val runs = sorted.foldLeft(List.empty[(String, Long)]) {
+                case (acc, (_, ts, v, _)) =>
+                  if (acc.nonEmpty && acc.head._1 == v) acc
+                  else (v, ts) :: acc
+              }.reverse
+              runs.zipAll(runs.drop(1).map(r => Some(r._2)), null, None)
+                .collect { case ((v, from), to) if v != null =>
+                  (k, from) -> ((v, to)) }
+            }
+            ("cdc", s"mode=scd2 keys=$nKeys ev=${evs.size}",
+              diffMaps("cdc_scd2", got, want))
+          }
+        case 17 =>
+          // interval coalescing vs a driver sweep line: touching spans
+          // (start == running max end) must merge; planted swallowed
+          // intervals (an early long span covering later short ones)
+          // patrol the running-max-not-lag distinction
+          import graft.operators.RelationalOps
+          val nKeys = 2 + rnd.nextInt(5)
+          val ivs = (0 until (5 + rnd.nextInt(25))).flatMap { _ =>
+            val k = rnd.nextInt(nKeys).toLong
+            val s = rnd.nextInt(100).toLong
+            val e = s + rnd.nextInt(12).toLong
+            val swallow = if (rnd.nextDouble() < 0.15)
+              Seq((k, s, s + 40L)) else Nil   // long cover interval
+            val touch = if (rnd.nextDouble() < 0.2)
+              Seq((k, e, e + rnd.nextInt(6).toLong)) else Nil
+            Seq((k, s, e)) ++ swallow ++ touch
+          }
+          val got = RelationalOps
+            .mergeIntervals(ivs.toDF("k", "s", "e"), "k", "s", "e")
+            .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+              ((r.getLong(2), r.getLong(3)))).toMap
+          val want = ivs.groupBy(_._1).flatMap { case (k, rs) =>
+            val sorted = rs.sortBy(iv => (iv._2, iv._3))
+            // spans: (start, maxEnd, count)
+            val spans = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+              case (acc, (_, s, e)) => acc match {
+                case (ss, se, n) :: tail if s <= se =>
+                  (ss, math.max(se, e), n + 1) :: tail
+                case _ => (s, e, 1L) :: acc
+              }
+            }.reverse
+            spans.map { case (ss, se, n) => (k, ss) -> ((se, n)) }
+          }
+          ("intervals", s"keys=$nKeys iv=${ivs.size}",
+            diffMaps("intervals", got, want))
         // explicit indices, no catch-all (round-17 ADVICE): a family
         // appended to famNames without a matching case must FAIL FAST as
         // a recorded violation (the per-draw handler below), never
