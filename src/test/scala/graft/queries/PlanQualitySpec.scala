@@ -154,6 +154,19 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
   }
 
+  test("q75/q76: window-dialect rows ride ONE hash exchange on user_id") {
+    // q75's five ignore-nulls functions share one (partition, order); q76
+    // runs a ROWS frame, a RANGE frame and the RANGE 0-0 peer frame —
+    // all cluster on user_id, so hashpartitioning(user_id) satisfies
+    // every window (different sort keys re-sort, never re-shuffle); the
+    // only other exchange is the final orderBy's range partitioning
+    for (q <- Seq("q75_ignore_nulls_nav", "q76_frame_exclude")) {
+      val p = plan(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$q: expected 1 hash exchange, got $hashEx:\n$p")
+    }
+  }
+
   test("t20/d15/d16/x07: curation operators never plan a cartesian product") {
     for (q <- Seq("t20_lm_perplexity", "d15_semantic_dedup", "d16_curate2",
         "x07_mmr_rerank")) {
