@@ -981,6 +981,53 @@ class Gen:
         return (f"SELECT {', '.join(sel)} FROM {frm}{where}{grp}{having}"
                 f" ORDER BY {order} LIMIT 500")
 
+    def q_having_sub(self):
+        """Scalar subqueries in HAVING (round-18 second wave): the
+        aggregate-vs-aggregate comparison path — the outer HAVING
+        compares a grouped aggregate against an uncorrelated scalar
+        aggregate over another table (itself optionally filtered), a
+        shape neither q_agg's literal HAVING nor q_corr_agg's WHERE-side
+        subqueries generate. Also: HAVING on an aggregate NOT in the
+        select list, and a grouped-subquery form comparing against a
+        per-group average pulled from a derived table."""
+        r = self.r
+        tables, alias, frm = self.chain(maxlen=2)
+        t0 = tables[0]
+        gk = f"{alias[t0]}.{self.pick(GROUPCOLS[t0])}"
+        tb = self.pick(tables)
+        agg1 = self.agg(tb, alias[tb])
+        sel = [f"{gk} AS c0", f"{agg1} AS c1"]
+        inner = self.pick([t for t in SCHEMA if t != "events"])
+        nums = [(c, k) for c, k in SCHEMA[inner].items()
+                if k in ("int", "money")]
+        c2, k2 = self.pick(nums)
+        e2 = cents(f"s1.{c2}") if k2 == "money" else f"s1.{c2}"
+        ipred = (f" WHERE {self.pred(inner, 's1')}"
+                 if r.random() < 0.6 else "")
+        # the comparison aggregate: sometimes projected, sometimes not
+        tb2 = self.pick(tables)
+        c3, k3 = self.pick([(c, k) for c, k in SCHEMA[tb2].items()
+                            if k in ("int", "money")])
+        e3 = cents(f"{alias[tb2]}.{c3}") if k3 == "money" else f"{alias[tb2]}.{c3}"
+        hagg = self.pick([f"CAST(SUM({e3}) AS BIGINT)", f"MIN({e3})",
+                          f"MAX({e3})", "COUNT(*)"])
+        # exact-integer comparison values ONLY: CAST(AVG AS BIGINT) would
+        # fuzz the truncate-vs-round dialect split, not the engines
+        sub = self.pick([
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {inner} s1{ipred})",
+            f"(SELECT CAST(SUM({e2}) AS BIGINT) % 100000 FROM {inner} s1{ipred})",
+            f"(SELECT MIN({e2}) FROM {inner} s1{ipred})"])
+        op = self.pick([">", ">=", "<", "<=", "<>"])
+        scale = self.pick(["", " % 1000"])
+        having = f" HAVING {hagg} {op} {sub}{scale}"
+        where = ""
+        if r.random() < 0.5:
+            tb3 = self.pick(tables)
+            where = f" WHERE {self.pred(tb3, alias[tb3])}"
+        return (f"SELECT {', '.join(sel)} FROM {frm}{where}"
+                f" GROUP BY {gk}{having}"
+                f" ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT 500")
+
     def q_select(self):
         r = self.r
         tables, alias, frm = self.chain(maxlen=2)
@@ -1012,7 +1059,7 @@ class Gen:
                           self.q_exists_or, self.q_lateral_chain,
                           self.q_setop_mixed, self.q_interval,
                           self.q_scalar_select, self.q_in_null,
-                          self.q_distinct_mix])()
+                          self.q_distinct_mix, self.q_having_sub])()
 
 
 def compare(exp, got):
