@@ -393,7 +393,7 @@ object OpFuzz {
     val famNames = Seq("prefix_exact", "prefix_hotcap", "lsh_sound",
       "sorted_window", "simhash", "kcore", "hops", "paths", "resample",
       "span_dedup", "pack", "ohlc", "restart_bus", "restart_mf",
-      "cc", "triangles", "cdc", "intervals")
+      "cc", "triangles", "cdc", "intervals", "bloom")
 
     // shared fixture for restart_mf, built once (deterministic): the
     // mwa04 portable observation's INS cells + the BATCH match-filter
@@ -876,6 +876,37 @@ object OpFuzz {
           }
           ("intervals", s"keys=$nKeys iv=${ivs.size}",
             diffMaps("intervals", got, want))
+        case 18 =>
+          // bloom prefilter vs an exact driver replay of the portable
+          // 60-bit md5 membership — INCLUDING which collisions pass.
+          // Tiny mBits values force heavy collision regimes the fixed
+          // catalog row (q65, mBits=8192) never reaches; the
+          // no-false-negative contract is implied by exact replay.
+          val mBits = Seq(64, 128, 192, 320, 512, 1024)(rnd.nextInt(6))
+          val k = 1 + rnd.nextInt(5)
+          def h60(s: String): Long = {
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(s.getBytes("UTF-8"))
+            java.lang.Long.parseLong(
+              d.map("%02x".format(_)).mkString.take(15), 16)
+          }
+          val bks = (0 until (5 + rnd.nextInt(36)))
+            .map(_ => (rnd.nextInt(2000) - 500).toLong).distinct
+          val pks = (0 until (20 + rnd.nextInt(180)))
+            .map(i => (i.toLong, (rnd.nextInt(4000) - 1000).toLong))
+          val got = graft.operators.Layout.bloomPrefilter(
+              pks.toDF("pid", "pk"), col("pk"),
+              bks.toDF("bk"), col("bk"), mBits, k)
+            .select("pid").collect().map(_.getLong(0) -> 1L).toMap
+          val bits: Set[Long] =
+            bks.flatMap(b => (0 until k).map(j => h60(s"$b#$j") % mBits)).toSet
+          val want = pks.filter { case (_, p) =>
+            (0 until k).forall(j => bits(h60(s"$p#$j") % mBits))
+          }.map(_._1 -> 1L).toMap
+          val members = pks.count { case (_, p) => bks.contains(p) }
+          ("bloom", s"mBits=$mBits k=$k build=${bks.size} " +
+            s"probe=${pks.size} members=$members pass=${want.size}",
+            diffMaps("bloom", got, want))
         // explicit indices, no catch-all (round-17 ADVICE): a family
         // appended to famNames without a matching case must FAIL FAST as
         // a recorded violation (the per-draw handler below), never
