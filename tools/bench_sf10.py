@@ -35,9 +35,22 @@ for leg, d in (("sf1", a), ("sf10", b)):
     if "aux" in d:
         out[f"aux_{leg}"] = d["aux"]
     # direct environment counters per probe segment (round-18: Bench
-    # emits them; a slope adjudication cites these, not just the probe)
+    # emits them; a slope adjudication cites these, not just the probe).
+    # Apply the SAME healthy-band flagging as bench_medians.py (foreign
+    # CPU > 10%, steal > 2%, iowait > 10%) so an unhealthy leg is
+    # surfaced in the artifact, not left for an adjudicator to eyeball
+    # raw fractions (round-18 review finding).
     if "env_segments" in d:
         out[f"env_{leg}"] = d["env_segments"]
+        flagged = [s for s in d["env_segments"]
+                   if s.get("foreign_cpu_frac", 0) > 0.10
+                   or s.get("steal_frac", 0) > 0.02
+                   or s.get("iowait_frac", 0) > 0.10]
+        out[f"env_flagged_segments_{leg}"] = flagged
+        if flagged:
+            print(f"[bench-sf10] WARNING {leg} leg: {len(flagged)} probe "
+                  f"segment(s) outside the healthy environment band: "
+                  f"{flagged}")
 if len(sys.argv) > 4:
     out.update(json.load(open(sys.argv[4])))
 json.dump(out, open(sys.argv[3], "w"), indent=1)
