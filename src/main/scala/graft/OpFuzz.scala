@@ -355,6 +355,21 @@ object OpFuzz {
       s"valueDiff=${valueDiff.take(3).map(k => (k, got(k), want(k)))} (${valueDiff.size})")
   }
 
+  /** Order-insensitive FULL-ROW multiset compare. Unlike diffMaps nothing
+    * is keyed, so (round-18 ADVICE) an operator bug emitting duplicate
+    * keys is reported as a size/row mismatch instead of being collapsed
+    * to one arbitrary row, and degenerate key ties (scd2 runs sharing
+    * valid_from inside a timestamp tie group) are verified, not silently
+    * dropped by toMap on both sides. */
+  private def diffRows[T](name: String, got: Seq[T], want: Seq[T])
+                         (implicit ord: Ordering[T]): Option[String] = {
+    val g = got.sorted
+    val w = want.sorted
+    if (g == w) None
+    else Some(s"$name: gotRows=${g.size} wantRows=${w.size} " +
+      s"gotOnly=${g.diff(w).take(3)} wantOnly=${w.diff(g).take(3)}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val n = if (args.length > 1) args(1).toInt else 100
@@ -806,12 +821,15 @@ object OpFuzz {
               // order wins regardless of batch: global max seq per key
               (g, win(tgt ++ srcs.flatten))
             }
-            val got = gotDf.collect().map(r => r.getLong(0) ->
-              (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toMap
+            // full-row multisets: a fanout bug duplicating a key must
+            // surface as extra rows, not vanish into a map collapse
+            val got = gotDf.collect().map(r =>
+              (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+            val wantRows = want.values.map { case (kk, v, s) =>
+              (kk, v, s) }.toSeq
             ("cdc", s"mode=${if (mode == 0) "upsert" else "latest"} " +
               s"keys=$nKeys batches=${srcs.size}",
-              diffMaps("cdc", got, want.map { case (k, (kk, v, s)) =>
-                k -> ((kk, v, s)) }))
+              diffRows("cdc", got, wantRows))
           } else {
             // scd2: non-null values (change detection is =!= based),
             // ~30% duplicate timestamps within key patrol the tieBreak
@@ -822,11 +840,16 @@ object OpFuzz {
                   (if (rnd.nextDouble() < 0.3) 0L else rnd.nextInt(10).toLong),
                 s"v${rnd.nextInt(4)}", seq)
             }
+            // full-row multisets, NOT toMap keyed by (k, valid_from): a
+            // value change inside a planted timestamp tie group yields
+            // consecutive runs SHARING valid_from, and toMap dropped the
+            // degenerate run on both sides — never verified, and the
+            // surviving got row depended on collect() order
             val got = RelationalOps
               .scd2(evs.toDF("k", "ts", "v", "tie"), "k", "ts", "v", "tie")
-              .collect().map(r => (r.getLong(0), r.getLong(2)) ->
-                ((r.getString(1), Option(r.get(3)).map(_.toString.toLong))))
-              .toMap
+              .collect().map(r => (r.getLong(0), r.getLong(2),
+                r.getString(1), Option(r.get(3)).map(_.toString.toLong)))
+              .toSeq
             val want = evs.groupBy(_._1).flatMap { case (k, rs) =>
               val sorted = rs.sortBy(e => (e._2, e._4))
               val runs = sorted.foldLeft(List.empty[(String, Long)]) {
@@ -836,10 +859,10 @@ object OpFuzz {
               }.reverse
               runs.zipAll(runs.drop(1).map(r => Some(r._2)), null, None)
                 .collect { case ((v, from), to) if v != null =>
-                  (k, from) -> ((v, to)) }
-            }
+                  (k, from, v, to) }
+            }.toSeq
             ("cdc", s"mode=scd2 keys=$nKeys ev=${evs.size}",
-              diffMaps("cdc_scd2", got, want))
+              diffRows("cdc_scd2", got, want))
           }
         case 17 =>
           // interval coalescing vs a driver sweep line: touching spans
@@ -858,10 +881,12 @@ object OpFuzz {
               Seq((k, e, e + rnd.nextInt(6).toLong)) else Nil
             Seq((k, s, e)) ++ swallow ++ touch
           }
+          // full-row multisets: a bug emitting two spans with the same
+          // (k, start) must be reported, not collapsed by toMap
           val got = RelationalOps
             .mergeIntervals(ivs.toDF("k", "s", "e"), "k", "s", "e")
-            .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-              ((r.getLong(2), r.getLong(3)))).toMap
+            .collect().map(r => (r.getLong(0), r.getLong(1),
+              r.getLong(2), r.getLong(3))).toSeq
           val want = ivs.groupBy(_._1).flatMap { case (k, rs) =>
             val sorted = rs.sortBy(iv => (iv._2, iv._3))
             // spans: (start, maxEnd, count)
@@ -872,10 +897,10 @@ object OpFuzz {
                 case _ => (s, e, 1L) :: acc
               }
             }.reverse
-            spans.map { case (ss, se, n) => (k, ss) -> ((se, n)) }
-          }
+            spans.map { case (ss, se, n) => (k, ss, se, n) }
+          }.toSeq
           ("intervals", s"keys=$nKeys iv=${ivs.size}",
-            diffMaps("intervals", got, want))
+            diffRows("intervals", got, want))
         case 18 =>
           // bloom prefilter vs an exact driver replay of the portable
           // 60-bit md5 membership — INCLUDING which collisions pass.

@@ -198,23 +198,49 @@ object Ivf {
       .select(col("__id"), col("__v"), col("cell"))
   }
 
+  /** Fail fast when `idCol` repeats. One job: a partial-aggregated
+    * groupBy(id) count, short-circuited by limit(1) — the map side
+    * collapses duplicates before the exchange, so the shuffled stream is
+    * the distinct-id set, not the table. */
+  private def requireUniqueIds(df: DataFrame, idCol: String,
+                               side: String): Unit = {
+    val dup = df.groupBy(col(idCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"ivfKnn: $side.$idCol is not unique (e.g. $idCol=" +
+        s"${dup.headOption.map(_.get(0)).orNull}): duplicate ids make the " +
+        "literal and broadcast assign paths diverge and let duplicate " +
+        "(vec_id, nn_id) pairs occupy top-k rank slots. Dedup the input, " +
+        "or pass checkIds=false only when uniqueness is enforced upstream.")
+  }
+
   /** IVF search: exact cosine rerank within the query's `nprobe` nearest
     * cells. Returns (vec_id, nn_id, sim, rank).
     *
-    * PRECONDITION: `idCol` must be unique within `queries` and within
-    * `corpus` (the usual vector-table contract; every catalog/gate input
-    * satisfies it and IvfSampledSpec pins the tie-break corner on unique
-    * ids). The no-dedup candidate argument below relies on it: under a
-    * duplicate corpus id the literal assign path keeps every input row
-    * while the broadcast path's groupBy collapses them to one, so the two
-    * assign flavors would diverge and duplicate (vec_id, nn_id) pairs
-    * could occupy top-k rank slots. `lshKnn` dedups regardless because
-    * its multi-table join genuinely re-meets pairs; this operator has no
-    * such path, so the precondition buys back one corpus-scale shuffle. */
+    * PRECONDITION (ENFORCED): `idCol` must be unique within `queries` and
+    * within `corpus` (the usual vector-table contract). The no-dedup
+    * candidate argument below relies on it: under a duplicate corpus id
+    * the literal assign path keeps every input row while the broadcast
+    * path's groupBy collapses them to one, so the two assign flavors
+    * would diverge and duplicate (vec_id, nn_id) pairs could occupy
+    * top-k rank slots. `lshKnn` dedups regardless because its multi-table
+    * join genuinely re-meets pairs; this operator has no such path, so
+    * the precondition buys back one corpus-scale shuffle. With
+    * `checkIds=true` (the default) a violated precondition FAILS FAST
+    * instead of silently corrupting top-k: one partial-aggregated
+    * groupBy(id) count per side — cheap next to `iters` k-means corpus
+    * scans, and far cheaper than the dropDuplicates shuffle it replaces.
+    * Pass `checkIds=false` only when uniqueness is enforced upstream
+    * (id is a primary key of the source table). IvfSampledSpec plants a
+    * duplicate corpus id and asserts the rejection. */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              nCells: Int = 16, nprobe: Int = 4, iters: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             roundTo: Int = 4): DataFrame = {
+             roundTo: Int = 4, checkIds: Boolean = true): DataFrame = {
+    if (checkIds) {
+      requireUniqueIds(corpus, idCol, "corpus")
+      requireUniqueIds(queries, idCol, "queries")
+    }
     val (centroids, pinned) = fitCentroidsShared(corpus, nCells, iters, idCol, vecCol)
     val corpusCells = assign(
       pinned.getOrElse(corpus.select(col(idCol).as("__id"),

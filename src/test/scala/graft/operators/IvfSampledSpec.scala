@@ -135,6 +135,30 @@ class IvfSampledSpec extends SparkSpec {
     }
   }
 
+  test("a planted duplicate corpus id fails fast instead of eating top-k slots") {
+    // the r17 dedup removal made ivfKnn's candidate stream duplicate-free
+    // ONLY under unique ids; a silent violation would let duplicate
+    // (vec_id, nn_id) pairs occupy rank slots. The guard must reject it.
+    val emb = corpus(300, 8)
+    val dup = emb.union(emb.filter(col("vec_id") === 42))  // one extra id=42 row
+    val queries = emb.filter(col("vec_id") < 10)
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.ivfKnn(queries, dup, 3, nCells = 4, nprobe = 2, iters = 2)
+    }
+    assert(ex.getMessage.contains("not unique"), ex.getMessage)
+    // duplicate QUERY ids are equally corrupt (row_number over vec_id
+    // mixes two different vectors' probe sets) — also rejected
+    val ex2 = intercept[IllegalArgumentException] {
+      Ivf.ivfKnn(queries.union(queries.limit(1)), emb, 3,
+        nCells = 4, nprobe = 2, iters = 2)
+    }
+    assert(ex2.getMessage.contains("queries"), ex2.getMessage)
+    // the opt-out is honored (upstream-enforced contract): same inputs,
+    // checkIds=false, completes
+    assert(Ivf.ivfKnn(queries, emb, 3, nCells = 4, nprobe = 2, iters = 2,
+      checkIds = false).count() > 0)
+  }
+
   test("beyond the literal contract, assignment switches to the broadcast join") {
     // k * dim = 4000 * 40 far beyond the 131072 inlining contract: the
     // fit must COMPLETE through the broadcast-join argmin (round 11
