@@ -355,6 +355,123 @@ object OpFuzz {
       s"valueDiff=${valueDiff.take(3).map(k => (k, got(k), want(k)))} (${valueDiff.size})")
   }
 
+  /** Driver replay of Spark's multi-batch watermarked stream-stream
+    * interval-join emission (the late_data family's oracle). The
+    * catalog's s12/s15/s17 horizon oracles certify only the FINAL
+    * watermark on an in-order feed; this replays the per-batch
+    * machinery the randomized adversary exercises:
+    *   - the global watermark before batch n is min over the two
+    *     watermark nodes of (max event time seen through batch n-1,
+    *     ms-truncated) minus the delay, never regressing, 0 until a
+    *     node has seen data;
+    *   - input rows with ts < watermark are dropped as late (strict:
+    *     Spark's predicate is ts <= w-1 ms);
+    *   - matches emit when both rows coexist, regardless of watermark;
+    *   - state eviction (and the outer modes' null-extension, exactly
+    *     once per never-matched evicted row) runs after each batch's
+    *     watermark update, which Spark applies in the trailing no-data
+    *     batch: a purchase evicts once w > p_ts (no future signup can
+    *     satisfy s_ts <= p_ts), a signup once w > s_ts + I (no future
+    *     purchase can satisfy p_ts <= s_ts + I).
+    * An evicted-then-late-matched pair is thereby correctly ABSENT from
+    * both sides. NULL ids are encoded as -1 for the multiset compare. */
+  private def refLateJoin(evs: Seq[(Long, Long, String, Long)],
+                          waves: Map[Long, Int], nWaves: Int,
+                          delayMs: Long, intMs: Long,
+                          mode: String): Seq[(Long, Long)] = {
+    final case class St(id: Long, user: Long, ts: Long,
+                        var matched: Boolean = false)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val stP = scala.collection.mutable.ArrayBuffer[St]()
+    val stS = scala.collection.mutable.ArrayBuffer[St]()
+    var maxP = Long.MinValue
+    var maxS = Long.MinValue
+    var w = 0L
+    (0 until nWaves).foreach { wv =>
+      val batch = evs.filter(e => waves(e._1) == wv)
+      if (batch.nonEmpty) {
+        // event-time stats collect BEFORE the join's late filter
+        batch.foreach { e =>
+          if (e._3 == "purchase") maxP = math.max(maxP, e._4)
+          else maxS = math.max(maxS, e._4)
+        }
+        val newP = batch.collect {
+          case (id, u, "purchase", ts) if ts >= w => St(id, u, ts) }
+        val newS = batch.collect {
+          case (id, u, "signup", ts) if ts >= w => St(id, u, ts) }
+        def join(p: St, s: St): Unit =
+          if (p.user == s.user && s.ts <= p.ts && s.ts >= p.ts - intMs) {
+            out += ((p.id, s.id)); p.matched = true; s.matched = true
+          }
+        for (p <- newP; s <- stS) join(p, s)
+        for (p <- stP; s <- newS) join(p, s)
+        for (p <- newP; s <- newS) join(p, s)
+        stP ++= newP
+        stS ++= newS
+        val wNew = math.max(w, math.min(
+          if (maxP == Long.MinValue) 0L else maxP - delayMs,
+          if (maxS == Long.MinValue) 0L else maxS - delayMs))
+        val (pKeep, pGone) = stP.partition(_.ts >= wNew)
+        val (sKeep, sGone) = stS.partition(_.ts + intMs >= wNew)
+        if (mode == "left_outer" || mode == "full_outer")
+          pGone.filterNot(_.matched).foreach(p => out += ((p.id, -1L)))
+        if (mode == "right_outer" || mode == "full_outer")
+          sGone.filterNot(_.matched).foreach(s => out += ((-1L, s.id)))
+        stP.clear(); stP ++= pKeep
+        stS.clear(); stS ++= sKeep
+        w = wNew
+      }
+    }
+    out.toSeq
+  }
+
+  /** Driver replay of append-mode session-window aggregation across
+    * randomized batch cuts (the late_data family's sessions oracle).
+    * s14's horizon oracle is final-watermark-only; this replays the
+    * per-batch rule: input rows whose own session end (ts + gap) falls
+    * strictly below the in-force watermark are dropped as late, kept
+    * rows merge into per-user open sessions (closed-boundary merge:
+    * ts == session end continues the session, matching s14's gap > 1800
+    * batch oracle), and after each batch's watermark update every
+    * session with end < w emits exactly once and leaves state. A late
+    * row that re-opens an already-emitted time range forms a NEW
+    * session — replayed, not suppressed. Returns
+    * (user, startMs, endMs, nEvents). */
+  private def refLateSessions(evs: Seq[(Long, Long, Long)],
+                              waves: Map[Long, Int], nWaves: Int,
+                              delayMs: Long, gapMs: Long)
+      : Seq[(Long, Long, Long, Long)] = {
+    final case class Sess(user: Long, start: Long, var end: Long,
+                          var n: Long)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var open = List.empty[Sess]
+    var maxTs = Long.MinValue
+    var w = 0L
+    (0 until nWaves).foreach { wv =>
+      val batch = evs.filter(e => waves(e._1) == wv)
+      if (batch.nonEmpty) {
+        batch.foreach(e => maxTs = math.max(maxTs, e._3))
+        batch.filter(e => e._3 + gapMs >= w).foreach { case (_, u, ts) =>
+          // merge [ts, ts+gap] into the user's open set; a bridging
+          // event can fuse two existing sessions, so re-merge the lot
+          val (hit, miss) = open.partition(s =>
+            s.user == u && ts <= s.end && s.start <= ts + gapMs)
+          val merged = hit.foldLeft(Sess(u, ts, ts + gapMs, 1L)) {
+            (acc, s) => Sess(u, math.min(acc.start, s.start),
+              math.max(acc.end, s.end), acc.n + s.n)
+          }
+          open = merged :: miss
+        }
+        w = math.max(w, (if (maxTs == Long.MinValue) 0L
+                         else maxTs - delayMs))
+        val (gone, keep) = open.partition(_.end < w)
+        gone.foreach(s => out += ((s.user, s.start, s.end, s.n)))
+        open = keep
+      }
+    }
+    out.toSeq
+  }
+
   /** Order-insensitive FULL-ROW multiset compare. Unlike diffMaps nothing
     * is keyed, so (round-18 ADVICE) an operator bug emitting duplicate
     * keys is reported as a size/row mismatch instead of being collapsed
@@ -408,7 +525,14 @@ object OpFuzz {
     val famNames = Seq("prefix_exact", "prefix_hotcap", "lsh_sound",
       "sorted_window", "simhash", "kcore", "hops", "paths", "resample",
       "span_dedup", "pack", "ohlc", "restart_bus", "restart_mf",
-      "cc", "triangles", "cdc", "intervals", "bloom")
+      "cc", "triangles", "cdc", "intervals", "bloom", "late_data")
+    // optional single-family focus (calibration/debug): every draw runs
+    // this family instead of cycling; per-draw randomness still advances
+    val famOnly: Option[Int] = if (args.length > 4) {
+      val idx = famNames.indexOf(args(4))
+      require(idx >= 0, s"unknown family '${args(4)}'")
+      Some(idx)
+    } else None
 
     // shared fixture for restart_mf, built once (deterministic): the
     // mwa04 portable observation's INS cells + the BATCH match-filter
@@ -445,7 +569,7 @@ object OpFuzz {
     (1 to n).foreach { i =>
       // round-robin, not uniform draw: every family gets >= n/12 draws
       // (the verdict's >=20-per-family contract at n=240)
-      val fam = (i - 1) % famNames.size
+      val fam = famOnly.getOrElse((i - 1) % famNames.size)
       val sn = 2 + rnd.nextInt(3)                 // shingle n in 2..4
       val theta = 0.25 + rnd.nextInt(14) * 0.05   // 0.25..0.90
       val t0 = System.nanoTime()
@@ -932,6 +1056,125 @@ object OpFuzz {
           ("bloom", s"mBits=$mBits k=$k build=${bks.size} " +
             s"probe=${pks.size} members=$members pass=${want.size}",
             diffMaps("bloom", got, want))
+        case 19 =>
+          // watermark/late-data emission under a RANDOMIZED adversary
+          // (round-18 verdict task 5): event-time disorder, watermark
+          // delay, and batch cut points are all drawn, and the emission
+          // horizon is replayed per batch by refLateJoin/refLateSessions
+          // — where s12/s14/s15/s17 certify fixed lateness profiles at
+          // the final watermark only. Batch cuts are real: each wave is
+          // one parquet file fed through a checkpointed RESTART of the
+          // query, so the watermark in force during wave n is the
+          // checkpointed one from wave n-1, exactly as in a continuous
+          // multi-batch run.
+          val op = rnd.nextInt(5) // 4 join modes + append sessions
+          val delaySec = (1 + rnd.nextInt(30)) * 60L        // 1..30 min
+          val intSec = (5 + rnd.nextInt(116)) * 60L         // 5m..2h
+          val gapSec = (2 + rnd.nextInt(45)) * 60L          // 2..46 min
+          val nWaves = 2 + rnd.nextInt(4)                   // 2..5 batches
+          val nUsers = 1 + rnd.nextInt(4)
+          val nEv = 15 + rnd.nextInt(50)
+          val spanSec = (intSec + delaySec) * (2 + rnd.nextInt(3))
+          val baseSec = 1700000000L
+          val evs: Seq[(Long, Long, String, Long)] = (0 until nEv).map { i =>
+            (i.toLong, rnd.nextInt(nUsers).toLong,
+              if (rnd.nextBoolean()) "purchase" else "signup",
+              (baseSec + (rnd.nextDouble() * spanSec).toLong) * 1000L)
+          }
+          // waves follow ts order, but ~30% of events land 1-2 waves
+          // LATER than their position: genuinely late vs the watermark
+          // the in-order majority advances
+          val perWave = math.max(1, nEv / nWaves)
+          val waves: Map[Long, Int] = evs.sortBy(e => (e._4, e._1))
+            .zipWithIndex.map { case (e, idx) =>
+              val w0 = math.min(idx / perWave, nWaves - 1)
+              e._1 -> (if (rnd.nextDouble() < 0.3)
+                math.min(w0 + 1 + rnd.nextInt(2), nWaves - 1) else w0)
+            }.toMap
+          val base = java.nio.file.Files.createTempDirectory("graft_opfuzz_late_")
+          val (src, ck, sink) = (s"$base/src", s"$base/ck", s"$base/sink")
+          try {
+            val evSchema = org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP")
+            def streamed(): DataFrame = {
+              val ev = spark.readStream.schema(evSchema).parquet(src)
+              if (op == 4)
+                ev.withWatermark("ts", s"$delaySec seconds")
+                  .groupBy(session_window(col("ts"), s"$gapSec seconds")
+                    .as("sess"), col("user_id"))
+                  .agg(count(lit(1)).as("n"))
+                  .select(col("user_id"), col("sess.start").as("s_start"),
+                    col("sess.end").as("s_end"), col("n"))
+              else {
+                val mode = Seq("inner", "left_outer", "right_outer",
+                  "full_outer")(op)
+                val p = ev.filter(col("event_type") === "purchase")
+                  .select(col("event_id").as("purchase_id"),
+                    col("user_id").as("p_user"), col("ts").as("p_ts"))
+                  .withWatermark("p_ts", s"$delaySec seconds")
+                val s2 = ev.filter(col("event_type") === "signup")
+                  .select(col("event_id").as("signup_id"),
+                    col("user_id").as("s_user"), col("ts").as("s_ts"))
+                  .withWatermark("s_ts", s"$delaySec seconds")
+                p.join(s2, col("p_user") === col("s_user") &&
+                    col("s_ts") <= col("p_ts") &&
+                    col("s_ts") >= col("p_ts") -
+                      expr(s"INTERVAL $intSec SECONDS"), mode)
+                  .select("purchase_id", "signup_id")
+              }
+            }
+            def runOnce(hasNew: Boolean): Unit = {
+              val q = streamed().writeStream.format("parquet")
+                .option("path", sink).option("checkpointLocation", ck)
+                .outputMode("append").start()
+              try { q.processAllAvailable()
+                if (hasNew)
+                  graft.streaming.EventStreams.assertDrained(q, "opfuzz_late")
+              } finally q.stop()
+            }
+            (0 until nWaves).foreach { wv =>
+              val rows = evs.filter(e => waves(e._1) == wv)
+              if (rows.nonEmpty)
+                rows.map { case (id, u, t, ms) =>
+                  (id, u, t, new java.sql.Timestamp(ms)) }
+                  .toDF("event_id", "user_id", "event_type", "ts")
+                  .coalesce(1).write.mode("append").parquet(src)
+              if (new java.io.File(src).exists) runOnce(rows.nonEmpty)
+            }
+            val opName = Seq("inner", "left_outer", "right_outer",
+              "full_outer", "sessions")(op)
+            val params = s"op=$opName delay=${delaySec}s int=${intSec}s " +
+              s"gap=${gapSec}s waves=$nWaves ev=$nEv"
+            // explicit read schema: a sink that never emitted holds only
+            // _spark_metadata and would fail schema inference
+            if (op == 4) {
+              val got =
+                if (!new java.io.File(sink).exists) Seq.empty
+                else spark.read.schema(org.apache.spark.sql.types.StructType
+                    .fromDDL("user_id BIGINT, s_start TIMESTAMP, " +
+                      "s_end TIMESTAMP, n BIGINT"))
+                  .parquet(sink).collect().map(r =>
+                    (r.getLong(0), r.getTimestamp(1).getTime,
+                      r.getTimestamp(2).getTime, r.getLong(3))).toSeq
+              val want = refLateSessions(
+                evs.map(e => (e._1, e._2, e._4)), waves, nWaves,
+                delaySec * 1000L, gapSec * 1000L)
+              ("late_data", params, diffRows("late_sessions", got, want))
+            } else {
+              val got =
+                if (!new java.io.File(sink).exists) Seq.empty
+                else spark.read.schema(org.apache.spark.sql.types.StructType
+                    .fromDDL("purchase_id BIGINT, signup_id BIGINT"))
+                  .parquet(sink).collect().map(r =>
+                    (if (r.isNullAt(0)) -1L else r.getLong(0),
+                      if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+              val want = refLateJoin(evs, waves, nWaves, delaySec * 1000L,
+                intSec * 1000L, Seq("inner", "left_outer", "right_outer",
+                  "full_outer")(op))
+              ("late_data", params, diffRows("late_join", got, want))
+            }
+          } finally
+            org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
         // explicit indices, no catch-all (round-17 ADVICE): a family
         // appended to famNames without a matching case must FAIL FAST as
         // a recorded violation (the per-draw handler below), never
