@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
+import graft.plans.Pins.PinSyntax
 
 /** Deduplication family for a training-data pipeline, over a corpus
   * DataFrame with an id column and a text column.
@@ -294,10 +295,21 @@ object Dedup {
     * the large-star/small-star edge-rewriting variant; the operator
     * contract (id -> min-of-component) is unchanged. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // PIN the derived edge set once (r19, the d11 spill-boundary fix):
+    // `edges` is re-scanned on EVERY label-propagation round, and an
+    // unpinned reference re-executes the whole upstream candidate
+    // pipeline per round — for d11's MinHash-LSH input that recompute
+    // was the flagship pipeline's structural spill source (sf10 A/B,
+    // D11_AB_sf10_r19.json: composed 39.9/39.4s medians and ~11 GB
+    // mem-spill per run vs 16.2/16.3s and ~3.5 GB with the pair stage
+    // materialized, reversed-order sessions, identical results). The
+    // pinned state is O(pairs) — bounded, never the corpus — matching
+    // kCore's columnar-pinned edge set; honest leaf stats via Pins.
+    val edges = graft.plans.Pins.pin(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
+    var labels = nodes.withColumn("cluster_id", col("id")).pinned
     // the changed flag rides the label join itself: a LAZY localCheckpoint
     // is materialized by the convergence count below, so each round runs
     // exactly ONE distributed job (the old shape ran a second full count
@@ -313,7 +325,10 @@ object Dedup {
           (col("nl") < col("cluster_id")).as("__changed"))
         .localCheckpoint(false)
       val ch = next.filter(col("__changed")).count()
-      (next.drop("__changed"), ch)
+      // the count above materialized the lazy pin; restamp so the next
+      // round's plans see block-truth leaf stats, not the inherited
+      // join-estimate (the r18 telemetry's recurring 5.8x poisoned pin)
+      (graft.plans.Pins.restamp(next).drop("__changed"), ch)
     }
     var changed = 1L
     var iter = 0
@@ -388,7 +403,7 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .pinned
     var edges = edges0
     var iter = 0
     var converged = false
@@ -400,7 +415,9 @@ object Dedup {
       // sides are checkpointed, so the except is over materialized RDDs,
       // one small job per round on the shrinking star forest.
       converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
-      edges = next
+      // the except pair materialized the lazy pin: restamp (block-truth
+      // leaf stats) before the next round plans against it
+      edges = graft.plans.Pins.restamp(next)
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsStar did not converge after $maxIters rounds; " +
@@ -451,7 +468,7 @@ object Dedup {
       // join sides read the blocks instead of re-deriving the rank.
       .select(col("id"), TextFns.wordShingles(col("__text"), shingleN).as("__sh"),
         col("__rank"), col("__b"))
-      .localCheckpoint(true)
+      .pinned
     val l = ranked.select(col("id").as("__ida"), col("__sh").as("__sa"),
       col("__rank").as("__ra"), col("__b").as("__ba"))
     val r = ranked.select(col("id").as("__idb"), col("__sh").as("__sb"),
@@ -543,13 +560,13 @@ object Dedup {
       // pinned: referenced three times (token stream + both verification
       // sides) — unpinned, the corpus would be re-scanned and re-shingled
       // per reference
-      .localCheckpoint(true)
+      .pinned
     val tokens = sets.select(col("id"), explode(col("sh")).as("tok"))
     // global document frequency per token — the ordering key. Pinned:
     // referenced by the doc-array rebuild AND the bijection certificate
     // below — unpinned, the token explode + count shuffle would run twice
     val freq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
+      .pinned
     // rebuild each doc's token list SORTED rarest-first ((df, tok) struct
     // sort — total order), then keep the prefix. sort_array on the
     // per-doc array is per-row work, no window, no global sort.
@@ -582,7 +599,7 @@ object Dedup {
       .filter(size(col("ids")) > 1)
       // pinned: the in-place and hot-bucket branches both read it —
       // unpinned, the whole count→rebuild→prefix chain runs twice
-      .localCheckpoint(true)
+      .pinned
     val inPlace = buckets.filter(size(col("ids")) <= cap)
       .select(explode(graft.functions.ArrayExprs.pair_combos(col("ids"))).as("p"))
       .select(col("p.x.id").as("ia"), col("p.x.sz").as("sa"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.plans.Pins.PinSyntax
 
 /** Distributed graph analytics over edge DataFrames. Companion to the
   * connected-components operators in `Dedup.scala` (duplicateClusters /
@@ -79,7 +80,7 @@ object Graph {
         .groupBy(col("dst"))
         .agg(expr(s"${base}L + (85 * sum(c)) DIV 100").as("pr"))
         .select(col("dst").as("id"), col("pr"))
-        .localCheckpoint(true)
+        .pinned
     }
     dir.unpersist(false) // ranks is checkpoint-materialized; pin no longer needed
     ranks
@@ -163,7 +164,7 @@ object Graph {
       .repartition(col("src"))
       .distinct())
     var dist = seeds.select(col("id")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint(true)
+      .withColumn("hops", lit(0)).pinned
     var frontier = dist
     // two-level settled window for the UNDIRECTED anti join: a neighbor
     // of a level-(h-1) vertex has distance in {h-2, h-1, h} (an edge
@@ -190,7 +191,7 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
-        .localCheckpoint(true)
+        .pinned
       // dist stays a lazy union of checkpointed levels — every member is
       // already pinned, so re-checkpointing the union would only copy it
       dist = dist.unionByName(next)
@@ -229,13 +230,13 @@ object Graph {
                  col("src").as("dst"), col("w"))))
       .repartition(col("src"))) // one-time: each round's relax join reuses it
     var dist = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).pinned
     for (_ <- 1 to rounds) {
       val relax = dist.join(dir, dist("id") === dir("src"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relax)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .pinned
     }
     dir.unpersist(false)
     dist
@@ -340,7 +341,7 @@ object Graph {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .distinct())
-    var nodes = dir.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var nodes = dir.select(col("src").as("id")).distinct().pinned
     var nNodes = nodes.count()
     var rounds = 0
     var stable = false
@@ -355,7 +356,7 @@ object Graph {
         .groupBy("src").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k)
         .select(col("src").as("id"))
-        .localCheckpoint(true)
+        .pinned
       val n = next.count()
       // node sets only shrink, so count equality IS set equality — and a
       // round that drops no node drops no edge either: the fixpoint

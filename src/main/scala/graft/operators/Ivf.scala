@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
+import graft.plans.Pins.PinSyntax
 
 /** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
   * quantizer partitions the corpus into cells; a query scans only its
@@ -91,7 +92,7 @@ object Ivf {
     val vecs = (if (modulus > 1L)
                   all.filter(pmod(xxhash64(col("__id")), lit(modulus)) === 0)
                 else all)
-      .localCheckpoint(true)
+      .pinned
     require(!vecs.isEmpty,
       s"fitCentroids: training sample is empty (modulus=$modulus from " +
         s"row estimate $estRows) — the input's size statistics are " +
@@ -118,7 +119,7 @@ object Ivf {
         .select(col("cell"), array(Seq.tabulate(dim)(i =>
           col(s"__s$i") / col("__n")): _*).as("centroid"))
     }
-    (centroids.localCheckpoint(true),
+    (centroids.pinned,
       if (modulus == 1L) Some(vecs) else None)
   }
 

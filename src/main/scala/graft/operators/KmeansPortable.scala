@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.Pins.PinSyntax
 
 /** PORTABLE deterministic k-means — the oracled twin of the engine-native
   * k-means cells path ([[Ivf.fitCentroids]] / x09's SemDeDup clustering),
@@ -122,7 +123,7 @@ object KmeansPortable {
     // rounds must fail instantly with IllegalArgumentException, not
     // after materializing the corpus (or as limit()'s AnalysisException)
     require(k > 0 && rounds >= 0, s"fit: k=$k rounds=$rounds")
-    val q = quantize(corpus, idCol, vecCol).localCheckpoint(true)
+    val q = quantize(corpus, idCol, vecCol).pinned
     fitQ(q, k, rounds, seedRows(q, k))
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
+import graft.plans.Pins.PinSyntax
 
 /** Product quantization (PQ) approximate nearest neighbor — the
   * memory-compression scale path beside hyperplane LSH (no training,
@@ -71,7 +72,7 @@ object Pq {
     var books = subvectors(corpus, idCol, vecCol, m, dsub)
       .join(seedIds, col("__id") === col("__sid"))
       .select(col("sub"), col("code"), col("subvec").as("centroid"))
-      .localCheckpoint(true)
+      .pinned
     val allSubs = subvectors(corpus, idCol, vecCol, m, dsub)
     for (_ <- 1 to iters) {
       // one Lloyd round for every (sub, code) cell at once; empty cells
@@ -86,7 +87,7 @@ object Pq {
       books = books.join(means, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
           coalesce(col("newc"), col("centroid")).as("centroid"))
-        .localCheckpoint(true)
+        .pinned
     }
     books
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import KmeansPortable.{l2, topKByDist}
+import graft.plans.Pins.PinSyntax
 
 /** PORTABLE deterministic product quantization — the oracled twins of the
   * compression ANN family ([[Pq.pqKnn]] / x04 and [[Pq.ivfAdcKnn]] / x05,
@@ -95,7 +96,7 @@ object PqPortable {
         col("__q"))
       .select(col("__id"), col("sub"),
         slice(col("__q"), col("sub") * dsub + 1, lit(dsub)).as("__sv"))
-      .localCheckpoint(true)
+      .pinned
     for (_ <- 1 to rounds) {
       // one map-side-combinable agg for every (sub, code) cell at once;
       // assignment against literal books — no join, no second exchange
@@ -131,7 +132,7 @@ object PqPortable {
     require(topK > 0 && m > 0 && codes > 0 && rounds >= 0,
       s"pqSearch: topK=$topK m=$m codes=$codes rounds=$rounds")
     val q = KmeansPortable.quantize(corpus, idCol, vecCol)
-      .localCheckpoint(true)
+      .pinned
     val books = fitBooksQ(q, m, codes, rounds,
       KmeansPortable.seedRows(q, codes))
     val dsub = books.head.head.length
@@ -167,7 +168,7 @@ object PqPortable {
       s"ivfAdcSearch: topK=$topK coarseRounds=$coarseRounds m=$m " +
         s"codes=$codes pqRounds=$pqRounds")
     val q = KmeansPortable.quantize(corpus, idCol, vecCol)
-      .localCheckpoint(true)
+      .pinned
     val seeds = KmeansPortable.seedRows(q, math.max(kCells, codes))
     val cents = KmeansPortable.fitQ(q, kCells, coarseRounds, seeds)
     val books = fitBooksQ(q, m, codes, pqRounds, seeds)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
+import graft.plans.Pins.PinSyntax
 
 /** Document-corpus analysis operators (quality scoring, language id,
   * fingerprinting, token statistics) — per-row column expressions, so they
@@ -337,11 +338,11 @@ object TextAnalysis {
     // <= buckets-row / 1-row broadcasts — nothing touches the driver.
     val docBucket = grams.groupBy(col(idCol), col("__t"), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(true)
+      .pinned
     val bucketCounts = docBucket.groupBy("__b").agg(
       sum("__cnt").as("__cr"),
       sum(when(col("__t"), col("__cnt")).otherwise(lit(0L))).as("__ct"))
-      .localCheckpoint(true)
+      .pinned
     val totals = bucketCounts.agg(
       coalesce(sum("__cr"), lit(0L)).as("__rt"),
       coalesce(sum("__ct"), lit(0L)).as("__tt"))
@@ -439,7 +440,7 @@ object TextAnalysis {
       .select(explode(TextFns.words(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__freq"))
       .select(col("__w"), col("__freq"), toksOf(col("__w")).as("__toks"))
-      .localCheckpoint(true)
+      .pinned
     val (_, merges) = (1 to rounds).foldLeft((s0, Seq.empty[DataFrame])) {
       case ((state, acc), r) =>
         val best = state
@@ -453,7 +454,7 @@ object TextAnalysis {
           .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
           .agg(sum("__freq").as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .localCheckpoint(true)
+          .pinned
         val next = state.crossJoin(broadcast(best))
           .select(col("__w"), col("__freq"),
             filter(transform(sequence(lit(1), size(col("__toks"))), i =>
@@ -468,7 +469,7 @@ object TextAnalysis {
                 lit(null).cast("string"))
               .otherwise(element_at(col("__toks"), i))),
               t => t.isNotNull).as("__toks"))
-          .localCheckpoint(true)
+          .pinned
         (next, acc :+ best.select(lit(r).as("merge_rank"),
           col("a").as("lhs"), col("b").as("rhs"),
           col("cnt").cast("long").as("pair_count")))
@@ -604,7 +605,7 @@ object TextAnalysis {
       }).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val n2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-      .localCheckpoint(true)
+      .pinned
     val m1 = n2.groupBy("w1").agg(sum("n2").as("c1"))
     val m2 = n2.groupBy("w2").agg(sum("n2").as("c2"))
     val t = n2.agg(sum("n2").as("t"))

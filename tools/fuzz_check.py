@@ -1028,6 +1028,127 @@ class Gen:
                 f" GROUP BY {gk}{having}"
                 f" ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT 500")
 
+    def q_window_corr(self):
+        """Window functions INSIDE correlated scalar subqueries (round-18
+        verdict task 6): the decorrelation path that has to hoist a Window
+        operator out of the subquery — never reached by q_corr_agg (plain
+        aggregates) or q_window (top-level windows). Determinism: rank()
+        aggregated by MAX/MIN is tie-invariant; running sums are ordered
+        by the inner table's verified-unique pk before being re-aggregated,
+        so every scalar result is a pure function of the correlated set."""
+        r = self.r
+        f, d, fc, dc = self.pick([e for e in EDGES
+                                  if self.pk[e[0]] == PK[e[0]]])
+        outer, inner, oc, ic = ((d, f, dc, fc) if r.random() < 0.6
+                                else (f, d, fc, dc))
+        sel_cols = list(SCHEMA[outer])[:3]
+        sel = [f"t0.{c} AS c{i}" for i, c in enumerate(sel_cols)]
+        ipk = ", ".join(f"s1.{c} NULLS FIRST" for c in self.pk[inner])
+        for i in range(r.randrange(1, 3)):
+            c, k = self.pick([(c, k) for c, k in SCHEMA[inner].items()
+                              if k in ("int", "money")])
+            e = cents(f"s1.{c}") if k == "money" else f"s1.{c}"
+            ipred = (f" AND {self.pred(inner, 's1')}"
+                     if r.random() < 0.5 else "")
+            kind = r.randrange(3)
+            if kind == 0:
+                wf = (f"{self.pick(['rank()', 'dense_rank()'])} OVER "
+                      f"(ORDER BY {e} NULLS FIRST)")
+                outer_agg = self.pick(["MAX", "MIN"])
+            elif kind == 1:
+                wf = (f"CAST(SUM({e}) OVER (ORDER BY {ipk} "
+                      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                      "AS BIGINT)")
+                outer_agg = self.pick(["MAX", "MIN", "COUNT"])
+            else:
+                wf = f"row_number() OVER (ORDER BY {ipk})"
+                outer_agg = self.pick(["MAX", "COUNT"])
+            sub = (f"(SELECT {outer_agg}(w) FROM "
+                   f"(SELECT {wf} AS w FROM {inner} s1 "
+                   f"WHERE s1.{ic} = t0.{oc}{ipred}))")
+            sel.append(f"{sub} AS cw{i}")
+        where = f" WHERE {self.pred(outer, 't0')}" if r.random() < 0.7 else ""
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(sel)))
+        return (f"SELECT {', '.join(sel)} FROM {outer} t0{where}"
+                f" ORDER BY {order} LIMIT 500")
+
+    def q_fullouter_coalesce(self):
+        """FULL OUTER join on aggregated sides with COALESCE'd keys
+        feeding a SECOND aggregation (round-18 verdict task 6): the
+        null-extended key rows from both sides must flow through
+        COALESCE into the regroup — patrols outer-join null generation x
+        grouping x COUNT(col)-vs-COUNT(*) at once. Sides are filtered
+        DIFFERENTLY so each produces unmatched keys."""
+        r = self.r
+        f, d, fc, dc = self.pick(EDGES)
+        ca, ka = self.pick([(c, k) for c, k in SCHEMA[f].items()
+                            if k in ("int", "money")])
+        cb, kb = self.pick([(c, k) for c, k in SCHEMA[d].items()
+                            if k in ("int", "money")])
+        ea = cents(f"x.{ca}") if ka == "money" else f"x.{ca}"
+        eb = cents(f"y.{cb}") if kb == "money" else f"y.{cb}"
+        pa = f" WHERE {self.pred(f, 'x')}" if r.random() < 0.8 else ""
+        pb = f" WHERE {self.pred(d, 'y')}" if r.random() < 0.8 else ""
+        agg2 = self.pick(["SUM", "MIN", "MAX"])
+        mod = r.randrange(2, 9)
+        regroup = self.pick([f"COALESCE(a.k, b.k)",
+                             f"COALESCE(a.k, b.k) % {mod}"])
+        return (f"WITH a AS (SELECT x.{fc} AS k, "
+                f"CAST(SUM({ea}) AS BIGINT) AS v FROM {f} x{pa} "
+                f"GROUP BY x.{fc}), "
+                f"b AS (SELECT y.{dc} AS k, "
+                f"CAST({agg2}({eb}) AS BIGINT) AS w FROM {d} y{pb} "
+                f"GROUP BY y.{dc}) "
+                f"SELECT {regroup} AS c0, "
+                "CAST(SUM(COALESCE(a.v, 0) + COALESCE(b.w, 0)) AS BIGINT)"
+                " AS c1, COUNT(a.k) AS c2, COUNT(b.k) AS c3, COUNT(*) AS c4"
+                " FROM a FULL JOIN b ON a.k = b.k"
+                f" GROUP BY 1 ORDER BY 1 NULLS FIRST LIMIT 500")
+
+    def q_minmax_by(self):
+        """min_by/max_by under expression keys WITH deliberate ties and
+        NULL keys (round-18 verdict task 6). Ties are nondeterministic in
+        BOTH engines (measured: the same query picks different winners),
+        so the tied variant keeps the VALUE a pure function of the key's
+        tie class — any winner yields the same value, making the result
+        deterministic while still exercising tie handling and the
+        NULL-key-row skip. The unique variant orders by a strictly
+        monotone function of a verified-unique pk, pinning the actual
+        row pairing."""
+        r = self.r
+        t = self.pick([t for t in SCHEMA
+                       if self.pk[t] == PK[t] and len(PK[t]) == 1])
+        gk = f"t0.{self.pick(GROUPCOLS[t])}"
+        nums = [(c, k) for c, k in SCHEMA[t].items()
+                if k in ("int", "money")]
+        sel = [f"{gk} AS c0"]
+        for i in range(r.randrange(2, 4)):
+            fn = self.pick(["min_by", "max_by"])
+            if r.random() < 0.6:
+                # tied keys (mod-m classes), tie-invariant value f(key)
+                c, k = self.pick(nums)
+                e = cents(f"t0.{c}") if k == "money" else f"t0.{c}"
+                m = r.randrange(2, 12)
+                key = f"COALESCE({e}, 0) % {m}"
+                if r.random() < 0.4:  # NULL keys: both engines skip them
+                    kn = r.randrange(2, 5)
+                    key = (f"CASE WHEN COALESCE({e}, 0) % {kn} = 0 "
+                           f"THEN NULL ELSE COALESCE({e}, 0) % {m} END")
+                val = f"({key}) * {r.randrange(2, 9)} + {r.randrange(0, 7)}"
+                sel.append(f"{fn}({val}, {key}) AS c{i + 1}")
+            else:
+                # unique key from the pk -> the paired value is pinned
+                pkc = PK[t][0]
+                key = (f"CAST(t0.{pkc} AS BIGINT) * {r.randrange(2, 7)}"
+                       f" + {r.randrange(0, 5)}")
+                c, k = self.pick(nums)
+                val = cents(f"t0.{c}") if k == "money" else f"t0.{c}"
+                sel.append(f"{fn}({val}, {key}) AS c{i + 1}")
+        where = f" WHERE {self.pred(t, 't0')}" if r.random() < 0.7 else ""
+        order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(sel)))
+        return (f"SELECT {', '.join(sel)} FROM {t} t0{where}"
+                f" GROUP BY 1 ORDER BY {order} LIMIT 500")
+
     def q_select(self):
         r = self.r
         tables, alias, frm = self.chain(maxlen=2)
@@ -1051,7 +1172,12 @@ class Gen:
         # NOT generated: window frames with EXCLUDE — Spark 4.1 has no
         # EXCLUDE clause in frame syntax (parse error), so the same text
         # cannot run on both engines; a dialect gap, not a coverage hole
-        # (verified round-17; see COVERAGE.md).
+        # (verified round-17; see COVERAGE.md). Same for UNION (distinct)
+        # recursion in recursive CTEs: Spark 4.1 raises
+        # UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE (verified round-19), so
+        # dedup-recursion SEMANTICS are certified through the catalog gate
+        # instead (q77: bounded UNION ALL orbit + DISTINCT vs DuckDB's
+        # native UNION recursion).
         return self.pick([self.q_agg, self.q_agg, self.q_window,
                           self.q_setop, self.q_exists, self.q_corr_agg,
                           self.q_select, self.q_setop_gs, self.q_decimal,
@@ -1059,7 +1185,9 @@ class Gen:
                           self.q_exists_or, self.q_lateral_chain,
                           self.q_setop_mixed, self.q_interval,
                           self.q_scalar_select, self.q_in_null,
-                          self.q_distinct_mix, self.q_having_sub])()
+                          self.q_distinct_mix, self.q_having_sub,
+                          self.q_window_corr, self.q_fullouter_coalesce,
+                          self.q_minmax_by])()
 
 
 def compare(exp, got):
