@@ -653,7 +653,11 @@ object Catalog {
             SELECT lang.doc_id, lang.pred_lang, tok.n_tokens
             FROM lang JOIN tok ON lang.doc_id = tok.doc_id
             WHERE tok.n_tokens >= 5
-            ORDER BY lang.doc_id"""))
+            ORDER BY lang.doc_id"""),
+    // bench-flagged since round 19: the flagship pipeline's composed plan
+    // is now stage-materialized (duplicateClusters pins its edge set —
+    // D11_AB_sf10_r19.json) and its sf0.1 wall belongs in the headline set
+    bench = true)
 
   /** Direct cross-engine certificate of the LSH BANDING stage (d03/d06's
     * candidate generator, previously certified only transitively through

@@ -1231,6 +1231,11 @@ def main():
     ap.add_argument("--workdir", default="/tmp/graft_fuzz")
     ap.add_argument("--skip-run", action="store_true",
                     help="reuse an existing FuzzRunner output dir")
+    ap.add_argument("--fams", default=None,
+                    help="comma-separated q_* family names: every draw "
+                    "uses only these (scale-targeted sweeps, e.g. the "
+                    "decimal overflow boundary at sf10 where the full "
+                    "grammar's join sorts are mis-sized)")
     ap.add_argument("--java", action="store_true",
                     help="launch FuzzRunner via direct java (no sbt lock)")
     args = ap.parse_args()
@@ -1246,12 +1251,16 @@ def main():
     outdir = os.path.join(args.workdir, "out")
     os.makedirs(sqldir, exist_ok=True)
     g = Gen(args.seed, con)
+    gen = g.query
+    if args.fams:
+        fams = [getattr(g, f.strip()) for f in args.fams.split(",")]
+        gen = lambda: g.pick(fams)()  # noqa: E731
     names = []
     for i in range(args.n):
         name = f"f{i:04d}"
         names.append(name)
         with open(os.path.join(sqldir, name + ".sql"), "w") as fh:
-            fh.write(g.query())
+            fh.write(gen())
     print(f"[fuzz] generated {args.n} queries (seed {args.seed})")
 
     if not args.skip_run:
