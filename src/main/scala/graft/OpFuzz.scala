@@ -437,6 +437,14 @@ object OpFuzz {
     * row that re-opens an already-emitted time range forms a NEW
     * session — replayed, not suppressed. Returns
     * (user, startMs, endMs, nEvents). */
+  /** Test hook: the late_data sessions oracle, exposed so the
+    * deterministic gap-boundary draw in StreamingSpec can certify its
+    * closed-boundary merge against the engine (round-19 ADVICE). */
+  private[graft] def refLateSessionsForTest(
+      evs: Seq[(Long, Long, Long)], waves: Map[Long, Int], nWaves: Int,
+      delayMs: Long, gapMs: Long): Seq[(Long, Long, Long, Long)] =
+    refLateSessions(evs, waves, nWaves, delayMs, gapMs)
+
   private def refLateSessions(evs: Seq[(Long, Long, Long)],
                               waves: Map[Long, Int], nWaves: Int,
                               delayMs: Long, gapMs: Long)
@@ -567,8 +575,9 @@ object OpFuzz {
       } yield (a, b)
     import spark.implicits._
     (1 to n).foreach { i =>
-      // round-robin, not uniform draw: every family gets >= n/12 draws
-      // (the verdict's >=20-per-family contract at n=240)
+      // round-robin, not uniform draw: every family gets >= n/20 draws
+      // across the 20-family roster (the verdict's >=20-per-family
+      // contract at n=400)
       val fam = famOnly.getOrElse((i - 1) % famNames.size)
       val sn = 2 + rnd.nextInt(3)                 // shingle n in 2..4
       val theta = 0.25 + rnd.nextInt(14) * 0.05   // 0.25..0.90

@@ -56,6 +56,12 @@ object ProbeD11Mat {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val variantNames = (if (args.length > 1) args(1)
       else "composed,pin-pairs,pin-all").split(",").toSeq
+    // fail fast BEFORE the Spark session comes up (round-19 ADVICE): a
+    // typo'd variant would otherwise surface as a bare
+    // NoSuchElementException mid-session
+    val validVariants = Set("composed", "pin-pairs", "pin-all")
+    require(variantNames.forall(validVariants.contains),
+      s"unknown variant in $variantNames; valid: ${validVariants.mkString(",")}")
     val runs = if (args.length > 2) args(2).toInt else 3
     val outJson = if (args.length > 3) Some(args(3)) else None
     val skipAgree = args.length > 4 && args(4) == "skipAgree"

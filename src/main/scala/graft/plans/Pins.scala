@@ -58,11 +58,17 @@ object Pins {
           .map(i => BigInt(i.memSize) + BigInt(i.diskSize))
           .filter(_ > 0) match {
           case Some(bytes) =>
+            // Thread the origin constraints through (round-19 ADVICE):
+            // localCheckpoint preserved the origin plan's inferred
+            // constraints (non-null etc.) on the pinned leaf, and
+            // lr.constraints exposes exactly that set — dropping it to
+            // None would cost downstream filter inference at every
+            // engine pin site.
             Bridge.ofRows(spark, LogicalRDD(lr.output, lr.rdd,
               lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
               lr.stream)(
               spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-              Some(Statistics(sizeInBytes = bytes)), None))
+              Some(Statistics(sizeInBytes = bytes)), Some(lr.constraints)))
           case None => ck
         }
       case _ => ck

@@ -345,6 +345,73 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("session_window merges INCLUSIVELY at the exact gap boundary (OpFuzz oracle pin)") {
+    // Round-19 ADVICE: OpFuzz's refLateSessions oracle merges on a CLOSED
+    // boundary (an event exactly `gap` after the previous one continues
+    // the session). Randomized ms-granularity draws land on that exact
+    // boundary ~never, so the oracle's inclusive merge was inherited from
+    // s14 rather than certified. This deterministic draw pins it against
+    // the engine, through the SAME streaming path the fuzz family runs
+    // (parquet source -> watermark -> session_window -> append sink):
+    //   user 1: two events exactly gap apart        -> MUST merge (1 session)
+    //   user 2: two events gap-1ms apart            -> merge (1 session)
+    //   user 3: two events gap+1ms apart            -> MUST NOT merge (2)
+    val base = Files.createTempDirectory("graft_sess_boundary_").toString
+    val (src, ck, sink) = (s"$base/src", s"$base/ck", s"$base/sink")
+    val gapMs = 10000L
+    val t0 = 1767225600000L // 2026-01-01T00:00:00Z
+    def ev(id: Long, u: Long, ms: Long) = (id, u, new Timestamp(ms))
+    val wave1 = Seq(ev(1, 1, t0), ev(2, 1, t0 + gapMs),
+      ev(3, 2, t0), ev(4, 2, t0 + gapMs - 1),
+      ev(5, 3, t0), ev(6, 3, t0 + gapMs + 1))
+    // sentinel waves push the watermark past every real session end so
+    // append mode emits; two rounds because the watermark computed at
+    // batch N gates the emission of batch N+1
+    val sent1 = Seq(ev(7, 99L, t0 + 3600 * 1000L))
+    val sent2 = Seq(ev(8, 99L, t0 + 7200 * 1000L))
+    val evSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(evSchema).parquet(src)
+        .withWatermark("ts", "1 seconds")
+        .groupBy(session_window(col("ts"), "10 seconds").as("sess"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sess.start").as("s_start"),
+          col("sess.end").as("s_end"), col("n"))
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Seq(wave1, sent1, sent2).foreach { rows =>
+      rows.toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce()
+    }
+    val got = spark.read.schema(org.apache.spark.sql.types.StructType
+        .fromDDL("user_id BIGINT, s_start TIMESTAMP, s_end TIMESTAMP, n BIGINT"))
+      .parquet(sink).filter(col("user_id") =!= 99L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    val expected = Set(
+      (1L, t0, t0 + 2 * gapMs, 2L),               // closed boundary: merged
+      (2L, t0, t0 + 2 * gapMs - 1, 2L),
+      (3L, t0, t0 + gapMs, 1L),                   // gap+1ms: split
+      (3L, t0 + gapMs + 1, t0 + 2 * gapMs + 1, 1L))
+    assert(got == expected, s"engine sessions $got != oracle-shaped $expected")
+    // the same draw through the fuzz oracle itself: every event in wave 0,
+    // sentinels in waves 1-2, so the oracle must produce the identical set
+    val oracleEvs = (wave1.map(e => (e._1, e._2, e._3.getTime, 0)) ++
+      sent1.map(e => (e._1, e._2, e._3.getTime, 1)) ++
+      sent2.map(e => (e._1, e._2, e._3.getTime, 2)))
+    val want = graft.OpFuzz.refLateSessionsForTest(
+      oracleEvs.map(e => (e._1, e._2, e._3)),
+      oracleEvs.map(e => e._1 -> e._4).toMap, 3, 1000L, gapMs)
+      .filter(_._1 != 99L).toSet
+    assert(want == expected, s"oracle $want != $expected")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("streaming INS equals the batch INS (diffed vis stream)") {
     val tmp = tmpDir("graft_vis_stream")
     val cfg = GraftConfig(removeFlaggedAnts = false)
