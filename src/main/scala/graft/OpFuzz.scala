@@ -533,7 +533,8 @@ object OpFuzz {
     val famNames = Seq("prefix_exact", "prefix_hotcap", "lsh_sound",
       "sorted_window", "simhash", "kcore", "hops", "paths", "resample",
       "span_dedup", "pack", "ohlc", "restart_bus", "restart_mf",
-      "cc", "triangles", "cdc", "intervals", "bloom", "late_data")
+      "cc", "triangles", "cdc", "intervals", "bloom", "late_data",
+      "media")
     // optional single-family focus (calibration/debug): every draw runs
     // this family instead of cycling; per-draw randomness still advances
     val famOnly: Option[Int] = if (args.length > 4) {
@@ -1184,6 +1185,131 @@ object OpFuzz {
             }
           } finally
             org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        case 20 =>
+          // media family (round-19 verdict task 6): randomized payload
+          // sizes (incl. 0/1/63/64/65-byte codec edges), frame counts and
+          // strides, and perceptual near-dup pairs PLANTED exactly at the
+          // pigeonhole boundary (hamming == maxHamming must be found,
+          // maxHamming+1 must not), all vs driver-side replays — the
+          // dup-pair replay is brute-force all-pairs, so it adjudicates
+          // the chunked equi-join's completeness claim, not just the
+          // planted rows.
+          import graft.multimodal.Multimodal
+          import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+          val nm = 40 + rnd.nextInt(60)
+          val maxHam = 1 + rnd.nextInt(9)        // 1..9 -> 2..10 chunks
+          val stride = 1 + rnd.nextInt(3)
+          val dim = Seq(4, 8, 16)(rnd.nextInt(3))
+          val mods = Seq("image", "audio", "video")
+          def meta(m: String, frames: Int) = MediaMeta(
+            if (m == "image") "png" else "raw", 8 + rnd.nextInt(56), 8,
+            if (m == "audio") 16000 else 0, frames)
+          // random rows: lengths hit every codec edge the kernels branch
+          // on (empty payload, single byte, one-below/at/above the 64-byte
+          // aHash tile, and long tails)
+          val lens = Seq(0, 1, 5, 63, 64, 65)
+          val randomRows = (0 until nm).map { id =>
+            val len = if (rnd.nextDouble() < 0.4) lens(rnd.nextInt(lens.size))
+                      else 64 + rnd.nextInt(192)
+            val bytes = Array.fill(len)((rnd.nextInt(256) - 128).toByte)
+            val m = mods(rnd.nextInt(3))
+            MediaRow(id.toLong, m, bytes,
+              meta(m, if (m == "video") rnd.nextInt(9) else 1))
+          }
+          // planted triple: 0/255 payloads keep the aHash bit-controlled
+          // (bit j set iff byte j is 255, valid while 1 <= #high <= 63),
+          // so flipping exactly d byte positions moves the hash exactly d
+          // bits. base->dupA at maxHam (boundary hit), base->dupB at
+          // maxHam+1 (boundary miss).
+          val highPos = rnd.shuffle((0 until 64).toList).take(32).toSet
+          def bytesOf(high: Set[Int]): Array[Byte] =
+            Array.tabulate(64)(j => if (high(j)) 255.toByte else 0.toByte)
+          def flip(high: Set[Int], k: Int): Set[Int] = {
+            val order = rnd.shuffle((0 until 64).toList).take(k)
+            order.foldLeft(high)((h, p) => if (h(p)) h - p else h + p)
+          }
+          val dupAHigh = flip(highPos, maxHam)
+          val dupBHigh = flip(highPos, maxHam + 1)
+          val baseId = nm.toLong
+          val planted = Seq(
+            MediaRow(baseId, "image", bytesOf(highPos), meta("image", 1)),
+            MediaRow(baseId + 1, "image", bytesOf(dupAHigh), meta("image", 1)),
+            MediaRow(baseId + 2, "image", bytesOf(dupBHigh), meta("image", 1)))
+          val rows = randomRows ++ planted
+          val media = spark.createDataset(rows)
+          val params = s"n=${rows.size} maxHam=$maxHam stride=$stride dim=$dim"
+
+          // replay 1: brute-force all-pairs perceptual dups (independent
+          // loop; 64*px(j) > sum is the spec's strict-mean bit rule)
+          def ahashLocal(bytes: Array[Byte]): Long = {
+            val px = bytes.take(64).map(_ & 0xFF)
+            val s = px.sum
+            px.indices.foldLeft(0L)((h, j) =>
+              if (64L * px(j) > s) h | (1L << j) else h)
+          }
+          val localHash = rows.map(r => r.media_id -> ahashLocal(r.bytes))
+          val wantPairs = (for {
+            i <- localHash.indices; j <- (i + 1) until localHash.size
+            (ia, ha) = localHash(i); (ib, hb) = localHash(j)
+            hd = java.lang.Long.bitCount(ha ^ hb)
+            if hd <= maxHam
+          } yield (math.min(ia, ib), math.max(ia, ib), hd.toLong)).toSeq
+          val gotPairs = Multimodal.perceptualDupPairs(media, maxHam)
+            .selectExpr("id_a", "id_b", "CAST(hamming AS BIGINT) AS hamming")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSeq
+          val vDup = diffRows("media_dups", gotPairs, wantPairs)
+          // the boundary plants, asserted explicitly so a failure names
+          // the pigeonhole edge rather than a generic multiset diff
+          val vPlant =
+            if (!gotPairs.contains((baseId, baseId + 1, maxHam.toLong)))
+              Some(s"planted pair at hamming=$maxHam MISSING")
+            else if (gotPairs.exists(p =>
+                p._1 == baseId && p._2 == baseId + 2))
+              Some(s"planted pair at hamming=${maxHam + 1} PRESENT")
+            else None
+
+          // replay 2: feature extraction (inline re-derivation of the
+          // portable stub formula)
+          val wantFeat = rows.map { r =>
+            val s = r.bytes.foldLeft(0L)((a, b) => a + (b & 0xFF))
+            val k = s + r.media_id * 997L
+            val f = (0 until dim).map(i =>
+              (((k * (2 * i + 3) + (k / 1000L) * (7 * i + 1)) % 1000L)
+                .toDouble / 1000.0).toFloat)
+            (r.media_id, r.modality, f.mkString(","))
+          }
+          val gotFeat = Multimodal.extractFeatures(media, dim).collect()
+            .map(f => (f.media_id, f.modality, f.feature.mkString(",")))
+            .toSeq
+          val vFeat = diffRows("media_features", gotFeat, wantFeat)
+
+          // replay 3: frame sampling (stride + modulo slice edges, incl.
+          // empty payloads and n_frames=0)
+          val wantFrames = rows.filter(_.modality == "video").flatMap { r =>
+            (0 until r.meta.n_frames by stride).map { i =>
+              val st = (i * 16) % math.max(r.bytes.length, 1)
+              val sl = r.bytes.slice(st, math.min(st + 16, r.bytes.length))
+              (r.media_id, i, sl.map("%02x".format(_)).mkString)
+            }
+          }
+          val gotFrames = Multimodal.sampleFrames(media, stride).collect()
+            .map(f => (f.media_id, f.frame_idx,
+              f.frame_bytes.map("%02x".format(_)).mkString)).toSeq
+          val vFrames = diffRows("media_frames", gotFrames, wantFrames)
+
+          // replay 4: metadata-only stats
+          val wantStats = rows.groupBy(_.modality).map { case (m, rs) =>
+            (m, rs.size.toLong, rs.map(_.bytes.length.toLong).sum,
+              rs.map(_.meta.width).max, rs.map(_.meta.n_frames.toLong).sum)
+          }.toSeq
+          val gotStats = Multimodal.modalityStats(media).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getInt(3), r.getLong(4))).toSeq
+          val vStats = diffRows("media_stats", gotStats, wantStats)
+
+          ("media", params,
+            vDup.orElse(vPlant).orElse(vFeat).orElse(vFrames).orElse(vStats))
         // explicit indices, no catch-all (round-17 ADVICE): a family
         // appended to famNames without a matching case must FAIL FAST as
         // a recorded violation (the per-draw handler below), never

@@ -1275,12 +1275,18 @@ def main():
                       "sun.nio.ch sun.nio.cs sun.security.action "
                       "sun.util.calendar").split():
                 add_opens += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
+            # GRAFT_CLASSES: point at a SNAPSHOT copy of the compiled
+            # classes so a long sweep can run beside sbt recompiles
+            # (Scala lambdas classload lazily; swapping class files under
+            # a live JVM is not safe)
+            classes = os.environ.get(
+                "GRAFT_CLASSES", f"{REPO}/target/scala-2.13/classes")
             cmd = (["java"] + add_opens +
                    ["-Dspark.ui.enabled=false",
                     "-Dspark.sql.session.timeZone=UTC",
                     "-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "8g"),
                     "-cp",
-                    f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+                    f"{classes}:/opt/spark/jars/*",
                     "graft.FuzzRunner", args.sf, sqldir, outdir])
         else:
             cmd = ["sbt", "--batch",
@@ -1292,6 +1298,24 @@ def main():
 
     ok, mismatch, spark_err, duck_err, both_err = [], [], [], [], []
     details = {}
+    # draws whose oracle output contains a value past the OLD
+    # DECIMAL(20,4) integral ceiling (1e16): the round-18 widening to
+    # (24,4) exists exactly for these — a scale-targeted sweep must
+    # show it exercised the boundary (round-19 verdict task 1)
+    past_old_boundary = []
+    OLD_CEIL = 1e16
+
+    def _max_abs(df):
+        import decimal as _dec
+        mx = 0.0
+        for c in df.columns:
+            for v in df[c].dropna():
+                if isinstance(v, (int, float, _dec.Decimal)):
+                    try:
+                        mx = max(mx, abs(float(v)))
+                    except (OverflowError, ValueError):
+                        return float("inf")
+        return mx
     for name in names:
         sql = open(os.path.join(sqldir, name + ".sql")).read()
         errf = os.path.join(outdir, name + ".err")
@@ -1326,10 +1350,15 @@ def main():
                 print(f"MISMATCH {name}: {m}\n  {sql[:300]}")
             else:
                 ok.append(name)
+                if exp is not None and _max_abs(exp) > OLD_CEIL:
+                    past_old_boundary.append(name)
     art = {"seed": args.seed, "n": args.n, "sf": args.sf,
+           "fams": args.fams,
            "ok": len(ok), "mismatch": mismatch,
            "spark_only_error": spark_err, "duckdb_only_error": duck_err,
            "both_error": both_err,
+           "past_old_decimal_boundary_count": len(past_old_boundary),
+           "past_old_decimal_boundary": past_old_boundary[:50],
            "details": {k: v for k, v in details.items()}}
     json.dump(art, open(args.out, "w"), indent=1)
     print(f"[fuzz] {len(ok)} ok, {len(mismatch)} MISMATCH, "
