@@ -28,6 +28,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", parts)
     initParts.foreach(n => builder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    // SPARK_GRAFT_SQL_CONFS: semicolon-separated key=value runtime SQL
+    // confs for A/B arms (e.g. spark.graft.sizing.enabled=false);
+    // stamped into the artifact whenever present so an off-protocol arm
+    // can never masquerade as a protocol session
+    val extraConfs: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_SQL_CONFS").map(_.split(";").toSeq.map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }).getOrElse(Nil)
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
@@ -40,6 +48,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     // dev iteration: SPARK_GRAFT_BENCH_ONLY=q01_count,d24_reachability
     // restricts the run; the artifact then carries "filtered":true so a
     // partial run can never masquerade as the full protocol (round-8
@@ -297,7 +306,11 @@ object Bench {
     val partsField = (if (parts != cpus) s""","shuffle_partitions":$parts""" else "") +
       initParts.map(n => s""","aqe_initial_partitions":$n""").getOrElse("") +
       (if (timedRuns != 5) s""","timed_runs":$timedRuns""" else "") +
-      orderSeed.map(s => s""","query_order_seed":$s""").getOrElse("")
+      orderSeed.map(s => s""","query_order_seed":$s""").getOrElse("") +
+      (if (extraConfs.nonEmpty)
+        extraConfs.map { case (k, v) => s""""$k":"$v"""" }
+          .mkString(""","sql_confs":{""", ",", "}")
+      else "")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"medians":$meds,"maxs":$maxs,"median_total":$medTotal%.3f,"probe_start_sec":$probeStart%.3f,"probe_end_sec":$probeEnd%.3f,"probe_points":$probePts%s,"env_segments":$envSegs%s,"sf":"$sfDir"$filtered%s$aux%s$mem%s$partsField%s}""")
     spark.stop()
   }

