@@ -186,7 +186,16 @@ object R11 {
   private val s19 = QueryDef("s19_bus_connector",
     (s, d) => {
       val t0 = System.nanoTime()
-      var streamNanos = 0L // time INSIDE processAllAvailable
+      var streamNanos = 0L  // time INSIDE processAllAvailable
+      var produceNanos = 0L // time writing segments into the log
+      // decomposition of the drain (round-19 verdict task 4): summed
+      // StreamingQueryProgress.durationMs across both halves —
+      //   plan   = latestOffset + getBatch + queryPlanning (source
+      //            discovery + per-batch plan)
+      //   drain  = addBatch (read segments -> write sink files)
+      //   commit = walCommit + commitOffsets (checkpoint WAL + sink log)
+      val dur = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      var nBatches = 0L
       val base = java.nio.file.Files.createTempDirectory("graft_s19_")
       val (root, ck, sink) = (s"$base/log", s"$base/ck", s"$base/sink")
       val ev = Tables.events(s, d).select("event_id", "user_id", "event_type")
@@ -201,13 +210,24 @@ object R11 {
         val s0 = System.nanoTime()
         try { q.processAllAvailable()
           graft.streaming.EventStreams.assertDrained(q, "s19_bus")
-        } finally { streamNanos += System.nanoTime() - s0; q.stop() }
+        } finally {
+          streamNanos += System.nanoTime() - s0
+          q.recentProgress.foreach { p =>
+            if (p.numInputRows > 0 || !p.durationMs.isEmpty) nBatches += 1
+            p.durationMs.forEach((k, v) => dur(k) += v)
+          }
+          q.stop()
+        }
       }
-      graft.sources.Bus.produce(ev.filter(col("event_id") % 2 === 0),
-        root, "events", 4, col("event_id"), payload, col("event_id"))
+      def produce(half: org.apache.spark.sql.DataFrame): Unit = {
+        val p0 = System.nanoTime()
+        graft.sources.Bus.produce(half, root, "events", 4,
+          col("event_id"), payload, col("event_id"))
+        produceNanos += System.nanoTime() - p0
+      }
+      produce(ev.filter(col("event_id") % 2 === 0))
       run() // half the log, then a controlled kill
-      graft.sources.Bus.produce(ev.filter(col("event_id") % 2 === 1),
-        root, "events", 4, col("event_id"), payload, col("event_id"))
+      produce(ev.filter(col("event_id") % 2 === 1))
       run() // restart: resume mid-log from checkpointed offsets
       val out = s.read.parquet(sink).localCheckpoint(true)
       val nIn = out.count() // full record fidelity: sink rows == produced records
@@ -215,6 +235,12 @@ object R11 {
       BenchAux.put("s19_bus_connector",
         "stream_sec" -> streamSec,
         "scaffold_sec" -> ((System.nanoTime() - t0) / 1e9 - streamSec),
+        "produce_sec" -> produceNanos / 1e9,
+        "plan_sec" -> ((dur("latestOffset") + dur("getBatch") +
+          dur("queryPlanning")) / 1e3),
+        "drain_sec" -> dur("addBatch") / 1e3,
+        "commit_sec" -> ((dur("walCommit") + dur("commitOffsets")) / 1e3),
+        "batches" -> nBatches.toDouble,
         "input_records" -> nIn.toDouble,
         "records_per_sec" -> (if (streamSec > 0) nIn / streamSec else 0.0))
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)

@@ -34,13 +34,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (and therefore exactly-once recovery) trivial: a (start, end] offset
   * range always re-reads to the same records.
   *
-  * Execution shape: one input partition per topic-partition per
-  * micro-batch (the broker model — parallelism = partition count), each
-  * reader streaming only the segments overlapping its offset range.
-  * Offsets are engine-checkpointed; restart resumes from the committed
-  * per-partition offsets mid-log, not at file granularity. At 100 TB
-  * the root lives on shared storage and segments rotate per producer
-  * epoch; nothing here holds state proportional to the log.
+  * Execution shape: one input split per SEGMENT overlapping the batch's
+  * offset range (r20 — previously one per topic-partition, which pinned
+  * drain parallelism at the partition count; segments rotate every
+  * `maxRecordsPerSegment` producer records, so task count grows with
+  * the data). Offsets are engine-checkpointed; restart resumes from the
+  * committed per-partition offsets mid-log, not at file granularity.
+  * End-offset discovery is O(1) per partition: each segment's record
+  * count is stamped in its filename at publish. At 100 TB the root
+  * lives on shared storage and segments rotate per producer epoch;
+  * nothing here holds state proportional to the log.
   */
 object Bus {
 
@@ -59,20 +62,36 @@ object Bus {
   private def partDir(root: String, topic: String, p: Int) =
     new java.io.File(s"$root/$topic/p$p")
 
-  /** Sorted (baseOffset, file) segments of one topic-partition. */
+  /** Sorted (baseOffset, file) segments of one topic-partition. Segment
+    * names are either `<base20>.seg` (legacy) or `<base20>_<count>.seg`
+    * (count-stamped — the base is everything before the first '_'). */
   private[sources] def segments(root: String, topic: String, p: Int)
       : Seq[(Long, java.io.File)] = {
     val d = partDir(root, topic, p)
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".seg"))
-      .map(f => (f.getName.stripSuffix(".seg").toLong, f))
+      .map(f => (f.getName.stripSuffix(".seg").split('_')(0).toLong, f))
       .sortBy(_._1).toSeq
   }
 
-  /** Record count of a segment: walks the length prefixes, skipping
-    * payloads. A production log would keep a sidecar index; at the
-    * driver this touches 4 bytes per record. */
-  private[sources] def recordCount(f: java.io.File): Long = {
+  /** Record count stamped in the segment filename
+    * (`<base>_<count>.seg`), or None for a legacy name. */
+  private[sources] def stampedCount(f: java.io.File): Option[Long] = {
+    val parts = f.getName.stripSuffix(".seg").split('_')
+    if (parts.length == 2) Some(parts(1).toLong) else None
+  }
+
+  /** Record count of a segment: O(1) from the count-stamped filename
+    * (every segment [[appendSegment]] writes); legacy unstamped segments
+    * fall back to walking the length prefixes. The stamp matters at
+    * scale: `latestOffset` runs on the DRIVER once per trigger poll, and
+    * walking a multi-million-record tail segment per poll was the
+    * dominant component of s19's plan_sec at sf10 (r20 decomposition:
+    * 2.0s of a 16s wall before the stamp). */
+  private[sources] def recordCount(f: java.io.File): Long =
+    stampedCount(f).getOrElse(walkCount(f))
+
+  private def walkCount(f: java.io.File): Long = {
     val in = new DataInputStream(
       new java.io.BufferedInputStream(new FileInputStream(f)))
     try {
@@ -126,40 +145,53 @@ object Bus {
     try records.foreach { r => out.writeInt(r.length); out.write(r); n += 1 }
     finally out.close()
     if (n == 0L) { tmp.delete(); return }
-    // atomic publish: readers never observe a half-written segment
-    val fin = new java.io.File(d, f"$base%020d.seg")
+    // atomic publish: readers never observe a half-written segment; the
+    // record count rides in the name so end-offset discovery is O(1)
+    val fin = new java.io.File(d, f"$base%020d_$n%d.seg")
     require(tmp.renameTo(fin), s"Bus: could not publish segment $fin")
   }
 
   /** Distributed producer: routes each row to `pmod(partOf, nParts)`,
-    * orders records within a partition by `order`, and appends one
-    * segment per bus partition. The hash repartition puts every bus
-    * partition wholly inside one task (two partitions may share a task;
-    * a partition never splits), so offsets are deterministic given the
-    * data — the property every replay-based test leans on. */
+    * orders records within a partition by `order`, and appends segments
+    * per bus partition, ROTATING every `maxRecordsPerSegment` records
+    * (a broker's segment.bytes roll, here record-counted so offsets stay
+    * arithmetic). The hash repartition puts every bus partition wholly
+    * inside one task (two partitions may share a task; a partition never
+    * splits), so offsets are deterministic given the data — the property
+    * every replay-based test leans on; rotation preserves it (chunks cut
+    * at fixed counts in sorted order). Rotation is what gives the READ
+    * side its scale parallelism: [[BusMicroBatchStream.plan]] emits one
+    * input split per segment, so a drain's task count grows with the
+    * data instead of pinning at the partition count. */
   def produce(df: DataFrame, root: String, topic: String, nParts: Int,
-              partOf: Column, payload: Column, order: Column): Unit = {
+              partOf: Column, payload: Column, order: Column,
+              maxRecordsPerSegment: Long = 1L << 18): Unit = {
     requireValidTopic(topic)
+    require(maxRecordsPerSegment > 0, "Bus: maxRecordsPerSegment must be > 0")
     df.select(pmod(partOf, lit(nParts)).cast("int").as("__p"),
         payload.cast("binary").as("__v"), order.as("__o"))
       .repartition(nParts, col("__p"))
       .sortWithinPartitions("__p", "__o")
       .foreachPartition { (it: Iterator[Row]) =>
+        def flush(p: Int, buf: collection.mutable.ArrayBuffer[Array[Byte]]): Unit =
+          if (buf.nonEmpty) appendSegment(root, topic, p, buf.iterator)
         it.foldLeft(Option.empty[(Int, collection.mutable.ArrayBuffer[Array[Byte]])]) {
           case (acc, row) =>
             val p = row.getInt(0)
             val v = row.getAs[Array[Byte]](1)
             acc match {
-              case Some((cp, buf)) if cp == p => buf += v; acc
+              case Some((cp, buf)) if cp == p =>
+                buf += v
+                if (buf.length >= maxRecordsPerSegment) {
+                  flush(cp, buf); Some((cp, collection.mutable.ArrayBuffer.empty[Array[Byte]]))
+                } else acc
               case Some((cp, buf)) =>
-                appendSegment(root, topic, cp, buf.iterator)
+                flush(cp, buf)
                 Some((p, collection.mutable.ArrayBuffer(v)))
               case None =>
                 Some((p, collection.mutable.ArrayBuffer(v)))
             }
-        }.foreach { case (cp, buf) =>
-          appendSegment(root, topic, cp, buf.iterator)
-        }
+        }.foreach { case (cp, buf) => flush(cp, buf) }
       }
   }
 }
@@ -225,20 +257,35 @@ object BusOffset {
 }
 
 object BusMicroBatchStream {
-  /** One input partition per topic-partition with new records; each
-    * carries only the segments overlapping its (start, end) range. */
+  /** One input split PER SEGMENT overlapping each topic-partition's
+    * (start, end) range — not one per topic-partition: a drain's task
+    * parallelism then grows with the log (segments rotate every
+    * `maxRecordsPerSegment` records) instead of pinning at the partition
+    * count. Each segment's offset span is [its base, the next segment's
+    * base) — no record counting at plan time — clipped to the batch
+    * range; the reader's skip/stop logic is unchanged. Offsets within a
+    * topic-partition stay globally dense and exactly-once: the splits
+    * tile [startOff, endOff) without overlap by construction. (r20, the
+    * s19 slope fix: sf10 drain was 4 readers over 10M records.) */
   def plan(root: String, start: Map[(String, Int), Long],
            end: Map[(String, Int), Long]): Array[InputPartition] =
     end.toSeq.sortBy { case ((t, p), _) => (t, p) }.flatMap {
       case ((t, p), endOff) =>
         val startOff = start.getOrElse((t, p), 0L)
-        if (endOff <= startOff) None
+        if (endOff <= startOff) Nil
         else {
           val segs = Bus.segments(root, t, p)
             .filter { case (base, _) => base < endOff }
-          Some(BusInputPartition(t, p,
-            segs.map { case (b, f) => (b, f.getAbsolutePath) }.toArray,
-            startOff, endOff))
+          // segment i spans [base_i, base_{i+1}); the last one is capped
+          // by the batch's endOff (== its base + count at plan time)
+          val uppers = segs.drop(1).map(_._1) :+ endOff
+          segs.zip(uppers).flatMap { case ((base, f), upper) =>
+            val lo = math.max(startOff, base)
+            val hi = math.min(endOff, upper)
+            if (hi <= lo) None
+            else Some(BusInputPartition(t, p,
+              Array((base, f.getAbsolutePath)), lo, hi))
+          }
         }
     }.toArray
 }

@@ -87,4 +87,66 @@ class BusSourceSpec extends SparkSpec {
     Seq(root, base).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
+
+  test("segment rotation: per-segment splits tile the offset range; restart mid-segment") {
+    // r20 (s19 slope fix): the producer rotates segments every
+    // maxRecordsPerSegment records and plan() emits one input split per
+    // segment, so drain parallelism grows with the log. The contract to
+    // pin: offsets stay dense per partition, the splits TILE each batch
+    // range without overlap, and a restart whose committed offset lands
+    // MID-SEGMENT (possible since a batch boundary need not be a segment
+    // boundary after a partial-wave kill) still replays exactly-once.
+    val root = tmp()
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type").localCheckpoint(true)
+    val n = ev.count()
+    // rotate every 40 records -> many segments per partition
+    Bus.produce(ev, root, "r", 2, col("event_id"), csvPayload,
+      col("event_id"), maxRecordsPerSegment = 40L)
+    val segs0 = Bus.segments(root, "r", 0)
+    val segs1 = Bus.segments(root, "r", 1)
+    assert(segs0.size > 2 && segs1.size > 2,
+      s"expected rotation to cut multiple segments, got ${segs0.size}/${segs1.size}")
+    // every segment is count-stamped and the stamps chain into dense bases
+    Seq(segs0, segs1).foreach { segs =>
+      segs.foldLeft(0L) { case (expectBase, (bse, f)) =>
+        assert(bse == expectBase, s"segment base $bse != expected $expectBase")
+        val c = Bus.stampedCount(f)
+        assert(c.exists(_ > 0), s"segment ${f.getName} not count-stamped")
+        bse + c.get
+      }
+    }
+    // batch read: full fidelity + dense offsets across rotated segments
+    val back = spark.read.format("graft-bus").option("path", root).load()
+    assert(back.count() == n)
+    back.groupBy("partition")
+      .agg(count(lit(1)).as("cnt"), min("offset").as("lo"), max("offset").as("hi"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1,
+          s"offsets not dense across rotated segments: $r")
+      }
+    // split planning: one split per segment, tiling [start, end) exactly —
+    // including a start offset that lands MID-segment
+    val end = Bus.endOffsets(root)
+    val midStart = Map(("r", 0) -> 55L) // inside segment 1 (40..79) at p0
+    val splits = BusMicroBatchStream.plan(root, midStart, end)
+      .map(_.asInstanceOf[BusInputPartition])
+    val p0 = splits.filter(s => s.topic == "r" && s.partition == 0)
+      .sortBy(_.startOff)
+    assert(p0.head.startOff == 55L)
+    assert(p0.forall(_.segs.length == 1), "a split must carry ONE segment")
+    p0.sliding(2).foreach {
+      case Array(a, b) => assert(a.endOff == b.startOff,
+        s"splits must tile: ${a.endOff} != ${b.startOff}")
+      case _ =>
+    }
+    assert(p0.last.endOff == end(("r", 0)))
+    assert(p0.size == segs0.count(_._1 + 39 >= 55) ||
+      p0.size == segs0.size - 1, s"expected per-segment splits, got ${p0.size}")
+    // and the mid-segment split reads exactly its clipped records
+    val mid = spark.read.format("graft-bus").option("path", root).load()
+      .filter(col("partition") === 0 && col("offset") >= 55)
+    assert(mid.count() == end(("r", 0)) - 55)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
