@@ -1168,6 +1168,168 @@ class Gen:
         return (f"SELECT {', '.join(sel)} FROM {frm}{where}"
                 f" ORDER BY {order} LIMIT 500")
 
+    def q_gs_window(self):
+        """Grouping sets/rollup/cube FEEDING window functions (round-19
+        verdict task 7): the grouped output — with its NULL group keys
+        and grouping_id — becomes window input, so frames and partitions
+        range over super-aggregate rows. (keys, gid) is unique by
+        grouping-set construction, so windows ordered by (c0, c1) within
+        a gid partition (or by gid within a key partition) are total and
+        deterministic. Measures stay integer (cents/counts) — a DOUBLE
+        frame-sum would be summation-order noise, not an engine finding."""
+        r = self.r
+        t = self.pick([x for x in SCHEMA if len(GROUPCOLS[x]) >= 2])
+        gks = r.sample(GROUPCOLS[t], 2)
+        mc, mk = self.pick([(c, k) for c, k in SCHEMA[t].items()
+                            if k in ("int", "money")])
+        e = cents(f"t0.{mc}") if mk == "money" else f"t0.{mc}"
+        m = self.pick([f"CAST(SUM({e}) AS BIGINT)", "COUNT(*)",
+                       f"MIN({e})", f"MAX({e})"])
+        mode = self.pick([
+            f"ROLLUP(t0.{gks[0]}, t0.{gks[1]})",
+            f"CUBE(t0.{gks[0]}, t0.{gks[1]})",
+            f"GROUPING SETS ((t0.{gks[0]}, t0.{gks[1]}), (t0.{gks[1]}), ())"])
+        p = self.pred(t, "t0")
+        frame = self.pick([
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
+        win0 = (f"CAST(SUM(m) OVER (PARTITION BY gid ORDER BY c0 NULLS "
+                f"FIRST, c1 NULLS FIRST {frame}) AS BIGINT)")
+        win1 = ("CAST(ROW_NUMBER() OVER (PARTITION BY c0 ORDER BY gid "
+                "NULLS FIRST, c1 NULLS FIRST) AS BIGINT)")
+        return (f"WITH g AS (SELECT t0.{gks[0]} AS c0, t0.{gks[1]} AS c1, "
+                f"CAST(grouping_id(t0.{gks[0]}, t0.{gks[1]}) AS BIGINT) AS gid, "
+                f"{m} AS m FROM {t} t0 WHERE {p} GROUP BY {mode}) "
+                f"SELECT c0, c1, gid, m, {win0} AS w0, {win1} AS w1 FROM g "
+                f"ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, "
+                f"4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST LIMIT 500")
+
+    def q_agg_over_grouped(self):
+        """Aggregates (and a window over the aggregate's own output) OVER
+        a grouped subquery (round-19 verdict task 7): inner GROUP BY two
+        keys, outer GROUP BY one of them re-aggregating the inner
+        measures, with RANK over the outer aggregate — patrols
+        aggregate-then-window resolution and the two-level partial-agg
+        pipeline. Outer keys are unique post-grouping, so rank orders
+        totally via the key tie-break."""
+        r = self.r
+        t = self.pick([x for x in SCHEMA if len(GROUPCOLS[x]) >= 2])
+        gks = r.sample(GROUPCOLS[t], 2)
+        keep = self.pick(gks)
+        mc, mk = self.pick([(c, k) for c, k in SCHEMA[t].items()
+                            if k in ("int", "money")])
+        e = cents(f"t0.{mc}") if mk == "money" else f"t0.{mc}"
+        p = self.pred(t, "t0")
+        outer_m = self.pick([
+            "CAST(SUM(m) AS BIGINT)", "CAST(MIN(m) AS BIGINT)",
+            "CAST(MAX(m) AS BIGINT)", "COUNT(*)"])
+        return (f"WITH g AS (SELECT t0.{gks[0]} AS k0, t0.{gks[1]} AS k1, "
+                f"CAST(SUM({e}) AS BIGINT) AS m, COUNT(*) AS n "
+                f"FROM {t} t0 WHERE {p} GROUP BY t0.{gks[0]}, t0.{gks[1]}) "
+                f"SELECT {('k0' if keep == gks[0] else 'k1')} AS c0, "
+                f"{outer_m} AS c1, CAST(SUM(n) AS BIGINT) AS c2, "
+                f"CAST(RANK() OVER (ORDER BY {outer_m} NULLS FIRST, "
+                f"{('k0' if keep == gks[0] else 'k1')} NULLS FIRST) "
+                f"AS BIGINT) AS c3 "
+                f"FROM g GROUP BY {('k0' if keep == gks[0] else 'k1')} "
+                f"ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, "
+                f"4 NULLS FIRST LIMIT 500")
+
+    def q_having_window(self):
+        """Window columns under an outer WHERE + GROUP BY + HAVING
+        (round-19 verdict task 7): the subquery computes per-partition
+        ROW_NUMBER and a partition total; the outer query filters on BOTH
+        a window column (must NOT push below the window) and the
+        partition key (pushable through it), then groups with a HAVING on
+        the re-aggregate — patrols the pushdown boundary around window
+        operators. Window order = the table's verified total PK order."""
+        r = self.r
+        t = self.pick(list(SCHEMA))
+        gk = self.pick(GROUPCOLS[t])
+        mc, mk = self.pick([(c, k) for c, k in SCHEMA[t].items()
+                            if k in ("int", "money")])
+        e = cents(f"t0.{mc}") if mk == "money" else f"t0.{mc}"
+        pkord = ", ".join(f"t0.{c} NULLS FIRST" for c in self.pk[t])
+        p = self.pred(t, "t0")
+        kLim = r.randrange(2, 40)
+        hLim = r.randrange(1, 5)
+        outer_pred = self.pick([
+            f"rn <= {kLim}",
+            f"rn <= {kLim} AND tot >= 0",
+            f"(rn <= {kLim} OR rn > {kLim + r.randrange(1, 20)})"])
+        return (f"WITH w AS (SELECT t0.{gk} AS gk, "
+                f"CAST(ROW_NUMBER() OVER (PARTITION BY t0.{gk} "
+                f"ORDER BY {pkord}) AS BIGINT) AS rn, "
+                f"CAST(SUM({e}) OVER (PARTITION BY t0.{gk}) AS BIGINT) AS tot "
+                f"FROM {t} t0 WHERE {p}) "
+                f"SELECT gk AS c0, COUNT(*) AS c1, CAST(MIN(rn) AS BIGINT) "
+                f"AS c2, CAST(MAX(tot) AS BIGINT) AS c3 "
+                f"FROM w WHERE {outer_pred} GROUP BY gk "
+                f"HAVING COUNT(*) >= {hLim} "
+                f"ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, "
+                f"4 NULLS FIRST LIMIT 500")
+
+    def q_rcte_deep(self):
+        """Recursive CTE NEAR Spark's cteRecursionLevelLimit (round-19
+        verdict task 7): k in 90..99 — the anchor plus k steps lands at
+        91..100 rows, one level under the limit (k=100 raises
+        RECURSION_LEVEL_LIMIT_EXCEEDED, probed r20); DuckDB has no such
+        limit, so agreement here certifies Spark's level accounting emits
+        EXACTLY the bounded fixpoint, not limit-1 or limit+1 rows. An
+        aggregate over the full ladder makes any off-by-one a value
+        mismatch, not just a row-count one."""
+        r = self.r
+        t = self.pick(list(SCHEMA))
+        c0 = self.pick([c for c, k in SCHEMA[t].items() if k == "int"])
+        k = r.randrange(90, 100)
+        mod = self.pick([97, 1009, 65537])
+        mul = r.randrange(2, 12)
+        add = r.randrange(0, 50)
+        p = self.pred(t, "t0")
+        anchor = (f"(SELECT COALESCE(CAST(MIN(t0.{c0}) AS BIGINT), 0) "
+                  f"FROM {t} t0 WHERE {p})")
+        return (f"WITH RECURSIVE rr(n, acc) AS ("
+                f"SELECT CAST(0 AS BIGINT) AS n, {anchor} % {mod} AS acc"
+                f" UNION ALL "
+                f"SELECT n + 1, (acc * {mul} + {add}) % {mod} FROM rr"
+                f" WHERE n < {k}) "
+                f"SELECT COUNT(*) AS c0, CAST(SUM(acc) AS BIGINT) AS c1, "
+                f"CAST(MAX(n) AS BIGINT) AS c2, "
+                f"CAST(MIN(acc) AS BIGINT) AS c3 FROM rr"
+                f" ORDER BY 1 NULLS FIRST LIMIT 500")
+
+    def q_setop_rcte(self):
+        """Set operations over TWO recursive CTE heads (round-19 verdict
+        task 7): independent modular ladders meeting in UNION/
+        INTERSECT/EXCEPT [ALL] — patrols set-op dedup/multiplicity over
+        recursion outputs (both heads resolve before the set op; Spark
+        plans each fixpoint separately). Ladders share the acc domain
+        (same mod) so INTERSECT/EXCEPT are non-degenerate."""
+        r = self.r
+        mod = self.pick([53, 97, 211])
+        k1, k2 = r.randrange(20, 70), r.randrange(20, 70)
+
+        def ladder(name, seed, mul, add, k):
+            return (f"{name}(n, acc) AS ("
+                    f"SELECT CAST(0 AS BIGINT) AS n, "
+                    f"CAST({seed} AS BIGINT) AS acc"
+                    f" UNION ALL "
+                    f"SELECT n + 1, (acc * {mul} + {add}) % {mod} "
+                    f"FROM {name} WHERE n < {k})")
+        a = ladder("a", r.randrange(0, mod), r.randrange(2, 12),
+                   r.randrange(0, 50), k1)
+        b = ladder("b", r.randrange(0, mod), r.randrange(2, 12),
+                   r.randrange(0, 50), k2)
+        op = self.pick(["UNION", "UNION ALL", "INTERSECT",
+                        "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"])
+        # acc alone (not n): overlapping values with different step
+        # indices are what give the set op real dedup/multiplicity work
+        return (f"WITH RECURSIVE {a}, {b} "
+                f"SELECT acc AS c0 FROM a {op} SELECT acc AS c0 FROM b"
+                f" ORDER BY 1 NULLS FIRST LIMIT 500")
+
     def query(self):
         # NOT generated: window frames with EXCLUDE — Spark 4.1 has no
         # EXCLUDE clause in frame syntax (parse error), so the same text
@@ -1187,7 +1349,9 @@ class Gen:
                           self.q_scalar_select, self.q_in_null,
                           self.q_distinct_mix, self.q_having_sub,
                           self.q_window_corr, self.q_fullouter_coalesce,
-                          self.q_minmax_by])()
+                          self.q_minmax_by, self.q_gs_window,
+                          self.q_agg_over_grouped, self.q_having_window,
+                          self.q_rcte_deep, self.q_setop_rcte])()
 
 
 def compare(exp, got):
