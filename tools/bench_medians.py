@@ -16,6 +16,17 @@ import json, sys
 # 1.2x probe shift reads as flat normalized — adjudicated by the
 # artifact instead of a worktree-rebuild A/B (three of those in r13).
 PROBE_REF_SEC = 0.68
+# EPOCH RE-BASELINE (round-19 verdict task 2): when the machine epoch
+# has durably moved (idle-machine session-start probes persistently far
+# from 0.68), cross-epoch normalization stops being evidence — set
+# GRAFT_PROBE_REF to the NEW epoch's idle reference and the artifact
+# records both the reference used and that it is a re-baseline, so the
+# headline is explicitly within-epoch instead of silently translated
+# across epochs. Comparisons against artifacts normalized to a
+# DIFFERENT reference are then ratio-only (each side to its own epoch).
+import os
+_env_ref = os.environ.get("GRAFT_PROBE_REF")
+PROBE_REF_USED = float(_env_ref) if _env_ref else PROBE_REF_SEC
 
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
@@ -53,7 +64,12 @@ out["design"] = {
                      else "same-order back-to-back sessions",
 }
 out["best_of_both_total"] = round(sum(out["best_of_both"].values()), 3)
-out["probe_ref_sec"] = PROBE_REF_SEC
+out["probe_ref_sec"] = PROBE_REF_USED
+out["probe_ref_provenance"] = (
+    "re-baselined epoch reference via GRAFT_PROBE_REF (round-20 "
+    "protocol: idle-machine session-start probe median of the new "
+    "epoch; normalized totals are WITHIN-epoch only)" if _env_ref
+    else "round-14 pinned reference (0.68s)")
 def probe_at(points, x):
     """Linear interpolation of the session probe at query position x
     (points = [[after_n_queries, probe_sec], ...], sorted by position).
@@ -72,7 +88,7 @@ for run, d in (("a", a), ("b", b)):
         probe = (d["probe_start_sec"] + d["probe_end_sec"]) / 2
         out[f"probe_run_{run}"] = {
             "start_sec": d["probe_start_sec"], "end_sec": d["probe_end_sec"],
-            "vs_ref": round(probe / PROBE_REF_SEC, 3)}
+            "vs_ref": round(probe / PROBE_REF_USED, 3)}
         m = d["medians"]
         pts = d.get("probe_points")
         if pts and len(pts) >= 2:
@@ -81,10 +97,10 @@ for run, d in (("a", a), ("b", b)):
             # preserves) ran between probe points; normalize by the probe
             # interpolated at its midpoint i+0.5
             out[f"probe_run_{run}"]["points"] = pts
-            norm = {k: round(v * PROBE_REF_SEC / probe_at(pts, i + 0.5), 3)
+            norm = {k: round(v * PROBE_REF_USED / probe_at(pts, i + 0.5), 3)
                     for i, (k, v) in enumerate(m.items())}
         else:
-            scale = PROBE_REF_SEC / probe
+            scale = PROBE_REF_USED / probe
             norm = {k: round(v * scale, 3) for k, v in m.items()}
         out[f"medians_normalized_run_{run}"] = norm
         out[f"median_total_normalized_run_{run}"] = round(
