@@ -70,6 +70,18 @@ import scala.util.Random
   *    touching spans and swallowed intervals (the running-max-not-lag
   *    distinction).
   *
+  * Round-20 second wave (the remaining first-class operators no family
+  * had reached directly):
+  *  - asof: the raw as-of join vs a driver bracket scan, with planted
+  *    left==right timestamp ties, keys absent from the right side, and
+  *    NULLs inside the carried value columns (the row-consistency
+  *    contract: every carried value comes from ONE matched right row).
+  *  - topk: the custom GroupTopK SparkPlan vs a driver sort, with dense
+  *    value ties planted at the rank-k boundary, cross-checked against
+  *    the window row_number form on the same draw.
+  *  - pagerank: integer-scaled PageRank vs a driver power iteration
+  *    replaying the identical DIV arithmetic — bit-exact.
+  *
   * Usage: runMain graft.OpFuzz <sfDir> <nDraws> <seed> <outJson>
   * Exit 0 iff zero violations; the JSON artifact records every draw.
   */
@@ -330,6 +342,43 @@ object OpFuzz {
     counts.toMap
   }
 
+  /** Driver bracket scan for the raw as-of join (J9): per left row, the
+    * max-rightTs right row with the same key and rightTs <= leftTs — the
+    * WHOLE row, so a NULL inside a matched row's value column must surface
+    * as NULL, never an older non-null value. Right (key, ts) are unique by
+    * the draw's construction (right-side ts ties are contractually
+    * nondeterministic and held out). */
+  private def refAsOf(lefts: Seq[(Long, Long, Long)],
+                      rights: Seq[(Long, Long, Option[Long], Option[Long])])
+      : Map[Long, (Option[Long], Option[Long])] =
+    lefts.map { case (lid, k, lts) =>
+      val m = rights.filter(r => r._1 == k && r._2 <= lts)
+      lid -> (if (m.isEmpty) (None: Option[Long], None: Option[Long])
+              else { val b = m.maxBy(_._2); (b._3, b._4) })
+    }.toMap
+
+  /** Driver power iteration replaying pageRankScaled's INTEGER arithmetic
+    * exactly: symmetric directed edges, pr0 = scale/n, each round
+    * pr(v) = base + (85 * sum over in-neighbors u of (pr(u) DIV deg(u)))
+    * DIV 100, base = (15*scale/100)/n. Every intermediate is positive, so
+    * Scala's truncating / is Spark's DIV — the compare is bit-exact. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long): Map[Long, Long] = {
+    val dir = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = dir.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = deg.size
+    val base = ((15L * scale) / 100) / n
+    var ranks: Map[Long, Long] = deg.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val inc = scala.collection.mutable.Map.empty[Long, Long]
+      dir.foreach { case (s, d) =>
+        inc(d) = inc.getOrElse(d, 0L) + ranks(s) / deg(s)
+      }
+      ranks = inc.map { case (v, s) => v -> (base + (85L * s) / 100) }.toMap
+    }
+    ranks
+  }
+
   private def diffMaps[K, V](name: String, got: Map[K, V],
                              want: Map[K, V]): Option[String] = {
     val extra = got.keySet.diff(want.keySet)
@@ -534,7 +583,7 @@ object OpFuzz {
       "sorted_window", "simhash", "kcore", "hops", "paths", "resample",
       "span_dedup", "pack", "ohlc", "restart_bus", "restart_mf",
       "cc", "triangles", "cdc", "intervals", "bloom", "late_data",
-      "media")
+      "media", "asof", "topk", "pagerank")
     // optional single-family focus (calibration/debug): every draw runs
     // this family instead of cycling; per-draw randomness still advances
     val famOnly: Option[Int] = if (args.length > 4) {
@@ -576,9 +625,9 @@ object OpFuzz {
       } yield (a, b)
     import spark.implicits._
     (1 to n).foreach { i =>
-      // round-robin, not uniform draw: every family gets >= n/20 draws
-      // across the 20-family roster (the verdict's >=20-per-family
-      // contract at n=400)
+      // round-robin, not uniform draw: every family gets >= n/24 draws
+      // across the 24-family roster (the >=20-per-family full-cycle
+      // sweep therefore uses n=480)
       val fam = famOnly.getOrElse((i - 1) % famNames.size)
       val sn = 2 + rnd.nextInt(3)                 // shingle n in 2..4
       val theta = 0.25 + rnd.nextInt(14) * 0.05   // 0.25..0.90
@@ -1310,6 +1359,93 @@ object OpFuzz {
 
           ("media", params,
             vDup.orElse(vPlant).orElse(vFeat).orElse(vFrames).orElse(vStats))
+        case 21 =>
+          // raw as-of join (J9) vs the driver bracket scan: planted
+          // left==right timestamp ties (~25%), a key with NO right rows,
+          // and NULLs inside the carried value columns — patrolling the
+          // row-consistency contract (both carried values come from ONE
+          // right row; a NULL in the matched row stays NULL)
+          val baseUs = 1767225600L * 1000000L     // 2026-01-01T00Z
+          val nk = 1 + rnd.nextInt(4)
+          val rights = (0 until nk).flatMap { k =>
+            val seen = scala.collection.mutable.Set.empty[Long]
+            (0 until rnd.nextInt(8)).flatMap { _ =>
+              val rts = baseUs + rnd.nextInt(72 * 3600).toLong * 1000000L
+              if (seen.add(rts)) {
+                def v() = if (rnd.nextDouble() < 0.3) None
+                          else Some(rnd.nextInt(1000).toLong)
+                Some((k.toLong, rts, v(), v()))
+              } else None
+            }
+          }
+          var lid = 0L
+          val lefts = (0 to nk).flatMap { k =>    // key nk has no right rows
+            (0 until (1 + rnd.nextInt(6))).map { _ =>
+              val lts = if (rights.nonEmpty && rnd.nextDouble() < 0.25)
+                rights(rnd.nextInt(rights.size))._2   // exact-tie boundary
+              else baseUs + rnd.nextInt(72 * 3600).toLong * 1000000L
+              lid += 1
+              (lid, k.toLong, lts)
+            }
+          }
+          val lDf = lefts.map { case (id, k, us) =>
+            (id, k, new java.sql.Timestamp(us / 1000L)) }.toDF("lid", "k", "ts")
+          val rDf = rights.map { case (k, us, v1, v2) =>
+            (k, new java.sql.Timestamp(us / 1000L), v1, v2) }.toDF("k", "ts", "v1", "v2")
+          val got = graft.operators.RelationalOps
+            .asOfJoin(lDf, rDf, "k", "ts", "ts", Seq("v1" -> "a", "v2" -> "b"))
+            .select("lid", "a", "b").collect().map { r =>
+              r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+                if (r.isNullAt(2)) None else Some(r.getLong(2))))
+            }.toMap
+          val want = refAsOf(lefts, rights)
+          ("asof", s"keys=$nk l=${lefts.size} r=${rights.size}",
+            diffMaps("asof", got, want))
+        case 22 =>
+          // the custom GroupTopK SparkPlan (O6) vs a driver sort — a tiny
+          // value domain plants dense ties AT the rank-k boundary (broken
+          // only by the id column, which the order includes to stay
+          // total); the window row_number form is an engine-vs-engine
+          // cross-check on the same draw
+          val k = 1 + rnd.nextInt(4)
+          val ng = 1 + rnd.nextInt(5)
+          var rid = 0L
+          val rows = (0 until ng).flatMap { g =>
+            (0 until rnd.nextInt(10)).map { _ =>
+              rid += 1
+              (g.toLong, rid, rnd.nextInt(k + 2).toLong)
+            }
+          }
+          val df = rows.toDF("g", "id", "v")
+          val order = Seq(col("v"), col("id"))
+          def collectTk(d: DataFrame): Seq[(Long, Long, Long)] =
+            d.select("g", "id", "v").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          val gotExec = collectTk(graft.operators.RelationalOps
+            .topKPerGroupExec(df, Seq(col("g")), order, k))
+          val gotWin = collectTk(graft.operators.RelationalOps
+            .topKPerGroup(df, Seq(col("g")), order, k))
+          val want = rows.groupBy(_._1).values
+            .flatMap(_.sortBy(r => (r._3, r._2)).take(k)).toSeq
+          ("topk", s"k=$k groups=$ng rows=${rows.size}",
+            diffRows("topk_exec", gotExec, want)
+              .orElse(diffRows("topk_window", gotWin, want)))
+        case 23 =>
+          // integer-scaled PageRank vs the driver power iteration with
+          // the SAME integer arithmetic (DIV truncation at every step) —
+          // bit-exact, no tolerance; random iteration counts and scales
+          val nv = 10 + rnd.nextInt(41)
+          val p = 0.05 + rnd.nextDouble() * 0.20
+          val iters = 1 + rnd.nextInt(4)
+          val scale = Seq(1000000L, 1000000000L, 1000000000000L)(rnd.nextInt(3))
+          val edges0 = randGraph(nv, p)
+          val edges = if (edges0.nonEmpty) edges0 else Seq((0L, 1L))
+          val got = graft.operators.Graph
+            .pageRankScaled(edges.toDF("id_a", "id_b"), iters = iters, scale = scale)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val want = refPageRank(edges, iters, scale)
+          ("pagerank", s"nv=$nv e=${edges.size} iters=$iters scale=$scale",
+            diffMaps("pagerank", got, want))
         // explicit indices, no catch-all (round-17 ADVICE): a family
         // appended to famNames without a matching case must FAIL FAST as
         // a recorded violation (the per-draw handler below), never

@@ -57,6 +57,14 @@ object RelationalOps {
     * strictly O(|left|+|right|) rows through a single shuffle on the key —
     * the difference between feasible and not at 100 TB.
     *
+    * The carried values ride ONE struct column (one running `last` over the
+    * whole row), not one `last(ignoreNulls)` per value column: a struct is
+    * non-null whenever the right ROW exists, so a NULL inside a value column
+    * is carried faithfully as that row's NULL. Per-column carries would skip
+    * the NULL and resurrect an older value — and, worse, could stitch the
+    * output from DIFFERENT right rows when columns go null independently.
+    * Matched left rows always read all their values from a single right row.
+    *
     * @param valueCols right-side columns to carry to the matched left rows
     *                  (aliased as given).
     */
@@ -64,30 +72,28 @@ object RelationalOps {
                leftTs: String, rightTs: String,
                valueCols: Seq[(String, String)]): DataFrame = {
     val lCols = left.columns.toSeq
-    // left rows keep all their columns plus null placeholders for values
-    val l = valueCols.foldLeft(
-      left.withColumn("__side", lit(1)).withColumn("__ats", col(leftTs))) {
-      case (df, (from, as)) =>
-        df.withColumn(s"__v_$as", lit(null).cast(right.schema(from).dataType))
-    }
-    // right rows carry (key, ts, values) plus null placeholders for left cols
+    // right rows carry (key, ts, row-struct) plus null placeholders for left cols
     val rBase = right.select(
-      Seq(col(key), col(rightTs).as("__ats")) ++
-        valueCols.map { case (from, as) => col(from).as(s"__v_$as") }: _*)
+      Seq(col(key), col(rightTs).as("__ats"),
+        struct(valueCols.map { case (from, as) => col(from).as(as) }: _*)
+          .as("__vs")): _*)
       .withColumn("__side", lit(0))
+    val vsType = rBase.schema("__vs").dataType
+    // left rows keep all their columns plus a null row-struct placeholder
+    val l = left.withColumn("__side", lit(1)).withColumn("__ats", col(leftTs))
+      .withColumn("__vs", lit(null).cast(vsType))
     val r = lCols.filterNot(_ == key).foldLeft(rBase) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val ordered = lCols ++ Seq("__side", "__ats") ++ valueCols.map("__v_" + _._2)
+    val ordered = lCols ++ Seq("__side", "__ats", "__vs")
     val u = l.select(ordered.map(col): _*).unionByName(r.select(ordered.map(col): _*))
     // right rows sort before left rows at equal ts so "at-or-before" includes ties
     val w = Window.partitionBy(col(key)).orderBy(col("__ats"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(u) { case (df, (_, as)) =>
-      df.withColumn(as, last(col(s"__v_$as"), ignoreNulls = true).over(w))
-    }
+    val filled = u.withColumn("__last", last(col("__vs"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select((lCols ++ valueCols.map(_._2)).map(col): _*)
+      .select(lCols.map(col) ++
+        valueCols.map { case (_, as) => col("__last").getField(as).as(as) }: _*)
   }
 
   /** Range (interval) self/pair join: rows of `right` whose `rightTs` falls

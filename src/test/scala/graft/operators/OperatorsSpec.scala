@@ -34,6 +34,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r(4L).isNaN)   // no quote before 09:00
   }
 
+  test("asOfJoin carries the whole matched right ROW, including its NULLs") {
+    // the latest quote has px = NULL and sz = 5: a per-column carry would
+    // resurrect px = 10.0 from the older row and stitch the output from two
+    // different right rows; the row contract says both values come from the
+    // 10:02 row (px NULL, sz 5)
+    val trades = Seq((1L, "A", ts("2024-01-01 10:03:00"))).toDF("id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:01:00"), Some(10.0), None),
+      ("A", ts("2024-01-01 10:02:00"), None, Some(5L))
+    ).toDF("sym", "t", "px", "sz")
+    val row = RelationalOps.asOfJoin(trades, quotes, "sym", "t", "t",
+      Seq("px" -> "last_px", "sz" -> "last_sz"))
+      .select("id", "last_px", "last_sz").collect().head
+    assert(row.getLong(0) == 1L)
+    assert(row.isNullAt(1))        // the matched row's px IS null
+    assert(row.getLong(2) == 5L)
+  }
+
   test("rangeJoinBucketed equals the naive theta join") {
     val ev = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
