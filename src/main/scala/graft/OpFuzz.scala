@@ -81,6 +81,13 @@ import scala.util.Random
   *    the window row_number form on the same draw.
   *  - pagerank: integer-scaled PageRank vs a driver power iteration
   *    replaying the identical DIV arithmetic — bit-exact.
+  *  - bpe: bpeTrain's (count, lex) tie-break and early-stop under a
+  *    4-letter alphabet (dense pair-count ties), then the learned table
+  *    fed through bpeTokenize / the native BpeEncode expression, vs
+  *    per-word driver replays.
+  *  - sample: hashSample / stratifiedSample / splitAssign vs md5 driver
+  *    replays — tiny domains land one row on each integer quota
+  *    boundary (n*permille/1000 floors).
   *
   * Usage: runMain graft.OpFuzz <sfDir> <nDraws> <seed> <outJson>
   * Exit 0 iff zero violations; the JSON artifact records every draw.
@@ -379,6 +386,73 @@ object OpFuzz {
     ranks
   }
 
+  /** Merge every disjoint occurrence of (a, b) in one token vector —
+    * left-to-right, which equals simultaneous application because the
+    * operators exclude a == b (occurrences cannot share a token). */
+  private def mergePair(toks: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Driver replay of TextAnalysis.bpeTrain: each round counts adjacent
+    * pairs (x != y) weighted by word frequency, picks max count with
+    * (lhs, rhs) ascending lexicographic tie-break, merges every
+    * occurrence. Stops when no pair remains — the operator's empty
+    * limit(1) collapses every later round to zero rows. */
+  private def refBpeTrain(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var state: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, f) => w.split("").filter(_.nonEmpty).toVector -> f }
+    val acc = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (toks, f) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          if (toks(i) != toks(i + 1)) {
+            val p = (toks(i), toks(i + 1))
+            cnt(p) = cnt.getOrElse(p, 0L) + f
+          }
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) dry = true
+      else {
+        val ((a, b), c) = cnt.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        acc += ((r, a, b, c))
+        state = state.map { case (toks, f) => (mergePair(toks, a, b), f) }
+      }
+      r += 1
+    }
+    acc.result()
+  }
+
+  /** Driver replay of ArrayExprs.bpeCompute for ONE word: repeatedly
+    * merge the lowest-RANK pair present until none remains. */
+  private def refBpeApply(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    val rank = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    var toks = word.split("").filter(_.nonEmpty).toVector
+    var done = false
+    while (!done && toks.length > 1) {
+      val present = (0 until toks.length - 1)
+        .flatMap(i => rank.get((toks(i), toks(i + 1))))
+      if (present.isEmpty) done = true
+      else {
+        val (a, b) = merges(present.min)
+        toks = mergePair(toks, a, b)
+      }
+    }
+    toks
+  }
+
   private def diffMaps[K, V](name: String, got: Map[K, V],
                              want: Map[K, V]): Option[String] = {
     val extra = got.keySet.diff(want.keySet)
@@ -583,7 +657,7 @@ object OpFuzz {
       "sorted_window", "simhash", "kcore", "hops", "paths", "resample",
       "span_dedup", "pack", "ohlc", "restart_bus", "restart_mf",
       "cc", "triangles", "cdc", "intervals", "bloom", "late_data",
-      "media", "asof", "topk", "pagerank")
+      "media", "asof", "topk", "pagerank", "bpe", "sample")
     // optional single-family focus (calibration/debug): every draw runs
     // this family instead of cycling; per-draw randomness still advances
     val famOnly: Option[Int] = if (args.length > 4) {
@@ -625,9 +699,9 @@ object OpFuzz {
       } yield (a, b)
     import spark.implicits._
     (1 to n).foreach { i =>
-      // round-robin, not uniform draw: every family gets >= n/24 draws
-      // across the 24-family roster (the >=20-per-family full-cycle
-      // sweep therefore uses n=480)
+      // round-robin, not uniform draw: every family gets >= n/26 draws
+      // across the 26-family roster (the >=20-per-family full-cycle
+      // sweep therefore uses n=520)
       val fam = famOnly.getOrElse((i - 1) % famNames.size)
       val sn = 2 + rnd.nextInt(3)                 // shingle n in 2..4
       val theta = 0.25 + rnd.nextInt(14) * 0.05   // 0.25..0.90
@@ -1446,6 +1520,82 @@ object OpFuzz {
           val want = refPageRank(edges, iters, scale)
           ("pagerank", s"nv=$nv e=${edges.size} iters=$iters scale=$scale",
             diffMaps("pagerank", got, want))
+        case 24 =>
+          // BPE train + encode vs driver replays: a 4-letter alphabet
+          // forces dense pair-count ties (the (count, lex) tie-break
+          // under patrol) and 1-letter words reach the empty-pair
+          // early-stop; the learned table then feeds bpeTokenize (the
+          // native BpeEncode expression), replayed per word
+          val alpha = "abcd"
+          val nDocsB = 3 + rnd.nextInt(8)
+          val corpus = (1 to nDocsB).map { i =>
+            (i.toLong, (1 to (1 + rnd.nextInt(7))).map { _ =>
+              (1 to (1 + rnd.nextInt(5)))
+                .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+            }.mkString(" "))
+          }
+          val rounds = 1 + rnd.nextInt(6)
+          val docsDf = corpus.toDF("doc_id", "text")
+          val gotMerges = graft.operators.TextAnalysis.bpeTrain(docsDf, rounds)
+            .collect().map(r =>
+              (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+          val wordFreq = corpus.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+            .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+          val wantMerges = refBpeTrain(wordFreq, rounds)
+          val vTrain = diffRows("bpe_train", gotMerges, wantMerges)
+          val merges = wantMerges.map(m => (m._2, m._3))
+          val gotToks = graft.operators.TextAnalysis.bpeTokenize(docsDf, merges)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+          val wantToks = corpus.map { case (id, text) =>
+            val toks = text.split("\\s+").filter(_.nonEmpty).toVector
+              .flatMap(w => refBpeApply(w, merges))
+            (id, toks.size.toLong, toks.mkString(" "))
+          }
+          ("bpe", s"docs=$nDocsB rounds=$rounds merges=${wantMerges.size}",
+            vTrain.orElse(diffRows("bpe_encode", gotToks, wantToks)))
+        case 25 =>
+          // deterministic samplers vs md5 driver replays: hashSample's
+          // permille filter, stratifiedSample's first-n under the
+          // (hash, key) order, and splitAssign's integer quota
+          // boundaries — tiny domains land one row on each
+          // n*permille/1000 floor
+          val nr = 5 + rnd.nextInt(60)
+          val nd = 1 + rnd.nextInt(4)
+          val rowsS = (1 to nr).map { i =>
+            (i.toLong, s"dom${rnd.nextInt(nd)}", s"k${rnd.nextInt(1000)}_$i")
+          }
+          val dfS = rowsS.toDF("id", "dom", "key")
+          def h60(s: String): Long =
+            java.lang.Long.parseLong(md5hex(s).take(15), 16)
+          val pm = rnd.nextInt(1001)
+          val gotHs = graft.operators.Sampling.hashSample(dfS, col("key"), pm)
+            .select("id").collect().map(_.getLong(0)).toSet
+          val wantHs = rowsS.filter(r => h60(r._3) % 1000 < pm).map(_._1).toSet
+          val vHs = diffMaps("hash_sample",
+            gotHs.map(_ -> 1L).toMap, wantHs.map(_ -> 1L).toMap)
+          val nPer = 1 + rnd.nextInt(6)
+          val gotStrat = graft.operators.Sampling
+            .stratifiedSample(dfS, Seq(col("dom")), col("key"), nPer)
+            .select("id").collect().map(_.getLong(0)).toSet
+          val wantStrat = rowsS.groupBy(_._2).values.flatMap(
+            _.sortBy(r => (h60(r._3), r._3)).take(nPer).map(_._1)).toSet
+          val vStrat = diffMaps("stratified",
+            gotStrat.map(_ -> 1L).toMap, wantStrat.map(_ -> 1L).toMap)
+          val tp = rnd.nextInt(1001)
+          val vp = rnd.nextInt(1001 - tp)
+          val gotSplit = graft.operators.Sampling
+            .splitAssign(dfS, "dom", col("key"), tp, vp)
+            .select("id", "split").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          val wantSplit = rowsS.groupBy(_._2).values.flatMap { rs =>
+            val nTot = rs.size.toLong
+            val (tq, vq) = (nTot * tp / 1000, nTot * tp / 1000 + nTot * vp / 1000)
+            rs.sortBy(r => (h60(r._3), r._3)).zipWithIndex.map { case (r, idx) =>
+              r._1 -> (if (idx < tq) "train" else if (idx < vq) "val" else "test")
+            }
+          }.toMap
+          ("sample", s"rows=$nr doms=$nd pm=$pm n=$nPer tp=$tp vp=$vp",
+            vHs.orElse(vStrat).orElse(diffMaps("split", gotSplit, wantSplit)))
         // explicit indices, no catch-all (round-17 ADVICE): a family
         // appended to famNames without a matching case must FAIL FAST as
         // a recorded violation (the per-draw handler below), never
