@@ -350,18 +350,35 @@ object OpFuzz {
   }
 
   /** Driver bracket scan for the raw as-of join (J9): per left row, the
-    * max-rightTs right row with the same key and rightTs <= leftTs — the
-    * WHOLE row, so a NULL inside a matched row's value column must surface
-    * as NULL, never an older non-null value. Right (key, ts) are unique by
-    * the draw's construction (right-side ts ties are contractually
-    * nondeterministic and held out). */
+    * matched right row under the drawn direction (backward = max rightTs
+    * at-or-before, forward = min at-or-after, nearest = closer side with
+    * exact-distance ties resolved backward), voided when farther than the
+    * drawn tolerance — the WHOLE row, so a NULL inside a matched row's
+    * value column must surface as NULL, never an older non-null value.
+    * Right (key, ts) are unique by the draw's construction (right-side ts
+    * ties are contractually nondeterministic and held out). */
   private def refAsOf(lefts: Seq[(Long, Long, Long)],
-                      rights: Seq[(Long, Long, Option[Long], Option[Long])])
+                      rights: Seq[(Long, Long, Option[Long], Option[Long])],
+                      direction: String, tolUs: Option[Long])
       : Map[Long, (Option[Long], Option[Long])] =
     lefts.map { case (lid, k, lts) =>
-      val m = rights.filter(r => r._1 == k && r._2 <= lts)
-      lid -> (if (m.isEmpty) (None: Option[Long], None: Option[Long])
-              else { val b = m.maxBy(_._2); (b._3, b._4) })
+      val cand = rights.filter(_._1 == k)
+      val back = cand.filter(_._2 <= lts).sortBy(_._2).lastOption
+      val fwd = cand.filter(_._2 >= lts).sortBy(_._2).headOption
+      val picked = direction match {
+        case "backward" => back
+        case "forward" => fwd
+        case "nearest" => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (f._2 - lts < lts - b._2) Some(f) else Some(b) // tie -> back
+          case (b, f) => b.orElse(f)
+        }
+      }
+      val ok = picked.filter(c => tolUs.forall(t => math.abs(c._2 - lts) <= t))
+      lid -> (ok match {
+        case Some(c) => (c._3, c._4)
+        case None => (None: Option[Long], None: Option[Long])
+      })
     }.toMap
 
   /** Driver power iteration replaying pageRankScaled's INTEGER arithmetic
@@ -1466,14 +1483,22 @@ object OpFuzz {
             (id, k, new java.sql.Timestamp(us / 1000L)) }.toDF("lid", "k", "ts")
           val rDf = rights.map { case (k, us, v1, v2) =>
             (k, new java.sql.Timestamp(us / 1000L), v1, v2) }.toDF("k", "ts", "v1", "v2")
+          // direction + tolerance drawn per run (r20 second wave): the
+          // tolerance domain straddles typical gaps so both void and keep
+          // outcomes occur; nearest draws exercise the equal-distance ->
+          // backward tie (left ts planted ON right ts makes distance 0)
+          val dirN = Seq("backward", "forward", "nearest")(rnd.nextInt(3))
+          val tolN = if (rnd.nextBoolean()) None
+                     else Some((1L + rnd.nextInt(48)) * 3600L) // 1..48h
           val got = graft.operators.RelationalOps
-            .asOfJoin(lDf, rDf, "k", "ts", "ts", Seq("v1" -> "a", "v2" -> "b"))
+            .asOfJoin(lDf, rDf, "k", "ts", "ts", Seq("v1" -> "a", "v2" -> "b"),
+              direction = dirN, toleranceSeconds = tolN)
             .select("lid", "a", "b").collect().map { r =>
               r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
                 if (r.isNullAt(2)) None else Some(r.getLong(2))))
             }.toMap
-          val want = refAsOf(lefts, rights)
-          ("asof", s"keys=$nk l=${lefts.size} r=${rights.size}",
+          val want = refAsOf(lefts, rights, dirN, tolN.map(_ * 1000000L))
+          ("asof", s"keys=$nk l=${lefts.size} r=${rights.size} dir=$dirN tol=$tolN",
             diffMaps("asof", got, want))
         case 22 =>
           // the custom GroupTopK SparkPlan (O6) vs a driver sort — a tiny

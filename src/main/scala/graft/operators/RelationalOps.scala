@@ -65,17 +65,36 @@ object RelationalOps {
     * output from DIFFERENT right rows when columns go null independently.
     * Matched left rows always read all their values from a single right row.
     *
+    * Direction follows pandas merge_asof: "backward" (default) matches the
+    * latest right row at-or-before, "forward" the earliest at-or-after,
+    * "nearest" whichever is closer with ties resolved backward. All three
+    * ride the SAME single shuffle on the key: forward is the backward scan
+    * under the reversed (ts DESC, right-first) order, nearest computes both
+    * carries over the one exchange (two in-partition sorts, no second
+    * shuffle). `toleranceSeconds` voids a match farther than the given
+    * distance — measured exactly (interval arithmetic on timestamp
+    * columns, so sub-second components count; plain subtraction on numeric
+    * time columns).
+    *
     * @param valueCols right-side columns to carry to the matched left rows
     *                  (aliased as given).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               valueCols: Seq[(String, String)]): DataFrame = {
+               valueCols: Seq[(String, String)],
+               direction: String = "backward",
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asOfJoin: direction must be backward|forward|nearest, got '$direction'")
+    require(valueCols.forall(_._2 != "__mts"),
+      "asOfJoin: value alias '__mts' is reserved")
     val lCols = left.columns.toSeq
-    // right rows carry (key, ts, row-struct) plus null placeholders for left cols
+    // right rows carry (key, ts, row-struct incl. the matched ts) plus
+    // null placeholders for left cols
     val rBase = right.select(
       Seq(col(key), col(rightTs).as("__ats"),
-        struct(valueCols.map { case (from, as) => col(from).as(as) }: _*)
+        struct(valueCols.map { case (from, as) => col(from).as(as) } :+
+          col(rightTs).as("__mts"): _*)
           .as("__vs")): _*)
       .withColumn("__side", lit(0))
     val vsType = rBase.schema("__vs").dataType
@@ -87,13 +106,46 @@ object RelationalOps {
     }
     val ordered = lCols ++ Seq("__side", "__ats", "__vs")
     val u = l.select(ordered.map(col): _*).unionByName(r.select(ordered.map(col): _*))
-    // right rows sort before left rows at equal ts so "at-or-before" includes ties
-    val w = Window.partitionBy(col(key)).orderBy(col("__ats"), col("__side"))
+    // right rows sort before left rows at equal ts (asc AND desc traversal)
+    // so at-or-before / at-or-after include exact ties
+    val wB = Window.partitionBy(col(key)).orderBy(col("__ats").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = u.withColumn("__last", last(col("__vs"), ignoreNulls = true).over(w))
+    val wF = Window.partitionBy(col(key)).orderBy(col("__ats").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = direction match {
+      case "backward" => u.withColumn("__lb", last(col("__vs"), ignoreNulls = true).over(wB))
+      case "forward" => u.withColumn("__lf", last(col("__vs"), ignoreNulls = true).over(wF))
+      case "nearest" => u
+        .withColumn("__lb", last(col("__vs"), ignoreNulls = true).over(wB))
+        .withColumn("__lf", last(col("__vs"), ignoreNulls = true).over(wF))
+    }
+    // exact distance: interval subtraction on timestamps (sub-second
+    // components count), numeric subtraction otherwise
+    def dist(m: Column): Column = abs(m.getField("__mts") - col("__ats"))
+    val chosen = direction match {
+      case "backward" => col("__lb")
+      case "forward" => col("__lf")
+      case "nearest" =>
+        when(col("__lb").isNull, col("__lf"))
+          .when(col("__lf").isNull, col("__lb"))
+          .when(dist(col("__lf")) < dist(col("__lb")), col("__lf"))
+          .otherwise(col("__lb")) // equal distance -> backward (pandas)
+    }
+    val within = toleranceSeconds match {
+      case None => chosen.isNotNull
+      case Some(t) =>
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        val tol = left.schema(leftTs).dataType match {
+          case TimestampType | TimestampNTZType => expr(s"INTERVAL $t SECOND")
+          case _ => lit(t)
+        }
+        chosen.isNotNull && dist(chosen) <= tol
+    }
     filled.filter(col("__side") === 1)
       .select(lCols.map(col) ++
-        valueCols.map { case (_, as) => col("__last").getField(as).as(as) }: _*)
+        valueCols.map { case (_, as) =>
+          when(within, chosen.getField(as)).otherwise(lit(null)).as(as)
+        }: _*)
   }
 
   /** Range (interval) self/pair join: rows of `right` whose `rightTs` falls

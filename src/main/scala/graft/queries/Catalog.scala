@@ -4041,7 +4041,7 @@ object Catalog {
     m01, m02, m03, e01, e02, e03, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s20, s21) ++
     MoreQueries.all ++ FunctionSuites.all ++ R9.all ++ R11.all ++ R11b.all ++
-    R12.all ++ R13.all ++ R18.all ++ R19.all
+    R12.all ++ R13.all ++ R18.all ++ R19.all ++ R20.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -52,6 +52,34 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getLong(2) == 5L)
   }
 
+  test("asOfJoin directions: forward, nearest (ties backward), tolerance boundary") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:03:00")),   // back 2min, fwd 3min -> nearest=back
+      (2L, "A", ts("2024-01-01 10:05:00")),   // back 4min, fwd 1min -> nearest=fwd
+      (3L, "A", ts("2024-01-01 10:03:30"))    // 2.5min both ways -> tie -> back
+    ).toDF("id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:01:00"), 1.0),
+      ("A", ts("2024-01-01 10:06:00"), 2.0)
+    ).toDF("sym", "t", "px")
+    def run(dir: String, tol: Option[Long] = None): Map[Long, Option[Double]] =
+      RelationalOps.asOfJoin(trades, quotes, "sym", "t", "t",
+          Seq("px" -> "p"), direction = dir, toleranceSeconds = tol)
+        .select("id", "p").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(run("forward") ==
+      Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> Some(2.0)))
+    assert(run("nearest") ==
+      Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(1.0)))
+    // trade 1 is exactly 120s after the 10:01 quote: tolerance is
+    // inclusive at the boundary and void one second under it
+    assert(run("backward", Some(120L))(1L) == Some(1.0))
+    assert(run("backward", Some(119L))(1L) == None)
+    // trade 2 backward distance is 240s -> voided at 120s tolerance
+    assert(run("backward", Some(120L))(2L) == None)
+  }
+
   test("rangeJoinBucketed equals the naive theta join") {
     val ev = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
