@@ -1516,7 +1516,11 @@ object OpFuzz {
             }
           }
           val df = rows.toDF("g", "id", "v")
-          val order = Seq(col("v"), col("id"))
+          // random sort direction patrols the bounded-heap comparator
+          // under BOTH orders (desc heaps keep the largest, not smallest)
+          val asc = rnd.nextBoolean()
+          val order = if (asc) Seq(col("v"), col("id"))
+                      else Seq(col("v").desc, col("id").desc)
           def collectTk(d: DataFrame): Seq[(Long, Long, Long)] =
             d.select("g", "id", "v").collect()
               .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
@@ -1524,9 +1528,11 @@ object OpFuzz {
             .topKPerGroupExec(df, Seq(col("g")), order, k))
           val gotWin = collectTk(graft.operators.RelationalOps
             .topKPerGroup(df, Seq(col("g")), order, k))
-          val want = rows.groupBy(_._1).values
-            .flatMap(_.sortBy(r => (r._3, r._2)).take(k)).toSeq
-          ("topk", s"k=$k groups=$ng rows=${rows.size}",
+          val want = rows.groupBy(_._1).values.flatMap { rs =>
+            val s = rs.sortBy(r => (r._3, r._2))
+            (if (asc) s else s.reverse).take(k)
+          }.toSeq
+          ("topk", s"k=$k groups=$ng rows=${rows.size} asc=$asc",
             diffRows("topk_exec", gotExec, want)
               .orElse(diffRows("topk_window", gotWin, want)))
         case 23 =>
