@@ -85,9 +85,11 @@ import scala.util.Random
   *    4-letter alphabet (dense pair-count ties), then the learned table
   *    fed through bpeTokenize / the native BpeEncode expression, vs
   *    per-word driver replays.
-  *  - sample: hashSample / stratifiedSample / splitAssign vs md5 driver
-  *    replays — tiny domains land one row on each integer quota
-  *    boundary (n*permille/1000 floors).
+  *  - sample: hashSample / stratifiedSample / splitAssign /
+  *    shuffleShards / weightedSample vs md5 driver replays — tiny
+  *    domains land one row on each integer quota boundary
+  *    (n*permille/1000 floors); the A-ES weighted top-n is recomputed
+  *    at the exact nested-sqrt IEEE doubles.
   *
   * Usage: runMain graft.OpFuzz <sfDir> <nDraws> <seed> <outJson>
   * Exit 0 iff zero violations; the JSON artifact records every draw.
@@ -1625,8 +1627,36 @@ object OpFuzz {
               r._1 -> (if (idx < tq) "train" else if (idx < vq) "val" else "test")
             }
           }.toMap
-          ("sample", s"rows=$nr doms=$nd pm=$pm n=$nPer tp=$tp vp=$vp",
-            vHs.orElse(vStrat).orElse(diffMaps("split", gotSplit, wantSplit)))
+          val vSplit = diffMaps("split", gotSplit, wantSplit)
+          // shuffleShards: global (md5, key) rank dealt round-robin
+          val nSh = 1 + rnd.nextInt(5)
+          val gotSh = graft.operators.Sampling.shuffleShards(dfS, col("key"), nSh)
+            .select("id", "shard", "shard_pos").collect()
+            .map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getLong(2)))).toMap
+          val wantSh = rowsS.sortBy(r => (h60(r._3), r._3)).zipWithIndex
+            .map { case (r, i) => r._1 -> ((i.toLong % nSh, i.toLong / nSh)) }
+            .toMap
+          val vSh = diffMaps("shards", gotSh, wantSh)
+          // weightedSample: A-ES top-n under the EXACT nested-sqrt
+          // priority — the driver recomputes the identical IEEE doubles
+          val nW = 1 + rnd.nextInt(10)
+          val rowsW = rowsS.map(r => (r._1, r._3, rnd.nextInt(7)))
+          val dfW = rowsW.toDF("id", "key", "lw")
+          val gotW = graft.operators.Sampling
+            .weightedSample(dfW, col("key"), col("lw"), nW)
+            .select("id").collect().map(_.getLong(0)).toSet
+          def prio(kk: String, k: Int): Double = {
+            var u = (h60(kk).toDouble + 0.5) / 1.152921504606846976e18
+            var i = 0
+            while (i < k) { u = math.sqrt(u); i += 1 }
+            u
+          }
+          val wantW = rowsW.map(r => (r._1, r._2, prio(r._2, r._3)))
+            .sortBy { case (_, kk, p) => (-p, kk) }.take(nW).map(_._1).toSet
+          val vW = diffMaps("weighted",
+            gotW.map(_ -> 1L).toMap, wantW.map(_ -> 1L).toMap)
+          ("sample", s"rows=$nr doms=$nd pm=$pm n=$nPer tp=$tp vp=$vp sh=$nSh nw=$nW",
+            vHs.orElse(vStrat).orElse(vSplit).orElse(vSh).orElse(vW))
         // explicit indices, no catch-all (round-17 ADVICE): a family
         // appended to famNames without a matching case must FAIL FAST as
         // a recorded violation (the per-draw handler below), never
