@@ -35,6 +35,40 @@ object ArrayExprs {
     s
   }
 
+  /** Squared L2 distance with double accumulation, left-to-right
+    * (s += d*d in element order) — bit-identical to the zip_with +
+    * aggregate fold it replaces (same operation order, same IEEE ops).
+    * Assumes equal-dimension inputs (the vector-table contract every ANN
+    * caller enforces); like [[dotCompute]] it iterates min(len). */
+  def l2sqCompute(a: ArrayData, b: ArrayData, floatA: Boolean, floatB: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (floatA) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (floatB) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Exact-integer squared L2 over long arrays (the portable-twin
+    * distance): sum of (x-y)^2 in element order, long arithmetic
+    * throughout — bit-identical to the zip_with + aggregate fold. */
+  def l2sqLongCompute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** MinHash over a string array: each element hashed ONCE (XxHash64 over
     * its UTF-8 bytes), then k "permutations" derived by odd-multiplier
     * multiply-add — the standard linear-permutation scheme, O(n + n*k)
@@ -214,6 +248,12 @@ object ArrayExprs {
   def vector_dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
 
+  def vector_l2sq(a: Column, b: Column): Column =
+    Bridge.column(VectorL2Sq(Bridge.expression(a), Bridge.expression(b)))
+
+  def vector_l2sq_long(a: Column, b: Column): Column =
+    Bridge.column(VectorL2SqLong(Bridge.expression(a), Bridge.expression(b)))
+
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
 
@@ -384,6 +424,50 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.ArrayExprs.dotCompute($a, $b, $fa, $fb)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
+    copy(left = l, right = r)
+}
+
+case class VectorL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  private def isNumericArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isNumericArray(left) && isNumericArray(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_l2sq requires array<float|double> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  private lazy val fa = elemType(left) == FloatType
+  private lazy val fb = elemType(right) == FloatType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayExprs.l2sqCompute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], fa, fb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayExprs.l2sqCompute($a, $b, $fa, $fb)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorL2Sq =
+    copy(left = l, right = r)
+}
+
+case class VectorL2SqLong(left: Expression, right: Expression) extends BinaryExpression {
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left) && isLongArray(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_l2sq_long requires array<bigint> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayExprs.l2sqLongCompute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayExprs.l2sqLongCompute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorL2SqLong =
     copy(left = l, right = r)
 }
 

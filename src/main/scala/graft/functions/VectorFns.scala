@@ -29,15 +29,13 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking) —
+    * native Catalyst expression (ArrayExprs.VectorL2Sq): identical
+    * left-to-right (x-y)^2 accumulation to the old zip_with + aggregate
+    * fold, but a compiled loop instead of an interpreted per-element
+    * lambda (the r21 x03 profile: the Lloyd-round jobs were
+    * allocation-bound in the HOF evaluator). */
+  def l2sq(a: Column, b: Column): Column = ArrayExprs.vector_l2sq(a, b)
 
   /** Random-hyperplane LSH bucket id: sign bits of `nPlanes` pseudo-random
     * hyperplane dot products. The "hyperplanes" are deterministic per

@@ -305,9 +305,12 @@ object Dedup {
     // materialized, reversed-order sessions, identical results). The
     // pinned state is O(pairs) — bounded, never the corpus — matching
     // kCore's columnar-pinned edge set; honest leaf stats via Pins.
-    val edges = graft.plans.Pins.pin(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // mirror via explode (Graph.mirror), not union-of-two-projections: the
+    // union form evaluates the upstream PAIR PIPELINE once per branch —
+    // for d11's MinHash-LSH input that is the whole candidate+verify
+    // chain run twice before the pin materializes (r21 profile)
+    val edges = graft.plans.Pins.pin(Graph.mirror(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))))
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("cluster_id", col("id")).pinned
     // the changed flag rides the label join itself: a LAZY localCheckpoint
@@ -378,8 +381,7 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("src"), col("dst"))
-        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val sym = Graph.mirror(e.select(col("src"), col("dst")))
       val mins = sym.groupBy("src").agg(min(col("dst")).as("__mn"))
         .select(col("src"), least(col("__mn"), col("src")).as("m"))
       sym.join(mins, Seq("src"))

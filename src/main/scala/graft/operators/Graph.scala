@@ -38,6 +38,23 @@ object Graph {
     pinned
   }
 
+  /** Mirror an edge list in ONE pass: each (src, dst) row explodes into
+    * itself plus its reverse. Replaces the union-of-two-projections
+    * mirror, which evaluates the upstream plan ONCE PER BRANCH — for a
+    * file scan that is two decompress passes over the same parquet (the
+    * r21 d28 profile: the edge-build stage was 1.1s of double
+    * single-row-group decode), and for a derived edge set it re-runs the
+    * whole upstream pipeline. Row set, and therefore everything
+    * downstream, is identical. */
+  private[graft] def mirror(e: DataFrame, a: String = "src",
+                                b: String = "dst",
+                                carry: Seq[String] = Nil): DataFrame = {
+    val fwd = struct((Seq(col(a), col(b)) ++ carry.map(col)): _*)
+    val rev = struct((Seq(col(b).as(a), col(a).as(b)) ++ carry.map(col)): _*)
+    e.select(explode(array(fwd, rev)).as("__e"))
+      .select((Seq(a, b) ++ carry).map(f => col(s"__e.$f").as(f)): _*)
+  }
+
   /** PageRank in EXACT integer arithmetic: ranks are maintained as scaled
     * BIGINTs (`scale` = 1.0) and every step uses integral division, so the
     * result is bit-identical across engines, run orders, and partition
@@ -65,8 +82,8 @@ object Graph {
   def pageRankScaled(edges: DataFrame, idA: String = "id_a",
                      idB: String = "id_b", iters: Int = 3,
                      scale: Long = 1000000000000L): DataFrame = {
-    val dir = pinStatic(edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst"))))
+    val dir = pinStatic(mirror(
+      edges.select(col(idA).as("src"), col(idB).as("dst"))))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
     // node count: one tiny agg — a scalar, same class as tfIdf's N
     val n = deg.count()
@@ -104,7 +121,7 @@ object Graph {
   def triangleCounts(edges: DataFrame, idA: String = "id_a",
                      idB: String = "id_b"): DataFrame = {
     val e = edges.select(col(idA).as("a"), col(idB).as("b"))
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val sym = mirror(e, "a", "b")
     val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
     val ori = sym
       .join(deg, Seq("a"))
@@ -154,9 +171,7 @@ object Graph {
     // hash-partition the edge table on src ONCE: every round's
     // frontier-expansion join then reuses this partitioning (only the
     // small frontier moves), instead of re-shuffling the edges per round
-    val dir = pinStatic((if (directed) fwd
-               else fwd.unionByName(
-                 edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val dir = pinStatic((if (directed) fwd else mirror(fwd))
       // repartition FIRST: hash-partitioning on src co-locates equal
       // (src,dst) pairs too, so the distinct's aggregate runs partition-
       // local on top of it — one exchange, and the result stays
@@ -174,8 +189,14 @@ object Graph {
     // AQE coalescing trims the actual counts either way. The wall slope
     // itself is output-bound: 10x output rows per decade, per-output-row
     // throughput IMPROVES 1.51x at decade 2 (266k -> 403k rows/s).
-    var dist = seeds.select(col("id")).distinct()
-      .withColumn("hops", lit(0)).pinned
+    // lazy checkpoint + count (the duplicateClusters round shape): the
+    // frontier-emptiness check doubles as the materializing action, so
+    // each round runs ONE distributed job instead of an eager-pin job
+    // plus an isEmpty job
+    val dist0 = seeds.select(col("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(false)
+    var frontierRows = dist0.count()
+    var dist = graft.plans.Pins.restamp(dist0)
     var frontier = dist
     // two-level settled window for the UNDIRECTED anti join: a neighbor
     // of a level-(h-1) vertex has distance in {h-2, h-1, h} (an edge
@@ -193,16 +214,18 @@ object Graph {
     // BFS and d24's oracle at sf0.01/sf0.1.
     var prev2 = frontier.limit(0)
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    while (h < maxHops && frontierRows > 0) {
       h += 1
       val settled =
         if (directed) dist.select("id")
         else prev2.select("id").unionByName(frontier.select("id"))
-      val next = frontier.join(dir, frontier("id") === dir("src"))
+      val lazyNext = frontier.join(dir, frontier("id") === dir("src"))
         .select(col("dst").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
-        .pinned
+        .localCheckpoint(false)
+      frontierRows = lazyNext.count()
+      val next = graft.plans.Pins.restamp(lazyNext)
       // dist stays a lazy union of checkpointed levels — every member is
       // already pinned, so re-checkpointing the union would only copy it
       dist = dist.unionByName(next)
@@ -237,8 +260,7 @@ object Graph {
                            directed: Boolean = false): DataFrame = {
     val fwd = edges.select(col("src"), col("dst"), col("w"))
     val dir = pinStatic((if (directed) fwd
-               else fwd.unionByName(edges.select(col("dst").as("src"),
-                 col("src").as("dst"), col("w"))))
+               else mirror(fwd, carry = Seq("w")))
       .repartition(col("src"))) // one-time: each round's relax join reuses it
     var dist = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).pinned
@@ -348,12 +370,17 @@ object Graph {
     // above). A/B at sf0.1, same session, best/median of 5: with the
     // repartition 3.82/4.09 s; without (distinct's own (src,dst)
     // exchange, rounds re-shuffling edges) 5.41/6.01 s.
-    val dir = pinStatic(edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val dir = pinStatic(mirror(edges.select(col("src"), col("dst")))
       .repartition(col("src"))
       .distinct())
-    var nodes = dir.select(col("src").as("id")).distinct().pinned
-    var nNodes = nodes.count()
+    // lazy checkpoint + count, not eager pin + count: the convergence
+    // count is the materializing action, so each round runs ONE
+    // distributed job instead of two (the duplicateClusters round shape;
+    // restamp below re-stamps block-truth leaf stats once materialized)
+    val nodes0 = dir.select(col("src").as("id")).distinct()
+      .localCheckpoint(false)
+    var nNodes = nodes0.count()
+    var nodes = graft.plans.Pins.restamp(nodes0)
     var rounds = 0
     var stable = false
     while (!stable) {
@@ -362,13 +389,14 @@ object Graph {
       rounds += 1
       val alive = dir
         .join(nodes, dir("src") === nodes("id"), "left_semi")
-      val next = alive
+      val lazyNext = alive
         .join(nodes, alive("dst") === nodes("id"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k)
         .select(col("src").as("id"))
-        .pinned
-      val n = next.count()
+        .localCheckpoint(false)
+      val n = lazyNext.count()
+      val next = graft.plans.Pins.restamp(lazyNext)
       // node sets only shrink, so count equality IS set equality — and a
       // round that drops no node drops no edge either: the fixpoint
       stable = n == nNodes

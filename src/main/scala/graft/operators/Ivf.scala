@@ -148,11 +148,15 @@ object Ivf {
     if (cents.length > 1024 || cents.length.toLong * dim > 131072)
       return assignBroadcast(vecs, centroids)
     // cells may be SPARSE (a Lloyd round drops emptied cells): the argmin
-    // runs over positions, then maps back to the surviving cell ids
-    val centArr = array(cents.map { case (_, v) =>
-      array(v.map(lit(_)): _*)
-    }: _*)
-    val cellIdArr = array(cents.map(c => lit(c._1)): _*)
+    // runs over positions, then maps back to the surviving cell ids.
+    // typedLit, not array(lit..): an array-typed literal enters codegen as
+    // ONE reference object, so the generated source is identical across
+    // Lloyd rounds (different centroid VALUES, same references slot) and
+    // the codegen cache hits — array(lit..) inlined k x dim doubles as
+    // source-level constants, recompiling ~100KB of Java per round
+    // (measured r21: the 6 per-round jobs of x03 at sf0.1 each spent
+    // 0.25-0.43s on 1.2MB of data, almost all Janino+JIT).
+    val cellIdArr = typedlit(cents.map(_._1).toSeq)
     // nanvl: a NaN vector (or centroid) component would make its distance
     // NaN; NaN compares GREATER than every double in Spark's ordering, so
     // array_min skips it — but if EVERY distance were NaN, array_position
@@ -160,14 +164,14 @@ object Ivf {
     // would fail. Mapping NaN -> +Infinity makes the argmin total: a
     // corrupt vector deterministically lands in the first surviving cell
     // instead of erroring the whole job.
-    val dists = transform(sequence(lit(0), lit(cents.length - 1)),
-      j => nanvl(aggregate(
-        zip_with(col("__v"), element_at(centArr, j + 1), (x, y) => {
-          val d = x.cast("double") - y.cast("double")
-          d * d
-        }),
-        lit(0.0),
-        (acc, v) => acc + v), lit(Double.PositiveInfinity)))
+    // One native vector_l2sq per cell inside a plain CreateArray (all
+    // codegen) — the old transform(sequence(..)) evaluated an interpreted
+    // lambda per (row, cell) with a zip_with allocation per distance. The
+    // arithmetic is the same left-to-right (x-y)^2 fold, bit-identical.
+    val dists = array(cents.map { case (_, v) =>
+      nanvl(VectorFns.l2sq(col("__v"), typedlit(v)),
+        lit(Double.PositiveInfinity))
+    }: _*)
     vecs.withColumn("__dists", dists)
       .withColumn("cell", element_at(cellIdArr,
         array_position(col("__dists"), array_min(col("__dists"))).cast("int")))

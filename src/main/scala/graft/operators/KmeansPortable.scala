@@ -68,8 +68,10 @@ object KmeansPortable {
     * this single definition so the certified semantics cannot drift
     * apart between copies. */
   private[operators] def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    // native compiled loop (ArrayExprs.VectorL2SqLong) — same exact-integer
+    // left-to-right (x-y)^2 sum as the zip_with + aggregate fold it
+    // replaces, minus the interpreted per-element lambda cost
+    graft.functions.ArrayExprs.vector_l2sq_long(a, b)
 
   /** Shared top-k epilogue of the twin searches: rnk = row_number over
     * (distance, nn_id) per query — the oracle's tie-break — k-bounded
@@ -100,7 +102,10 @@ object KmeansPortable {
   }
 
   private[operators] def distTo(centroid: Array[Long]): Column =
-    l2(col("__q"), array(centroid.map(lit(_)): _*))
+    // typedLit: the centroid array rides codegen as one reference object,
+    // keeping the generated source identical across Lloyd rounds so the
+    // codegen cache hits (see Ivf.assign — same fix, same measurement)
+    l2(col("__q"), typedlit(centroid.toSeq))
 
   /** Zero-shuffle nearest-cell assignment against literal centroids;
     * `array_position` of the min picks the FIRST minimum — tie goes to

@@ -32,10 +32,13 @@ import graft.plans.Pins.PinSyntax
   */
 object PqPortable {
 
-  /** books[sub][code][pos] as one literal 3-D array column. */
+  /** books[sub][code][pos] as one literal 3-D array column — typedLit,
+    * so the codebooks enter codegen as a single reference object and the
+    * generated source stays identical across Lloyd rounds (the Ivf.assign
+    * codegen-cache fix; inlining m x codes x dsub longs recompiled the
+    * whole stage per round). */
   private def booksLit(books: Array[Array[Array[Long]]]): Column =
-    array(books.map(sb => array(sb.map(cb =>
-      array(cb.map(lit(_)): _*)): _*)): _*)
+    typedlit(books.map(sb => sb.map(_.toSeq).toSeq).toSeq)
 
   /** All m codes of one quantized vector, zero-shuffle against literal
     * codebooks; `array_position` of the min picks the FIRST minimum —

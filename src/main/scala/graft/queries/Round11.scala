@@ -47,9 +47,15 @@ object R11 {
           .select(col("l_orderkey").as("a"),
             (lit(1000000000L) + col("l_partkey")).as("b"))
           .distinct()
-        val dir = e0.select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-          .localCheckpoint(true)
+        // mirror via explode (Graph.mirror): ONE distinct feeds both
+        // directions — the union-of-two-projections form re-ran the
+        // lineitem scan + distinct once per branch (r21 d28 profile).
+        // Pins.pin, not bare localCheckpoint: the explode's origin-plan
+        // estimate would otherwise be baked into the pinned leaf and
+        // trip the sizing rule's activation band (block-truth stats keep
+        // the protocol plan flat — SizingFlatAtGateSpec)
+        val dir = graft.plans.Pins.pin(graft.operators.Graph.mirror(
+          e0.select(col("a").as("src"), col("b").as("dst"))))
         Catalog.scopedSql(s,
         Seq("graft_q69_dir" -> dir,
           "graft_q69_orders" -> Tables.orders(s, d)),

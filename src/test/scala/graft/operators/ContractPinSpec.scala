@@ -42,12 +42,23 @@ class ContractPinSpec extends AnyFunSuite {
     files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
   }
 
-  // (label, literal substring that constitutes a re-definition)
+  // (label, literal substring that constitutes a re-definition, home file).
+  // The integer L2 fold moved in r21 from a Column-level HOF in
+  // KmeansPortable to the compiled loop ArrayExprs.l2sqLongCompute (the
+  // codegen hot-path fix); KmeansPortable.l2 remains the single
+  // Column-level entry every twin scores through, so the pin now tracks
+  // BOTH layers: the compute loop may exist only in ArrayExprs.scala, and
+  // the expression wrapper may be referenced only from ArrayExprs (its
+  // definition) and KmeansPortable (the l2 contract site).
   private val patterns = Seq(
-    "integer L2 squared-difference fold" -> "(x - y) * (x - y)",
-    "[0,255] quantization formula" -> "floor(x.cast(\"double\") * 256",
-    "md5(__id) seed draw" -> "md5(col(\"__id\")",
-    "per-query top-k window" -> "Window.partitionBy(col(\"__qid\")",
+    ("integer L2 compiled loop", "l2sqLongCompute", Set("ArrayExprs.scala")),
+    ("integer L2 expression wrapper", "vector_l2sq_long",
+      Set("ArrayExprs.scala", "KmeansPortable.scala")),
+    ("[0,255] quantization formula", "floor(x.cast(\"double\") * 256",
+      Set(home)),
+    ("md5(__id) seed draw", "md5(col(\"__id\")", Set(home)),
+    ("per-query top-k window", "Window.partitionBy(col(\"__qid\")",
+      Set(home)),
   )
 
   test("the certified twin contract has exactly one definition site") {
@@ -55,12 +66,12 @@ class ContractPinSpec extends AnyFunSuite {
     val sources = scalaFiles(srcRoot)
       .map(f => f -> new String(Files.readAllBytes(f.toPath), "UTF-8"))
     assert(sources.size > 30, "suspiciously few sources scanned")
-    for ((label, needle) <- patterns) {
+    for ((label, needle, homes) <- patterns) {
       val hits = sources.collect { case (f, s) if s.contains(needle) => f.getName }
         .filterNot(allow(needle).contains)
-      assert(hits == Seq(home),
-        s"$label ('$needle') must live ONLY in $home; found in: " +
-          hits.mkString(", ") +
+      assert(hits.nonEmpty && hits.toSet == homes,
+        s"$label ('$needle') must live ONLY in ${homes.mkString(", ")}; " +
+          s"found in: " + hits.mkString(", ") +
           ". Route new twins through KmeansPortable.l2/quantize/seedRows/" +
           "topKByDist instead of copying the arithmetic.")
     }
