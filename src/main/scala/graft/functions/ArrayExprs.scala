@@ -77,14 +77,18 @@ object ArrayExprs {
   def minhashCompute(arr: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
+    // hoist the per-permutation constants out of the element loop: the
+    // multiplier (2j+1)*golden and the j-mix addend are loop-invariant in
+    // the element, so the hot inner loop is one multiply-add per
+    // permutation instead of three multiplies (identical values)
+    val (mulJ, addJ) = permConsts(k)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
       val h = XXH64.hashUTF8String(s, 42L)
       var j = 0
       while (j < k) {
-        // odd multiplier (2j+1) * golden-ratio constant; add a j-mix
-        val hj = h * ((2L * j + 1L) * 0x9E3779B97F4A7C15L) + (j * 0xC2B2AE3D27D4EB4FL)
+        val hj = h * mulJ(j) + addJ(j)
         if (hj < sig(j)) sig(j) = hj
         j += 1
       }
@@ -92,6 +96,25 @@ object ArrayExprs {
     }
     new GenericArrayData(sig)
   }
+
+  /** Per-permutation (multiplier, addend) tables for the MinHash linear
+    * permutations — odd multiplier (2j+1)*golden, j-mix addend. Cached
+    * per k (tiny; k is 16–128 in practice) so repeated rows skip the
+    * table rebuild. Values are exactly the inline formulas they hoist. */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def permConsts(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, kk => {
+      val mul = new Array[Long](kk)
+      val add = new Array[Long](kk)
+      var j = 0
+      while (j < kk) {
+        mul(j) = (2L * j + 1L) * 0x9E3779B97F4A7C15L
+        add(j) = j * 0xC2B2AE3D27D4EB4FL
+        j += 1
+      }
+      (mul, add)
+    })
 
   /** Random-hyperplane LSH signature: bit p of the result is the sign of
     * the projection of `arr` onto pseudo-random hyperplane p, whose weight
@@ -145,6 +168,48 @@ object ArrayExprs {
     override def initialValue(): Array[Byte] = new Array[Byte](256)
   }
 
+  /** ALL word n-grams (repeats kept, document order) — the counting twin
+    * of [[shinglesCompute]] for frequency-based operators (DSIR feature
+    * counts, bigram LMs) where collapsing duplicates would corrupt the
+    * distribution. Same word split (Java \s+), same single-space join. */
+  def wordGramsCompute(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex digits of md5(s) as a long — bit-identical to the SQL
+    * chain `conv(substring(md5(s), 1, 15), 16, 10)` (the portable
+    * keyHash): 15 hex digits are the first 7.5 digest bytes, i.e. the
+    * first 8 bytes read big-endian as an unsigned 64-bit value, shifted
+    * right 4 to drop the 16th digit. Collapses the md5 -> hex string ->
+    * substring -> base-conv chain (three string allocations per row)
+    * into one digest and a shift. */
+  def md5PrefixLongCompute(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val v = ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+    v >>> 4
+  }
+
   /** Fused text -> MinHash signature in ONE byte-level pass: word spans
     * are found by scanning the UTF-8 bytes for Java-\s whitespace (all six
     * class members are single ASCII bytes, and UTF-8 continuation bytes
@@ -162,6 +227,7 @@ object ArrayExprs {
     * signature goes straight from the scan bytes to 8k bytes of state. */
   def minhashTextCompute(text: UTF8String, n: Int, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
+    val (mulP, addP) = permConsts(k)
     val bytes = text.getBytes
     val len = bytes.length
     // collect word spans [start, end)
@@ -209,7 +275,9 @@ object ArrayExprs {
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
       var p = 0
       while (p < k) {
-        val hp = h * ((2L * p + 1L) * 0x9E3779B97F4A7C15L) + (p * 0xC2B2AE3D27D4EB4FL)
+        // mulP/addP hoist the loop-invariant permutation constants (see
+        // permConsts) — one multiply-add per permutation, same values
+        val hp = h * mulP(p) + addP(p)
         if (hp < sig(p)) sig(p) = hp
         p += 1
       }
@@ -256,6 +324,12 @@ object ArrayExprs {
 
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  def word_grams(text: Column, n: Int): Column =
+    Bridge.column(WordGrams(Bridge.expression(text), n))
+
+  def md5_prefix_long(s: Column): Column =
+    Bridge.column(Md5PrefixLong(Bridge.expression(s)))
 
   def lsh_bucket(vec: Column, nPlanes: Int, seed: Long = 42L): Column =
     Bridge.column(LshBucket(Bridge.expression(vec), nPlanes, seed))
@@ -501,6 +575,36 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.shinglesCompute($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_grams requires string, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.wordGramsCompute(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.wordGramsCompute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+case class Md5PrefixLong(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix_long requires string, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.md5PrefixLongCompute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.md5PrefixLongCompute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
     copy(child = newChild)
 }
 

@@ -89,12 +89,17 @@ object TextFns {
     * all-pairs cross join that doesn't. */
   def lshBands(sig: Column, k: Int, bands: Int): Column = {
     val rows = k / bands
-    bind(sig) { s =>
-      transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-                    xxhash64(b, slice(s, b * rows + 1, lit(rows))).as("digest")))
-    }
+    // explicit CreateArray over the (compile-time) band indices, NOT
+    // bind + transform: bind's let-binding wraps its whole body in a
+    // single-iteration lambda, which evaluates INTERPRETED — for 32
+    // bands that was 32 interpreted slice+hash evaluations per row.
+    // CALLER CONTRACT: pass a cheap column (an attribute, as every
+    // current call site does) — `sig` is referenced once per band.
+    // Identical digests: xxhash64(int b, slice) over the same slices.
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(sig, b * rows + 1, rows))
+          .as("digest"))): _*)
   }
 
   /** Portable (md5-derived) MinHash signature: component i is the minimum
@@ -108,8 +113,11 @@ object TextFns {
     bind(shingles) { sh =>
       transform(sequence(lit(0), lit(k - 1)), i =>
         array_min(transform(sh, s =>
-          conv(substring(md5(concat(i.cast("string"), lit(":"), s).cast("binary")),
-            1, 15), 16, 10).cast("long"))))
+          // native md5-prefix digest — bit-identical to
+          // conv(substring(md5(..), 1, 15), 16, 10) (ArrayExprs scaladoc),
+          // minus the hex/substring/base-conv string churn per shingle
+          graft.functions.ArrayExprs.md5_prefix_long(
+            concat(i.cast("string"), lit(":"), s)))))
     }
 
   /** Portable LSH band digests: identical banding logic to [[lshBands]]
@@ -119,14 +127,13 @@ object TextFns {
     * re-derivable cross-engine. */
   def lshBandsPortable(sig: Column, k: Int, bands: Int): Column = {
     val rows = k / bands
-    bind(sig) { s =>
-      transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          md5(concat_ws(",",
-            transform(slice(s, b * rows + 1, lit(rows)), x => x.cast("string")))
-            .cast("binary")).as("digest")))
-    }
+    // explicit CreateArray, same rationale and caller contract as
+    // [[lshBands]]; digests unchanged (md5 over the same joined slices)
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          transform(slice(sig, b * rows + 1, rows), x => x.cast("string")))
+          .cast("binary")).as("digest"))): _*)
   }
 
   /** 64-bit SimHash over the word multiset. Bit j of the result is set iff

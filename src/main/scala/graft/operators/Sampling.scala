@@ -21,8 +21,13 @@ object Sampling {
 
   /** 60-bit portable key hash (uniform on [0, 2^60)). */
   def keyHash(key: Column): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    // native compiled digest (ArrayExprs.Md5PrefixLong) — bit-identical
+    // to conv(substring(md5(key), 1, 15), 16, 10): first 15 hex digits
+    // of the md5, as a long. The SQL chain allocated three intermediate
+    // strings per row (hex, substring, base-conv); the expression does
+    // one digest and a shift. Portability contract unchanged — oracles
+    // replay the same '0x'||substr(md5(..),1,15) arithmetic.
+    graft.functions.ArrayExprs.md5_prefix_long(key.cast("string"))
 
   /** Keep rows whose hash bucket (of 1000) falls below `permille` — a
     * deterministic ~permille/1000 sample. Scan-side filter; no shuffle. */

@@ -102,13 +102,11 @@ object TextAnalysis {
     */
   def crossDocNgramDup(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", n: Int = 5): DataFrame = {
-    import graft.functions.Fn.bind
+    // native word_grams (repeats kept) — same split/join as the old
+    // transform-over-words lambda, compiled (see dsirWeights)
     val grams = docs.select(col(idCol),
-      explode(bind(TextFns.words(col(textCol))) { w =>
-        when(size(w) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(w) - n),
-            i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-      }).as("__g"))
+        explode(graft.functions.ArrayExprs.word_grams(col(textCol), n))
+          .as("__g"))
       .select(col(idCol), md5(col("__g").cast("binary")).as("__d"))
     val perDoc = grams.groupBy(col(idCol), col("__d"))
       .agg(count(lit(1)).as("cnt"))
@@ -259,14 +257,16 @@ object TextAnalysis {
     */
   def ngramLmScore(docs: DataFrame, reference: DataFrame, alpha: Double = 0.4,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import graft.functions.Fn.bind
+    // native word_grams + a split at the single joining space (words are
+    // \s+-split, so they contain no whitespace — substring_index is an
+    // exact inverse for n=2). Replaces the interpreted transform lambda
+    // building per-bigram structs (the r21 t27 gram-stage finding).
     def bigrams(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) =
-      df.select(keep :+ explode(bind(TextFns.words(col(textCol))) { w =>
-        when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(0), size(w) - 2),
-            i => struct(element_at(w, i + 1).as("w1"),
-              element_at(w, i + 2).as("w2"))))
-      }).as("__b"): _*).select(keep ++ Seq(col("__b.w1"), col("__b.w2")): _*)
+      df.select(keep :+ explode(
+          graft.functions.ArrayExprs.word_grams(col(textCol), 2)).as("__g"): _*)
+        .select(keep ++ Seq(
+          substring_index(col("__g"), " ", 1).as("w1"),
+          substring_index(col("__g"), " ", -1).as("w2")): _*)
     val refTokens = reference.select(
       explode(TextFns.words(col(textCol))).as("w"))
     val uni = refTokens.groupBy("w").agg(count(lit(1)).as("c"))
@@ -319,13 +319,13 @@ object TextAnalysis {
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0, "dsirWeights: buckets must be positive")
-    import graft.functions.Fn.bind
+    // native word_grams (all bigrams, repeats kept) — same split and
+    // single-space join as the old transform-over-words lambda, minus the
+    // interpreted per-element HOF evaluation (r21 t27 profile: the gram
+    // stage was 1.2s single-task at sf0.1, dominated by the lambda chain)
     val grams = docs.select(col(idCol), isTarget.as("__t"),
-        explode(bind(TextFns.words(col(textCol))) { w =>
-          when(size(w) < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(0), size(w) - 2),
-              i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-        }).as("__g"))
+        explode(graft.functions.ArrayExprs.word_grams(col(textCol), 2))
+          .as("__g"))
       .select(col(idCol), col("__t"),
         pmod(Sampling.keyHash(col("__g")), lit(buckets.toLong)).as("__b"))
     // ONE corpus-scale scan and shuffle: the (doc, bucket) counts,
@@ -596,14 +596,12 @@ object TextAnalysis {
     */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 20,
                       textCol: String = "text"): DataFrame = {
-    import graft.functions.Fn.bind
-    val bg = docs.select(explode(bind(TextFns.words(col(textCol))) { w =>
-        when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(0), size(w) - 2),
-            i => struct(element_at(w, i + 1).as("w1"),
-              element_at(w, i + 2).as("w2"))))
-      }).as("b"))
-      .select(col("b.w1"), col("b.w2"))
+    // native word_grams + substring_index split (see ngramLmScore — words
+    // contain no whitespace, so the single-space split is exact for n=2)
+    val bg = docs.select(explode(
+        graft.functions.ArrayExprs.word_grams(col(textCol), 2)).as("__g"))
+      .select(substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
     val n2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
       .pinned
     val m1 = n2.groupBy("w1").agg(sum("n2").as("c1"))

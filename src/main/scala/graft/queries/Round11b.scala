@@ -370,6 +370,10 @@ object R11b {
       import graft.streaming.StatefulOps
       val t0 = System.nanoTime()
       var streamNanos = 0L // time INSIDE processAllAvailable (actual LOCF work)
+      // per-phase durationMs across both halves (the s19 decomposition):
+      // plan = latestOffset+getBatch+queryPlanning, drain = addBatch,
+      // commit = walCommit+commitOffsets
+      val dur = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
       val base = java.nio.file.Files.createTempDirectory("graft_s22_")
       val (src, ck, sink) = (s"$base/src", s"$base/ck", s"$base/sink")
       val cut = "2024-01-16 00:00:00"
@@ -394,7 +398,10 @@ object R11b {
           val s0 = System.nanoTime()
           try { q.processAllAvailable()
             graft.streaming.EventStreams.assertDrained(q, "s22_asof")
-          } finally { streamNanos += System.nanoTime() - s0; q.stop() }
+          } finally { streamNanos += System.nanoTime() - s0
+            q.recentProgress.foreach(p =>
+              p.durationMs.forEach((k, v) => dur(k) += v))
+            q.stop() }
         } finally prev match {
           case Some(p) => s.conf.set(conf, p)
           case None => s.conf.unset(conf)
@@ -417,6 +424,10 @@ object R11b {
       BenchAux.put("s22_stream_asof",
         "stream_sec" -> streamSec,
         "scaffold_sec" -> ((System.nanoTime() - t0) / 1e9 - streamSec),
+        "plan_sec" -> ((dur("latestOffset") + dur("getBatch") +
+          dur("queryPlanning")) / 1e3),
+        "drain_sec" -> dur("addBatch") / 1e3,
+        "commit_sec" -> ((dur("walCommit") + dur("commitOffsets")) / 1e3),
         "input_records" -> nIn.toDouble,
         "records_per_sec" -> (if (streamSec > 0) nIn / streamSec else 0.0))
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
