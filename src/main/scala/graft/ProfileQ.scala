@@ -13,10 +13,16 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileQ {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 2
     val spark = Engine.session(32)
+    names.foreach(n => profileOne(spark, n, sfDir, runs))
+    spark.stop()
+  }
+
+  private def profileOne(spark: SparkSession, name: String, sfDir: String,
+                         runs: Int): Unit = {
 
     final case class JobRec(id: Int, desc: String, start: Long,
                             var end: Long = 0L,
@@ -56,7 +62,7 @@ object ProfileQ {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[profile] $label: $dt%.2fs")
+      System.err.println(f"[profile] $name $label: $dt%.2fs")
       dt
     }
     runOnce("warmup")
@@ -80,8 +86,7 @@ object ProfileQ {
         f"sr=${r.shuffleRead / 1e6}%8.1fMB sw=${r.shuffleWrite / 1e6}%8.1fMB " +
         s" ${r.desc.take(90)}")
     }
-    System.err.println(f"[profile] sum-of-jobs ${wall}%.2fs, " +
+    System.err.println(f"[profile] $name sum-of-jobs ${wall}%.2fs, " +
       f"best run ${times.min}%.2fs")
-    spark.stop()
   }
 }

@@ -89,7 +89,7 @@ object ArrayExprs {
       var j = 0
       while (j < k) {
         val hj = h * mulJ(j) + addJ(j)
-        if (hj < sig(j)) sig(j) = hj
+        sig(j) = Math.min(sig(j), hj) // branchless (see minhashTextCompute)
         j += 1
       }
       i += 1
@@ -278,7 +278,10 @@ object ArrayExprs {
         // mulP/addP hoist the loop-invariant permutation constants (see
         // permConsts) — one multiply-add per permutation, same values
         val hp = h * mulP(p) + addP(p)
-        if (hp < sig(p)) sig(p) = hp
+        // branchless running min: Math.min compiles to a conditional
+        // move, where the if+store version branch-mispredicts on the
+        // ~random hp ordering (measured on the d06/d11 sig stage)
+        sig(p) = Math.min(sig(p), hp)
         p += 1
       }
       w += 1

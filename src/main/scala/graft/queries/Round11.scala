@@ -50,10 +50,13 @@ object R11 {
         // mirror via explode (Graph.mirror): ONE distinct feeds both
         // directions — the union-of-two-projections form re-ran the
         // lineitem scan + distinct once per branch (r21 d28 profile).
-        // Pins.pin, not bare localCheckpoint: the explode's origin-plan
-        // estimate would otherwise be baked into the pinned leaf and
-        // trip the sizing rule's activation band (block-truth stats keep
-        // the protocol plan flat — SizingFlatAtGateSpec)
+        // Pins.pin (block-truth leaf stats), not bare localCheckpoint:
+        // the explode's origin-plan estimate would otherwise trip the
+        // sizing rule's activation band (SizingFlatAtGateSpec). A
+        // columnar-cache pin was ALSO measured here (r21): the recursion
+        // re-plans the step against the InMemoryRelation per level and
+        // the wall DOUBLED (6.7s vs 3.2s best-of-3) — the row-block
+        // checkpoint leaf stays.
         val dir = graft.plans.Pins.pin(graft.operators.Graph.mirror(
           e0.select(col("a").as("src"), col("b").as("dst"))))
         Catalog.scopedSql(s,
