@@ -191,6 +191,11 @@ object ArrayExprs {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  // reusable 16-byte output buffer for MessageDigest.digest(buf, off, len)
+  // — the per-call digest() otherwise allocates a fresh array per hash
+  private val md5Out = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
 
   /** First 15 hex digits of md5(s) as a long — bit-identical to the SQL
     * chain `conv(substring(md5(s), 1, 15), 16, 10)` (the portable
@@ -200,14 +205,148 @@ object ArrayExprs {
     * substring -> base-conv chain (three string allocations per row)
     * into one digest and a shift. */
   def md5PrefixLongCompute(s: UTF8String): Long = {
+    val b = s.getBytes
+    md5PrefixLongBytes(b, 0, b.length)
+  }
+
+  /** [[md5PrefixLongCompute]] over a byte slice (no UTF8String wrapper,
+    * no digest-array allocation) — the shared kernel for the portable
+    * simhash/minhash loops below, which hash word/shingle spans of a row
+    * many times per row. */
+  def md5PrefixLongBytes(bytes: Array[Byte], start: Int, len: Int): Long = {
     val md = md5Digest.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    md.update(bytes, start, len)
+    val d = md5Out.get()
+    md.digest(d, 0, 16)
     val v = ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
       ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
       ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
       ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
     v >>> 4
+  }
+
+  /** SimHash over the whitespace word multiset in ONE compiled pass —
+    * bit-identical to the HOF formulation in TextFns.simhash64 /
+    * simhashPortable (same Java-\s word split via the byte-scan argument
+    * on [[minhashTextCompute]]: all six \s members are single ASCII bytes
+    * and UTF-8 continuation bytes cannot collide with them; same per-word
+    * hash — xxhash64(word) seed 42 for bits=64, the md5 15-hex-digit
+    * prefix for the 60-bit portable twin; same +1/-1 bit votes, bit j of
+    * the result set iff the vote sum is positive; vote sums are exact
+    * integer adds, so accumulation order cannot matter). Replaces a
+    * 64-iteration interpreted zip_with lambda PER WORD (plus a
+    * shiftright call_function per bit) with a compiled loop.
+    * No words => 0L, matching the HOF's all-zero vote fold. */
+  def simhashCompute(text: UTF8String, bits: Int, portable: Boolean): Long = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val counts = new Array[Long](bits)
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      if (!ws) {
+        val s = i
+        while (i < len && {
+          val c = bytes(i)
+          !(c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r')
+        }) i += 1
+        val h =
+          if (portable) md5PrefixLongBytes(bytes, s, i - s)
+          else XXH64.hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, i - s, 42L)
+        var j = 0
+        while (j < bits) {
+          // ((h >>> j) & 1) is bit j for every j < 64 — identical to the
+          // HOF's arithmetic shiftright(h, j) & 1 (the &1 keeps only the
+          // original bit; sign fill never reaches it)
+          counts(j) += (((h >>> j) & 1L) << 1) - 1L // +1 if set, -1 if not
+          j += 1
+        }
+      } else i += 1
+    }
+    var res = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) res |= 1L << j
+      j += 1
+    }
+    res
+  }
+
+  /** Per-k cache of the "i:" ASCII prefixes the portable MinHash feeds
+    * md5 per (component, shingle) — built once per k, not per row. */
+  private val portablePrefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def portablePrefixes(k: Int): Array[Array[Byte]] =
+    portablePrefixCache.computeIfAbsent(k, kk =>
+      Array.tabulate(kk)(i => (i.toString + ":")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+
+  /** Portable (md5-derived) MinHash signature in one compiled loop —
+    * bit-identical to the HOF formulation in TextFns.minhashPortable:
+    * component i = min over shingles of md5PrefixLong(i + ":" + shingle)
+    * (same concat bytes — decimal i, ASCII colon, the shingle's UTF-8
+    * bytes — same digest, and min is order-independent), with array_min's
+    * null semantics preserved (null shingles skipped; empty or all-null
+    * input => k NULL components, exactly what transform+array_min yields
+    * on an empty array). The k x |shingles| md5 work is inherent to the
+    * portable contract; what this removes is the interpreted
+    * transform/array_min lambda nest and the per-element concat
+    * allocation around each digest. */
+  def minhashPortableCompute(arr: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Any](k)
+    if (arr == null) return new GenericArrayData(out) // k NULLs
+    val n = arr.numElements()
+    val prefixes = portablePrefixes(k)
+    val md = md5Digest.get()
+    val dig = md5Out.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val sBytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(sBytes)
+          md.digest(dig, 0, 16)
+          val v = (((dig(0) & 0xFFL) << 56) | ((dig(1) & 0xFFL) << 48) |
+            ((dig(2) & 0xFFL) << 40) | ((dig(3) & 0xFFL) << 32) |
+            ((dig(4) & 0xFFL) << 24) | ((dig(5) & 0xFFL) << 16) |
+            ((dig(6) & 0xFFL) << 8) | (dig(7) & 0xFFL)) >>> 4
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (any) {
+      var j = 0
+      while (j < k) { out(j) = mins(j); j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fraction of agreeing signature components — bit-identical to the HOF
+    * zip_with(when equal 1 else 0) + aggregate + int->double casts +
+    * division in TextFns.minhashEstimate: agreements counted over the
+    * common prefix (zip_with pads the longer side with nulls, and
+    * null==x folds to the otherwise-0 branch), denominator = size of the
+    * LEFT signature, both cast to double before the one division. */
+  def sigAgreeFracCompute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c.toDouble / a.numElements().toDouble
   }
 
   /** Fused text -> MinHash signature in ONE byte-level pass: word spans
@@ -339,6 +478,15 @@ object ArrayExprs {
 
   def minhash_signature(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))
+
+  def simhash_text(text: Column, bits: Int, portable: Boolean): Column =
+    Bridge.column(SimHashText(Bridge.expression(text), bits, portable))
+
+  def minhash_portable_sig(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashPortableSig(Bridge.expression(shingles), k))
+
+  def minhash_estimate(a: Column, b: Column): Column =
+    Bridge.column(MinHashEstimate(Bridge.expression(a), Bridge.expression(b)))
 
   /** Portable sine on [-pi/2, pi/2]: the odd Taylor polynomial through
     * x^21 evaluated by Horner's rule in y = x^2 — every step a single
@@ -707,6 +855,74 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
+}
+
+/** SimHash (ArrayExprs.simhashCompute) as one fused expression — the
+  * engine-native 64-bit variant (xxhash64 token hash) and the 60-bit
+  * md5-prefix portable twin share the loop, selected by (bits, portable).
+  * Bit-identical to the interpreted aggregate/zip_with formulation it
+  * replaces (see the compute scaladoc for the argument). */
+case class SimHashText(child: Expression, bits: Int, portable: Boolean)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"simhash_text: bits must be 1..64, got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_text requires string, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.simhashCompute(v.asInstanceOf[UTF8String], bits, portable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayExprs.simhashCompute($c, $bits, $portable)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
+/** Portable MinHash signature (ArrayExprs.minhashPortableCompute) as one
+  * compiled expression. Output element type stays nullable: empty (or
+  * all-null) shingle input yields k NULL components, the exact
+  * transform+array_min behavior callers may rely on (every production
+  * caller filters size(shingles) > 0 first). */
+case class MinHashPortableSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"minhash_portable_sig: k must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_portable_sig requires array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.minhashPortableCompute(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayExprs.minhashPortableCompute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashPortableSig =
+    copy(child = newChild)
+}
+
+/** MinHash agreement fraction (ArrayExprs.sigAgreeFracCompute) as one
+  * compiled expression — the estimated-Jaccard verify kernel. */
+case class MinHashEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left) && isLongArray(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_estimate requires array<bigint> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayExprs.sigAgreeFracCompute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayExprs.sigAgreeFracCompute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashEstimate =
+    copy(left = l, right = r)
 }
 
 /** Gopher repetition signals (ArrayExprs.repetitionCompute) as one fused

@@ -75,12 +75,13 @@ object TextFns {
   def minhashSignature(shingles: Column, k: Int): Column =
     ArrayExprs.minhash_signature(shingles, k)
 
-  /** Estimated Jaccard = fraction of agreeing MinHash components. */
+  /** Estimated Jaccard = fraction of agreeing MinHash components.
+    * Native compiled expression (ArrayExprs.MinHashEstimate) — bit-identical
+    * to the zip_with(when equal)+aggregate+cast+divide formulation it
+    * replaces (agreement count over the common prefix, divided by
+    * size(sigA), both through double). */
   def minhashEstimate(sigA: Column, sigB: Column): Column =
-    aggregate(
-      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0),
-      (acc, v) => acc + v).cast("double") / size(sigA).cast("double")
+    ArrayExprs.minhash_estimate(sigA, sigB)
 
   /** LSH band digests: the k-long signature split into `bands` bands of
     * k/bands rows, each band hashed to one long. Docs sharing any band
@@ -110,15 +111,16 @@ object TextFns {
     * an empty list is NULL in every engine, but engines disagree on how
     * NULL list elements serialize downstream). */
   def minhashPortable(shingles: Column, k: Int): Column =
-    bind(shingles) { sh =>
-      transform(sequence(lit(0), lit(k - 1)), i =>
-        array_min(transform(sh, s =>
-          // native md5-prefix digest — bit-identical to
-          // conv(substring(md5(..), 1, 15), 16, 10) (ArrayExprs scaladoc),
-          // minus the hex/substring/base-conv string churn per shingle
-          graft.functions.ArrayExprs.md5_prefix_long(
-            concat(i.cast("string"), lit(":"), s)))))
-    }
+    // native compiled loop (ArrayExprs.MinHashPortableSig) — bit-identical
+    // to the transform(sequence) + array_min(transform(md5_prefix_long))
+    // nest it replaces (same "i:shingle" digest bytes, same array_min
+    // null semantics; see the compute scaladoc). The when() keeps the old
+    // formulation's null-input shape: bind+transform turned a NULL
+    // shingle array into k NULL components, not a NULL array. CALLER
+    // CONTRACT (as lshBands): pass a cheap column — `shingles` is
+    // referenced twice (the null guard and the signature build).
+    when(shingles.isNotNull, ArrayExprs.minhash_portable_sig(shingles, k))
+      .otherwise(array((0 until k).map(_ => lit(null).cast("long")): _*))
 
   /** Portable LSH band digests: identical banding logic to [[lshBands]]
     * (band b covers signature rows [b*r, (b+1)*r), r = k/bands) with the
@@ -141,25 +143,13 @@ object TextFns {
     * Near-duplicates differ in few bits (compare via hamming()).
     * Uses call_function for shiftright/shiftleft because the Scala
     * functions API only accepts literal Int shift amounts. */
-  def simhash64(text: Column): Column = {
-    val counters = aggregate(
-      transform(words(text), word => xxhash64(word)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => bind(h) { hh =>
-        zip_with(
-          acc,
-          sequence(lit(0), lit(63)),
-          (c, j) => c + when(
-            call_function("shiftright", hh, j).bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L)))
-      })
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j))
-          .otherwise(lit(0L))),
-      lit(0L),
-      (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash64(text: Column): Column =
+    // native compiled loop (ArrayExprs.SimHashText): same word split,
+    // same xxhash64(word) seed-42 token hash, same +1/-1 bit votes and
+    // positive-sum bit assembly as the aggregate/zip_with formulation it
+    // replaces — which evaluated a 64-iteration interpreted lambda (with
+    // a shiftright call_function per bit) per word per row.
+    ArrayExprs.simhash_text(text, 64, portable = false)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -169,26 +159,12 @@ object TextFns {
     * token-vote sum for bit j is positive. Same algorithm as [[simhash64]];
     * that one's xxhash64 token hash is the fast production path, this one
     * is the DuckDB-oracle-checkable twin (d08). */
-  def simhashPortable(text: Column): Column = {
-    val counters = aggregate(
-      transform(words(text),
-        w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")),
-      array_repeat(lit(0L), 60),
-      (acc, h) => bind(h) { hh =>
-        zip_with(
-          acc,
-          sequence(lit(0), lit(59)),
-          (c, j) => c + when(
-            call_function("shiftright", hh, j).bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L)))
-      })
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(59)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j))
-          .otherwise(lit(0L))),
-      lit(0L),
-      (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhashPortable(text: Column): Column =
+    // same compiled loop as [[simhash64]] with the md5 15-hex-digit
+    // prefix token hash (= conv(substring(md5(w), 1, 15), 16, 10), the
+    // ArrayExprs.md5PrefixLongCompute contract) over 60 bits — the
+    // DuckDB oracle (d08) re-derives these exact values bit-for-bit.
+    ArrayExprs.simhash_text(text, 60, portable = true)
 
   /** Polynomial rolling-hash fingerprint of normalized text (lowercased,
     * whitespace collapsed): h = h*31 + codepoint, wrapping in Long. */
