@@ -349,6 +349,55 @@ object ArrayExprs {
     c.toDouble / a.numElements().toDouble
   }
 
+  /** Quality-score kernel (TextAnalysis.qualityScore's bind body) in one
+    * compiled pass — bit-identical double arithmetic: lengthScore =
+    * least(nTok/50.0, 1.0); ttr = |distinct words| / greatest(nTok, 1.0);
+    * alphaRatio = |[a-zA-Z ] code points| / greatest(numChars, 1) via
+    * double division (Spark casts int/int division to double); combined
+    * left-to-right as (0.4*ls + 0.3*ttr) + 0.3*ar. Word split is the
+    * byte-scan Java-\s argument (see [[minhashTextCompute]]); distinctness
+    * is UTF8String byte equality, = array_distinct's binary semantics.
+    * The [a-zA-Z ] count equals length(regexp_replace(text, "[^a-zA-Z ]",
+    * "")) because those classes are single ASCII bytes (UTF-8 multi-byte
+    * sequences can never contain them) and Spark's length() counts code
+    * points. The floor(x*1e4+0.5)/1e4 rounding stays OUTSIDE, declarative
+    * at the call site. */
+  def qualityScoreCompute(text: UTF8String): Double = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTok = 0
+    val seen = new java.util.HashSet[UTF8String]()
+    var alpha = 0
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      if (!ws) {
+        val s = i
+        while (i < len && {
+          val c = bytes(i)
+          !(c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r')
+        }) i += 1
+        nTok += 1
+        seen.add(UTF8String.fromBytes(bytes, s, i - s))
+      } else i += 1
+    }
+    i = 0
+    while (i < len) {
+      val b = bytes(i)
+      if (b == ' ' || (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
+      i += 1
+    }
+    val nTokD = nTok.toDouble
+    val lengthScore = math.min(nTokD / 50.0, 1.0)
+    val ttr = seen.size.toDouble / math.max(nTokD, 1.0)
+    val alphaRatio = alpha.toDouble / math.max(text.numChars(), 1).toDouble
+    0.4 * lengthScore + 0.3 * ttr + 0.3 * alphaRatio
+  }
+
+  def quality_score(text: Column): Column =
+    Bridge.column(QualityScore(Bridge.expression(text)))
+
   /** Fused text -> MinHash signature in ONE byte-level pass: word spans
     * are found by scanning the UTF-8 bytes for Java-\s whitespace (all six
     * class members are single ASCII bytes, and UTF-8 continuation bytes
@@ -854,6 +903,24 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       s"graft.functions.ArrayExprs.bpeCompute($c, $ranksRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** Quality-score kernel (ArrayExprs.qualityScoreCompute) as one compiled
+  * expression: the interpreted bind-body (filter/split words lambda +
+  * array_distinct + regexp_replace) becomes one byte pass per row. */
+case class QualityScore(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quality_score requires string, got ${t.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    ArrayExprs.qualityScoreCompute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayExprs.qualityScoreCompute($c)")
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
     copy(child = newChild)
 }
 

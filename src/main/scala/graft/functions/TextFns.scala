@@ -30,9 +30,12 @@ object Fn {
 object TextFns {
   import Fn._
 
-  /** Whitespace tokenization; empty tokens dropped. */
+  /** Whitespace tokenization; empty tokens dropped. Compiled pass via the
+    * existing word_grams kernel at n=1 (a 1-gram IS the word list: same
+    * Java-\s+ split, same empty-token drop, order and repeats kept) —
+    * the filter(split) form ran an interpreted lambda per token. */
   def words(text: Column): Column =
-    filter(split(text, "\\s+"), w => w =!= "")
+    ArrayExprs.word_grams(text, 1)
 
   /** BPE-ish pre-tokenization: word pieces OR single punctuation marks. */
   def regexTokens(text: Column): Column =

@@ -37,15 +37,16 @@ object TextAnalysis {
     * training-data curation. Deterministic arithmetic only. */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
+    // compiled kernel (ArrayExprs.QualityScore) for the former bind body —
+    // Fn.bind evaluates its whole body interpreted (the lshBands finding),
+    // so the word filter/distinct/regex chain ran per row in the
+    // interpreter. Same doubles: least(nTok/50, 1), distinct/greatest
+    // ttr, [a-zA-Z ]-codepoint alpha ratio, (0.4*ls + 0.3*ttr) + 0.3*ar
+    // (see the compute scaladoc); the midpoint-safe floor idiom stays
+    // declarative here.
     docs.select(col(idCol),
-      (floor(graft.functions.Fn.bind(TextFns.words(col(textCol))) { w =>
-        val nTok = size(w).cast("double")
-        val lengthScore = least(nTok / lit(50.0), lit(1.0))
-        val ttr = size(array_distinct(w)).cast("double") / greatest(nTok, lit(1.0))
-        val alphaRatio = (length(regexp_replace(col(textCol), "[^a-zA-Z ]", "")) /
-          greatest(length(col(textCol)), lit(1))).cast("double")
-        lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * alphaRatio
-      } * 10000 + 0.5) / 10000).as("quality"))
+      (floor(graft.functions.ArrayExprs.quality_score(col(textCol))
+        * 10000 + 0.5) / 10000).as("quality"))
 
   /** Within-document repetition signals (the Gopher-rule family, Rae et
     * al. 2021 — public heuristics): duplicate word-bigram and -trigram

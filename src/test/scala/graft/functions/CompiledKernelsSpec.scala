@@ -105,6 +105,45 @@ class CompiledKernelsSpec extends SparkSpec {
     }
   }
 
+  test("words (word_grams n=1) == filter(split) tokenization") {
+    import spark.implicits._
+    val df = (texts.map(Option(_)) :+ None).toDF("text")
+    val out = df.select(
+      TextFns.words(col("text")).as("fast"),
+      filter(split(col("text"), "\\s+"), w => w =!= "").as("ref")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null shape diverged: $r")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"diverged: $r")
+    }
+  }
+
+  // the pre-r21 interpreted quality-score bind body, verbatim semantics
+  private def qualityScoreHof(text: Column): Column =
+    bind(TextFns.words(text)) { w =>
+      val nTok = size(w).cast("double")
+      val lengthScore = least(nTok / lit(50.0), lit(1.0))
+      val ttr = size(array_distinct(w)).cast("double") / greatest(nTok, lit(1.0))
+      val alphaRatio = (length(regexp_replace(text, "[^a-zA-Z ]", "")) /
+        greatest(length(text), lit(1))).cast("double")
+      lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * alphaRatio
+    }
+
+  test("qualityScore kernel == interpreted HOF bind body (raw double bits)") {
+    import spark.implicits._
+    val df = (texts.map(Option(_)) :+ None).toDF("text")
+    val out = df.select(
+      ArrayExprs.quality_score(col("text")).as("fast"),
+      qualityScoreHof(col("text")).as("ref")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null shape diverged: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          s"bits diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   // the pre-r21 interpreted estimate, verbatim semantics
   private def minhashEstimateHof(sigA: Column, sigB: Column): Column =
     aggregate(
